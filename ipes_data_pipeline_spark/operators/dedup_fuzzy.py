@@ -1,0 +1,109 @@
+"""Blocked fuzzy deduplication → canonical entity ids (SURVEY.md F4 / Q39).
+
+The reference implements fuzzy dedup as an O(n²) all-pairs Python loop with
+order-dependent merging (reference ``code/structure_data.py:155-211``). That
+caps out around 10³ entities. The scalable re-expression is the classic
+three-stage shape:
+
+1. **Block**: a cheap deterministic key (first token, prefix, soundex,
+   MinHash band) so candidate pairs only form within a block. Turns the
+   O(n²) cross join into Σ O(b²) over blocks — with well-sized blocks this
+   is linear-ish and each block's pairs co-locate on one shuffle partition.
+2. **Refine**: `levenshtein(a, b) <= max_edits` on candidate pairs
+   (JVM-side built-in, whole-stage codegen).
+3. **Resolve**: connected components via iterative min-label propagation —
+   each round is one `join` + `groupBy(min)`, i.e. two shuffles on the node
+   key; rounds = graph diameter (bounded; checkpoint between rounds to cut
+   lineage at scale).
+
+Canonical id = component minimum ⇒ order-independent, unlike the
+reference's scan-order merge (SURVEY.md §2.3.5 documents the divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_expr: Column,
+    max_edits: int = 2,
+) -> DataFrame:
+    """Blocked levenshtein candidate edges (src, dst), both directions.
+
+    ``block_expr`` is evaluated per-row; pairs form only within equal
+    blocks. At 100 TB the block key is the shuffle key — choose it so the
+    largest block fits one task (salt or refine the key if skewed).
+    """
+    keyed = df.select(
+        F.col(id_col).alias("node"),
+        F.col(name_col).alias("name"),
+        block_expr.alias("blk"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    half = (
+        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.node") < F.col("b.node")])
+        .where(F.levenshtein(F.col("a.name"), F.col("b.name")) <= max_edits)
+        .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
+    )
+    return half.unionAll(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def min_label_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Connected components by min-label propagation.
+
+    ``nodes``: one column ``node``; ``edges``: ``src``/``dst`` (directed
+    both ways). Returns ``(node, canonical_id)``. After *k* rounds each
+    label is the minimum over the k-hop neighborhood, so ``iterations``
+    must be ≥ the component diameter. For oracle-deterministic queries we
+    unroll a fixed count; library callers can pass ``checkpoint=True`` to
+    truncate lineage each round (mandatory on deep graphs at scale).
+    """
+    e_self = edges.unionAll(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    )
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(iterations):
+        labels = (
+            e_self.join(labels, e_self.dst == labels.node)
+            .groupBy(e_self.src.alias("node"))
+            .agg(F.min("lab").alias("lab"))
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("lab").alias("canonical_id"))
+
+
+def dedupe_fuzzy(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_expr: Column | None = None,
+    max_edits: int = 2,
+    iterations: int = 6,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Full blocked fuzzy dedup: returns ``(<id_col>, canonical_id)``.
+
+    Default block = first whitespace token of the name (the reference's
+    implicit blocking is none at all; first-token blocking is the cheapest
+    key that keeps true duplicates together for entity-name data).
+    """
+    block = (
+        block_expr
+        if block_expr is not None
+        else F.element_at(F.split(F.col(name_col), r"\s+"), 1)
+    )
+    nodes = df.select(F.col(id_col).alias("node"))
+    edges = candidate_pairs(df, id_col, name_col, block, max_edits)
+    comp = min_label_components(nodes, edges, iterations, checkpoint=checkpoint)
+    return comp.select(F.col("node").alias(id_col), "canonical_id")

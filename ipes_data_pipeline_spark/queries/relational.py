@@ -1,0 +1,765 @@
+"""SURVEY.md §2.2 Q01–Q40: the relational core, each with a DuckDB oracle.
+
+Operator families cite the reference implementation they re-express
+(e.g. C1 relevance filter = ``code/structure_data.py:136-146``); the
+queries themselves run on the driver's TPC-H-ish testdata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ipes_data_pipeline_spark.operators.dedup_fuzzy import (
+    candidate_pairs,
+    min_label_components,
+)
+from ipes_data_pipeline_spark.queries import (
+    davg,
+    dec,
+    dsum,
+    register,
+    sql_davg,
+    sql_dsum,
+    t,
+)
+
+# --------------------------------------------------------------- A/B: scans & projections
+
+
+@register(
+    "q01_scan_project",
+    "A6/B2 scan+project",
+    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+)
+def q01(spark, sf):
+    return t(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+
+
+@register(
+    "q02_filter_eq",
+    "C1 equality filter",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
+)
+def q02(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "q03_filter_range",
+    "C1 range+AND filter",
+    """SELECT l_orderkey, l_linenumber, l_shipdate, l_discount, l_extendedprice
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07""",
+)
+def q03(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_extendedprice")
+
+
+@register(
+    "q04_like_contains",
+    "C1 LIKE-contains",
+    "SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE '%widget%'",
+)
+def q04(spark, sf):
+    return (
+        t(spark, sf, "part")
+        .filter(F.lower(F.col("p_name")).contains("widget"))
+        .select("p_partkey", "p_name")
+    )
+
+
+@register(
+    "q05_rlike_anti",
+    "C2 regex anti-filter",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE NOT regexp_matches(c_mktsegment, 'FURN|MACH')",
+)
+def q05(spark, sf):
+    return (
+        t(spark, sf, "customer")
+        .filter(~F.col("c_mktsegment").rlike("FURN|MACH"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "q06_in_list",
+    "C3/C5 IN-list + AND",
+    """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+       WHERE o_orderpriority IN ('1-URGENT','2-HIGH') AND o_totalprice > 1000""",
+)
+def q06(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_totalprice") > 1000)
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+@register(
+    "q07_null_handling",
+    "B1 null-safe access / null-skipping count",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+              CAST(COUNT(NULLIF(event_type, 'error')) AS BIGINT) AS n_not_error,
+              CAST(SUM(CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+       FROM events""",
+)
+def q07(spark, sf):
+    ev = t(spark, sf, "events").withColumn(
+        "masked", F.nullif(F.col("event_type"), F.lit("error"))
+    )
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("masked").alias("n_not_error"),
+        F.sum(F.when(F.col("masked").isNull(), 1).otherwise(0)).alias("n_error"),
+    )
+
+
+@register(
+    "q08_normalize_string",
+    "D1–D3 casefold/trim/regex normalize (ref structure_data.py:71-85)",
+    """SELECT c_custkey,
+              trim(regexp_replace(regexp_replace(lower(trim(c_name)), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_name
+       FROM customer""",
+)
+def q08(spark, sf):
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.trim(F.col("c_name"))), r"[^\w\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return t(spark, sf, "customer").select("c_custkey", norm.alias("norm_name"))
+
+
+@register(
+    "q09_split_join_element",
+    "D5/D6/B5 split / array_join / element_at",
+    """SELECT p_partkey,
+              string_split(p_name, ' ')[1] AS first_tok,
+              array_to_string(string_split(p_name, ' '), ';') AS joined
+       FROM part""",
+)
+def q09(spark, sf):
+    toks = F.split(F.col("p_name"), " ")
+    return t(spark, sf, "part").select(
+        "p_partkey",
+        F.element_at(toks, 1).alias("first_tok"),
+        F.array_join(toks, ";").alias("joined"),
+    )
+
+
+@register(
+    "q10_substr_concat",
+    "B3/B4 substring / computed column",
+    """SELECT n_nationkey, concat('N-', n_name) AS tagged, substr(n_name, 1, 3) AS prefix3
+       FROM nation""",
+)
+def q10(spark, sf):
+    return t(spark, sf, "nation").select(
+        "n_nationkey",
+        F.concat(F.lit("N-"), F.col("n_name")).alias("tagged"),
+        F.substring(F.col("n_name"), 1, 3).alias("prefix3"),
+    )
+
+
+@register(
+    "q11_deterministic_key",
+    "D7 deterministic surrogate key (ref structure_data.py:118-122)",
+    "SELECT c_custkey, sha256(lower(trim(c_name))) AS name_key FROM customer",
+)
+def q11(spark, sf):
+    return t(spark, sf, "customer").select(
+        "c_custkey", F.sha2(F.lower(F.trim(F.col("c_name"))), 256).alias("name_key")
+    )
+
+
+@register(
+    "q12_levenshtein_pairs",
+    "D8 similarity predicate (ref structure_data.py:178-186)",
+    """SELECT a.n_name AS name_a, b.n_name AS name_b,
+              CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+       FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+       WHERE levenshtein(a.n_name, b.n_name) <= 4""",
+)
+def q12(spark, sf):
+    n = t(spark, sf, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    lev = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (
+        a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .where(lev <= 4)
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            lev.alias("dist"),
+        )
+    )
+
+
+# --------------------------------------------------------------- E: aggregation
+
+
+@register(
+    "q13_group_count",
+    "E1/E3 hash aggregate",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def q13(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q14_tpch_q1",
+    "E3/E11 multi-aggregate (TPC-H Q1 shape)",
+    f"""SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_base_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {sql_dsum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
+               {sql_davg('l_quantity')} AS avg_qty,
+               {sql_davg('l_extendedprice')} AS avg_price,
+               {sql_davg('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus""",
+)
+def q14(spark, sf):
+    li = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q15_count_distinct",
+    "E10 countDistinct",
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs
+       FROM orders GROUP BY o_orderpriority""",
+)
+def q15(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_custs"))
+    )
+
+
+@register(
+    "q16_max_by",
+    "E4 arg-max representative (ref structure_data.py:217-219)",
+    """SELECT o_custkey, arg_max(o_orderdate, o_orderkey) AS date_of_max_order
+       FROM orders GROUP BY o_custkey""",
+)
+def q16(spark, sf):
+    # arg key o_orderkey is unique ⇒ deterministic winner in both engines.
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max_by("o_orderdate", "o_orderkey").alias("date_of_max_order"))
+    )
+
+
+@register(
+    "q17_bool_any",
+    "E6 boolean ANY aggregate (ref structure_data.py:223)",
+    """SELECT o_custkey, MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS has_final
+       FROM orders GROUP BY o_custkey""",
+)
+def q17(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "has_final"
+            )
+        )
+    )
+
+
+@register(
+    "q18_collect_set_sorted",
+    "E7 collect_set + array_sort (ref enrich_data.py:170-173)",
+    """SELECT l_orderkey, list_sort(list_distinct(list(l_returnflag))) AS flags
+       FROM lineitem GROUP BY l_orderkey""",
+)
+def q18(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_returnflag")).alias("flags"))
+    )
+
+
+@register(
+    "q19_mode_per_group",
+    "E9 mode with deterministic tie-break",
+    """WITH counted AS (
+         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                row_number() OVER (PARTITION BY o_orderstatus ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+         FROM orders GROUP BY o_orderstatus, o_orderpriority)
+       SELECT o_orderstatus, o_orderpriority AS mode_priority FROM counted WHERE rn = 1""",
+)
+def q19(spark, sf):
+    counted = (
+        t(spark, sf, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+
+
+@register(
+    "q20_time_bucket",
+    "E12 calendar tumbling bucket (ref Data_Insights.py:63-66)",
+    """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n
+       FROM orders GROUP BY 1""",
+)
+def q20(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q21_value_counts_topk",
+    "E8/G3 value_counts + top-k",
+    """SELECT p_brand, COUNT(*) AS n FROM part
+       GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 5""",
+)
+def q21(spark, sf):
+    return (
+        t(spark, sf, "part")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("p_brand"))
+        .limit(5)
+    )
+
+
+@register(
+    "q22_having",
+    "C5 filter on aggregate (HAVING)",
+    """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+       GROUP BY o_custkey HAVING COUNT(*) >= 10""",
+)
+def q22(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 10)
+    )
+
+
+# --------------------------------------------------------------- F: joins & set ops
+
+
+@register(
+    "q23_inner_join_agg",
+    "F1 fact⋈dim inner join (ref Data_Insights.py:25-32)",
+    f"""SELECT c.c_mktsegment, COUNT(*) AS n_orders, {sql_dsum('o.o_totalprice')} AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment""",
+)
+def q23(spark, sf):
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+@register(
+    "q24_broadcast_join",
+    "F1 broadcast dim join (plan: BroadcastHashJoin, asserted in tests)",
+    f"""SELECT p.p_brand, COUNT(*) AS n_lines, {sql_dsum('l.l_extendedprice')} AS total_price
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand""",
+)
+def q24(spark, sf):
+    li, p = t(spark, sf, "lineitem"), t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_extendedprice", "total_price"))
+    )
+
+
+@register(
+    "q25_star_join",
+    "F1 multi-way star join (TPC-H Q5 shape)",
+    f"""SELECT n.n_name, {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name""",
+)
+def q25(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf, "lineitem")
+    s, n, r = (t(spark, sf, x) for x in ("supplier", "nation", "region"))
+    joined = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("n_name").agg(dsum(rev, "revenue"))
+
+
+@register(
+    "q26_left_join_nullside",
+    "F5 left outer join + null-side agg",
+    """SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders, MAX(o.o_orderdate) AS last_order
+       FROM customer c LEFT JOIN orders o
+         ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+       GROUP BY c.c_custkey""",
+)
+def q26(spark, sf):
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (
+        c.join(o, (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "P"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+@register(
+    "q27_semi_join",
+    "F5 left-semi join (EXISTS)",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""",
+)
+def q27(spark, sf):
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return c.join(
+        o.filter(F.col("o_orderstatus") == "P"),
+        c.c_custkey == o.o_custkey,
+        "left_semi",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q28_anti_join",
+    "A9 left-anti join (resume/miss detection, ref download_pdfs_robust.py:268)",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""",
+)
+def q28(spark, sf):
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return c.join(
+        o.filter(F.col("o_orderstatus") == "P"),
+        c.c_custkey == o.o_custkey,
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q29_drop_duplicates",
+    "F3 exact dedup (ref fetch.py:292-299)",
+    "SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem",
+)
+def q29(spark, sf):
+    return t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey").dropDuplicates()
+
+
+@register(
+    "q30_union_distinct",
+    "A3/F3 union + distinct (ref fetch.py:276-301)",
+    """SELECT DISTINCT o_custkey FROM (
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
+)
+def q30(spark, sf):
+    o = t(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .union(o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"))
+        .distinct()
+    )
+
+
+@register(
+    "q31_intersect",
+    "set op INTERSECT",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+)
+def q31(spark, sf):
+    o = t(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+
+
+@register(
+    "q31b_except",
+    "set op EXCEPT (distinct)",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
+)
+def q31b(spark, sf):
+    o = t(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .subtract(o.filter(F.col("o_orderstatus") == "P").select("o_custkey"))
+    )
+
+
+# --------------------------------------------------------------- G: windows, sort, top-k
+
+
+@register(
+    "q32_window_rownumber",
+    "G1/G6 latest-per-group window (ref structure_data.py:244)",
+    """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+         SELECT o_custkey, o_orderkey, o_orderdate,
+                row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         FROM orders) WHERE rn = 1""",
+)
+def q32(spark, sf):
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+@register(
+    "q33_window_rank_lag_running",
+    "G window: rank / lag / running sum",
+    """SELECT o_custkey, o_orderkey,
+              CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS rnk,
+              lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+       FROM orders""",
+)
+def q33(spark, sf):
+    wd = W.partitionBy("o_custkey").orderBy("o_orderdate")
+    wdk = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = wdk.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(wd).cast("long").alias("rnk"),
+        F.lag("o_totalprice").over(wdk).alias("prev_price"),
+        F.sum(dec("o_totalprice")).over(wrun).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "q34_rollup",
+    "grouping sets / rollup",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+)
+def q34(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q35_nest_unnest_roundtrip",
+    "E2/F2 collect_list(struct) → explode round-trip (ref structure_data.py:226-241,354-364)",
+    "SELECT o_custkey, o_orderdate, o_orderkey FROM orders",
+)
+def q35(spark, sf):
+    nested = (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("o_orderdate", "o_orderkey"))).alias(
+                "orders_nested"
+            )
+        )
+    )
+    return nested.select(
+        "o_custkey", F.explode("orders_nested").alias("o")
+    ).select("o_custkey", F.col("o.o_orderdate").alias("o_orderdate"), F.col("o.o_orderkey").alias("o_orderkey"))
+
+
+@register(
+    "q36_conditional_validity",
+    "C4/H4 when/otherwise validity split (ref structure_data.py:263-271)",
+    """SELECT l_returnflag,
+              CAST(SUM(CASE WHEN l_quantity >= 0 AND l_discount BETWEEN 0 AND 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+              CAST(SUM(CASE WHEN l_quantity >= 0 AND l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid,
+              CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q36(spark, sf):
+    valid = (F.col("l_quantity") >= 0) & F.col("l_discount").between(0, 1)
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(valid, 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(valid, 0).otherwise(1)).alias("n_invalid"),
+            F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).alias("n_bulk"),
+        )
+    )
+
+
+@register(
+    "q37_global_topk",
+    "G3 global top-k with tie-break",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def q37(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "q38_date_functions",
+    "E5/E12 date functions + null-on-failure coercion (ref Data_Insights.py:36)",
+    """SELECT o_orderkey,
+              CAST(year(o_orderdate) AS INT) AS yr,
+              CAST(month(o_orderdate) AS INT) AS mo,
+              CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+              strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate,
+              strftime(TRY_CAST(o_orderpriority AS DATE), '%Y-%m-%d') AS bad_date
+       FROM orders""",
+)
+def q38(spark, sf):
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("odate"),
+        F.date_format(F.to_date("o_orderpriority"), "yyyy-MM-dd").alias("bad_date"),
+    )
+
+
+def _q39_oracle() -> str:
+    rounds = "".join(
+        f""",
+  l{i + 1} AS (
+    SELECT e.src AS node, MIN(l.lab) AS lab
+    FROM e_self e JOIN l{i} l ON l.node = e.dst
+    GROUP BY e.src)"""
+        for i in range(6)
+    )
+    return f"""
+WITH c AS (
+  SELECT c_custkey AS node, c_name AS name, substr(c_name, 1, 15) AS blk FROM customer),
+half AS (
+  SELECT a.node AS src, b.node AS dst
+  FROM c a JOIN c b ON a.blk = b.blk AND a.node < b.node
+  WHERE levenshtein(a.name, b.name) <= 2),
+e0 AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+e_self AS (SELECT src, dst FROM e0 UNION ALL SELECT node, node FROM c),
+l0 AS (SELECT node, node AS lab FROM c){rounds}
+SELECT node AS c_custkey, lab AS canonical_id FROM l6
+"""
+
+
+@register(
+    "q39_fuzzy_dedup",
+    "F4 blocked fuzzy dedup + connected components (ref structure_data.py:155-211)",
+    _q39_oracle(),
+)
+def q39(spark, sf):
+    # Block on the 15-char name prefix (first-token blocking degenerates on
+    # this dataset: names contain no whitespace). 6 propagation rounds cover
+    # the component diameter; the oracle unrolls the same 6 rounds.
+    cust = t(spark, sf, "customer")
+    block = F.substring(F.col("c_name"), 1, 15)
+    edges = candidate_pairs(cust, "c_custkey", "c_name", block, max_edits=2)
+    nodes = cust.select(F.col("c_custkey").alias("node"))
+    comp = min_label_components(nodes, edges, iterations=6)
+    return comp.select(F.col("node").alias("c_custkey"), "canonical_id")
+
+
+@register(
+    "q40_tumbling_window_batch",
+    "I2/I3 tumbling window, batch ≡ streaming (ref run_scheduler.py:58-93)",
+    f"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+        FROM events GROUP BY 1""",
+)
+def q40(spark, sf):
+    return (
+        t(spark, sf, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
