@@ -1,0 +1,129 @@
+"""Text-analysis column expressions for LLM training-data pipelines.
+
+Everything here is built from Spark's higher-order array functions
+(`transform` / `filter` / `aggregate`) and string functions, so the
+expressions run inside whole-stage codegen — no Python in the hot path.
+Each has an exact SQL twin used by the DuckDB oracles (queries/dataops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic. Deliberately small + deterministic (the heuristic is the
+#: declared operator; real lists are a config concern).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "et", "des", "un"],
+}
+
+
+def tokens(col) -> Column:
+    """Lower-cased word tokens: split on non-word runs, drop empties."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(col), r"\W+"), lambda x: x != "")
+
+
+def distinct_tokens(col) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def shingles(tok_col: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (space-joined). Empty when < n tokens."""
+    idx = F.sequence(F.lit(1), F.size(tok_col) - (n - 1))
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok_col, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(tok_col) >= n, F.array_distinct(make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash(shingle_col: Column, seed: int) -> Column:
+    """One MinHash component: min over md5('<seed>|' + shingle).
+
+    Hex md5 strings are fixed-width, so the string MIN is the numeric min
+    of the 128-bit hash — deterministic and identical in any engine with
+    md5 + binary collation (the DuckDB oracle uses the same construction).
+    """
+    return F.array_min(
+        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+    )
+
+
+def simhash_bits(tok_col: Column, n_bits: int = 32) -> Column:
+    """SimHash: per bit-dimension d, sum ±1 over tokens according to the
+    d-th hex digit's high bit of md5(token); bit = 1 iff sum >= 0.
+
+    Returns the signature as an ``n_bits``-char '0'/'1' string (printable,
+    engine-portable; hamming distance = count of differing chars).
+    """
+    # NB: the lambda must take exactly one parameter — PySpark passes the
+    # element *index* to a second parameter, which would shadow a `d=d`
+    # default-argument closure.
+    def contrib_fn(d: int):
+        return lambda t: F.when(
+            F.substring(F.md5(t), d + 1, 1) >= "8", F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bits = []
+    for d in range(n_bits):
+        contrib = F.transform(tok_col, contrib_fn(d))
+        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+        bits.append(F.when(total >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def normalized_text(col) -> Column:
+    """Canonical text: lower, strip non-printable-ASCII, collapse blanks."""
+    col = F.col(col) if isinstance(col, str) else col
+    ascii_only = F.regexp_replace(F.lower(col), r"[^\x20-\x7e]", "")
+    return F.trim(F.regexp_replace(ascii_only, r"\s+", " "))
+
+
+def fingerprint_md5(col) -> Column:
+    """Document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized_text(col))
+
+
+def rolling_hash_expr(col_name: str, mod: int = 1_000_000_007, base: int = 31) -> Column:
+    """Rolling hash as an expression over an existing string column name."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({col_name})), "
+        f"i -> ascii(substr({col_name}, i, 1))), 0L, "
+        f"(acc, c) -> (acc * {base} + c) % {mod})"
+    )
+
+
+def stopword_count(tok_col: Column, words: list[str]) -> Column:
+    return F.size(F.array_intersect(tok_col, F.array(*[F.lit(w) for w in words])))
+
+
+def langid_struct(tok_col: Column) -> list[Column]:
+    """Per-language stopword-overlap scores + argmax prediction.
+
+    Tie-break: alphabetical language code (deterministic); 'und' when all
+    scores are zero.
+    """
+    distinct = F.array_distinct(tok_col)
+    scores = {
+        lang: stopword_count(distinct, words).alias(f"score_{lang}")
+        for lang, words in sorted(STOPWORDS.items())
+    }
+    best = None
+    pred = F.lit("und")
+    # Iterate langs reverse-alphabetically so the final `when` chain picks
+    # the alphabetically-first language on ties (strict > against later).
+    for lang in sorted(STOPWORDS, reverse=True):
+        s = stopword_count(distinct, STOPWORDS[lang])
+        cond = (s > 0) if best is None else (s > 0) & (s >= best)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = s if best is None else F.greatest(s, best)
+    return [*scores.values(), pred.alias("pred_lang")]

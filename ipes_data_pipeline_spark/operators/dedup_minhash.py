@@ -1,0 +1,129 @@
+"""Near-duplicate detection: MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design: every variant is *blocked* — candidate pairs only form
+inside an LSH bucket (band or signature equality), so the shuffle key is
+the bucket id and no O(n²) cross join ever materializes. The refine step
+(exact Jaccard / hamming) touches only candidates. All expressions are
+JVM-side higher-order functions; oracle twins in queries/dataops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ipes_data_pipeline_spark.functions.text import (
+    distinct_tokens,
+    minhash,
+    shingles,
+    simhash_bits,
+    tokens,
+)
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key) — one row per LSH band per document."""
+    sh = shingles(tokens(F.col(text_col)), shingle_n)
+    sigs = [minhash(sh, seed).alias(f"mh{seed}") for seed in range(n_hashes)]
+    with_sig = df.select(F.col(id_col).alias("id"), *sigs)
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * band_size + k}") for k in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return with_sig.select("id", F.explode(bands).alias("b")).select(
+        "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing any LSH band.
+
+    The band join shuffles on (band_idx, band_key) — bucket-local work
+    only. Callers typically refine with exact Jaccard on the candidates.
+    """
+    bands = minhash_bands(df, id_col, text_col, n_hashes, band_size, shingle_n)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 32
+) -> DataFrame:
+    """(id, simhash) — bit-string signature per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        simhash_bits(tokens(F.col(text_col)), n_bits).alias("simhash"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over blocked pairs (id_a < id_b, jac ≥ θ)."""
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        distinct_tokens(F.col(text_col)).alias("toks"),
+        *block_cols,
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
+        F.col("a.id") < F.col("b.id")
+    ]
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, on=cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedupe_exact_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-content dedup: md5 grouping, keeper = min id (deterministic)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

@@ -1,8 +1,434 @@
-"""Training-data pipeline operators as declared queries (dedup, similarity,
-text analysis) over the ``documents`` / ``embeddings`` / ``events`` tables.
+"""Training-data pipeline operators as declared, oracle-checked queries:
+dedup (exact / MinHash-LSH / SimHash / Jaccard), similarity search,
+text analysis, JSON extraction, sessionization, as-of join, multimodal
+metadata — over the ``documents`` / ``embeddings`` / ``events`` tables.
 
-Populated incrementally; every op gets a DuckDB oracle where SQL can
-express it.
+Each oracle reproduces the *same algorithm* in DuckDB SQL (same hash
+construction, same fold order for floats), so value-hashes match.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ipes_data_pipeline_spark.functions.text import (
+    STOPWORDS,
+    fingerprint_md5,
+    langid_struct,
+    normalized_text,
+    rolling_hash_expr,
+    tokens,
+)
+from ipes_data_pipeline_spark.functions.vectors import cosine
+from ipes_data_pipeline_spark.operators.dedup_minhash import (
+    dedupe_exact_text,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from ipes_data_pipeline_spark.operators.sessionize import asof_join_latest, sessionize
+from ipes_data_pipeline_spark.operators.similarity import (
+    ann_topk_bruteforce,
+    cosine_topk_pairs_lsh,
+)
+from ipes_data_pipeline_spark.queries import register, sql_dsum, t
+
+# SQL fragments shared by the oracles -----------------------------------------
+
+SQL_TOKENS = (
+    "list_filter(string_split_regex(lower({c}), '\\W+'), x -> x <> '')"
+)
+SQL_DDOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"({SQL_DDOT.format(a=a, b=b)} / "
+        f"(sqrt({SQL_DDOT.format(a=a, b=a)}) * sqrt({SQL_DDOT.format(a=b, b=b)})))"
+    )
+
+
+# --------------------------------------------------------------- dedup family
+
+
+@register(
+    "q41_dedup_exact",
+    "dedup: exact content hash (F3 at document scale)",
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+def q41(spark, sf):
+    return dedupe_exact_text(t(spark, sf, "documents"), "doc_id", "text").select(
+        "text_hash", F.col("keeper_id"), "n_copies"
+    )
+
+
+def _q42_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    mh = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{seed}|' || s)), 'min') AS mh{seed}"
+        for seed in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, {b} AS band_idx, mh{2 * b} || '|' || mh{2 * b + 1} AS band_key FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {toks} AS w FROM documents),
+sh AS (SELECT id, CASE WHEN len(w) >= 3
+         THEN list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+         ELSE [] END AS shingles FROM toks),
+sigs AS (SELECT id, {mh} FROM sh),
+bands AS ({bands})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+"""
+
+
+@register(
+    "q42_dedup_minhash_lsh",
+    "dedup: MinHash-LSH candidate pairs (blocked, no cross join)",
+    _q42_oracle(),
+)
+def q42(spark, sf):
+    return minhash_lsh_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", n_hashes=8, band_size=2
+    )
+
+
+def _q43_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    bits = " || ".join(
+        "CASE WHEN list_reduce(list_prepend(0, list_transform(w, "
+        f"t -> CASE WHEN substr(md5(t), {d + 1}, 1) >= '8' THEN 1 ELSE -1 END)), "
+        "(a, b) -> a + b) >= 0 THEN '1' ELSE '0' END"
+        for d in range(32)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {toks} AS w FROM documents)
+SELECT id, {bits} AS simhash FROM toks
+"""
+
+
+@register(
+    "q43_dedup_simhash",
+    "dedup: SimHash signatures (32-bit, majority-vote bits)",
+    _q43_oracle(),
+)
+def q43(spark, sf):
+    return simhash_signatures(t(spark, sf, "documents"), "doc_id", "text", n_bits=32)
+
+
+def _q44_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    return f"""
+WITH d AS (SELECT doc_id AS id, lang, source, list_distinct({toks}) AS toks FROM documents),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         len(list_intersect(a.toks, b.toks)) AS ni,
+         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS nu
+  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.id < b.id)
+SELECT id_a, id_b, CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) AS jaccard
+FROM p WHERE CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) >= 0.5
+"""
+
+
+@register(
+    "q44_dedup_ngram_jaccard",
+    "dedup: blocked exact token-set Jaccard refine",
+    _q44_oracle(),
+)
+def q44(spark, sf):
+    return ngram_jaccard_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", ["lang", "source"], threshold=0.5
+    )
+
+
+def _q45_oracle() -> str:
+    bkt = (
+        "(CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END || "
+        "CASE WHEN embedding[9] > 0 THEN '1' ELSE '0' END || "
+        "CASE WHEN embedding[17] > 0 THEN '1' ELSE '0' END || "
+        "CASE WHEN embedding[25] > 0 THEN '1' ELSE '0' END)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding AS v, {bkt} AS bkt FROM embeddings),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b, {_sql_cosine('a.v', 'b.v')} AS cos_sim
+  FROM e a JOIN e b ON a.bkt = b.bkt AND a.id < b.id)
+SELECT id_a, id_b, cos_sim FROM p ORDER BY cos_sim DESC, id_a, id_b LIMIT 50
+"""
+
+
+@register(
+    "q45_embedding_neardup_lsh",
+    "dedup/similarity: sign-LSH bucketed top-k most-similar embedding pairs",
+    _q45_oracle(),
+)
+def q45(spark, sf):
+    return cosine_topk_pairs_lsh(
+        t(spark, sf, "embeddings"), "vec_id", "embedding", dims=(1, 9, 17, 25), k=50
+    )
+
+
+@register(
+    "q46_ann_topk",
+    "similarity search: brute-force cosine top-k vs query vector",
+    f"""WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id AS id, {_sql_cosine('e.embedding', 'q.q_vec')} AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        ORDER BY cos_sim DESC, id LIMIT 10""",
+)
+def q46(spark, sf):
+    emb = t(spark, sf, "embeddings")
+    return ann_topk_bruteforce(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 0), k=10
+    )
+
+
+# --------------------------------------------------------------- text analysis
+
+
+@register(
+    "q47_token_count",
+    "text: token counting (whitespace + BPE-ish regex)",
+    f"""SELECT doc_id,
+               CAST(len({SQL_TOKENS.format(c='text')}) AS INT) AS n_tokens,
+               CAST(len(list_distinct({SQL_TOKENS.format(c='text')})) AS INT) AS n_uniq_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_pieces,
+               CAST(length(text) AS INT) AS n_chars_computed
+        FROM documents""",
+)
+def q47(spark, sf):
+    toks = tokens(F.col("text"))
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+            )
+        ).alias("n_bpe_pieces"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def _q48_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    stop_en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH d AS (SELECT doc_id, text, {toks} AS w FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_q,
+       (CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE)) AS punct_ratio,
+       (CAST(len(list_intersect(list_distinct(w), [{stop_en}])) AS DOUBLE)
+          / CAST(len(list_distinct(w)) AS DOUBLE)) AS stopword_ratio,
+       (CAST(list_reduce(list_prepend(0, list_transform(w, x -> length(x))), (a, b) -> a + b) AS DOUBLE)
+          / CAST(len(w) AS DOUBLE)) AS avg_token_len
+FROM d
+"""
+
+
+@register(
+    "q48_quality_score",
+    "text: quality signals (length / punctuation / stopword ratios)",
+    _q48_oracle(),
+)
+def q48(spark, sf):
+    toks = tokens(F.col("text"))
+    distinct = F.array_distinct(toks)
+    stop_en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+    )
+    n_chars = F.length("text")
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        n_chars.alias("n_chars_q"),
+        (
+            (n_chars - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))).cast(
+                "double"
+            )
+            / n_chars.cast("double")
+        ).alias("punct_ratio"),
+        (
+            F.size(F.array_intersect(distinct, stop_en)).cast("double")
+            / F.size(distinct).cast("double")
+        ).alias("stopword_ratio"),
+        (tok_len_sum.cast("double") / F.size(toks).cast("double")).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+def _q49_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    langs = sorted(STOPWORDS)
+    score_exprs = ", ".join(
+        "CAST(len(list_intersect(dw, [{}])) AS INT) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in STOPWORDS[lang]), lang
+        )
+        for lang in langs
+    )
+    # argmax with alphabetical tie-break (mirrors functions/text.py).
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = [f"score_{other}" for other in langs[i + 1 :]]
+        guard = f"score_{lang} > 0"
+        if rest:
+            greatest = rest[0] if len(rest) == 1 else f"greatest({', '.join(rest)})"
+            guard += f" AND score_{lang} >= {greatest}"
+        cases.append(f"WHEN {guard} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+WITH d AS (SELECT doc_id, list_distinct({toks}) AS dw FROM documents),
+s AS (SELECT doc_id, {score_exprs} FROM d)
+SELECT doc_id, score_de, score_en, score_es, score_fr, {case_sql} AS pred_lang FROM s
+"""
+
+
+@register(
+    "q49_lang_id",
+    "text: stopword-overlap language heuristic with argmax",
+    _q49_oracle(),
+)
+def q49(spark, sf):
+    return t(spark, sf, "documents").select("doc_id", *langid_struct(tokens(F.col("text"))))
+
+
+@register(
+    "q50_fingerprint",
+    "text: document fingerprint (md5 of normalized text + rolling hash)",
+    """WITH n AS (SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text), '[^\\x20-\\x7e]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+         FROM documents)
+       SELECT doc_id, md5(norm) AS fp_md5,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(norm) + 1), i -> CAST(unicode(substr(norm, i, 1)) AS BIGINT))),
+                (a, c) -> (a * 31 + c) % 1000000007) AS fp_rolling
+       FROM n""",
+)
+def q50(spark, sf):
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", normalized_text("text").alias("norm"))
+        .select(
+            "doc_id",
+            F.md5("norm").alias("fp_md5"),
+            rolling_hash_expr("norm").alias("fp_rolling"),
+        )
+    )
+
+
+# --------------------------------------------------------------- events family
+
+
+@register(
+    "q51_json_extract",
+    "B1 semi-structured access: JSON path extraction + agg",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+              MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+              MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+       FROM events GROUP BY event_type""",
+)
+def q51(spark, sf):
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+@register(
+    "q52_sessionize",
+    "time-series: gap-based sessionization (batch twin of session_window)",
+    """WITH o AS (
+         SELECT user_id, epoch(CAST(ts AS TIMESTAMP)) AS sec, event_id FROM events),
+       f AS (
+         SELECT user_id,
+                CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800.0
+                     THEN 1 ELSE 0 END AS boundary
+         FROM o WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+       SELECT user_id, CAST(SUM(boundary) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+       FROM f GROUP BY user_id""",
+)
+def q52(spark, sf):
+    sess = sessionize(t(spark, sf, "events"), "user_id", "ts", "event_id", 1800.0)
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q53_asof_join",
+    "time-series: as-of join (latest order at or before each event)",
+    """SELECT event_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate FROM (
+         SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                row_number() OVER (PARTITION BY e.event_id
+                                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+         FROM events e JOIN orders o
+           ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+       WHERE rn = 1""",
+)
+def q53(spark, sf):
+    ev = t(spark, sf, "events")
+    o = t(spark, sf, "orders")
+    joined = asof_join_latest(
+        ev,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_tiebreak="o_orderkey",
+        left_id="event_id",
+    )
+    return joined.select(
+        "event_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_orderdate").alias("asof_orderdate"),
+    )
+
+
+@register(
+    "q54_multimodal_meta",
+    "multimodal: opaque binary column + typed metadata (sniff/size)",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              hex(encode(substr(text, 1, 4))) AS magic_hex,
+              CASE WHEN substr(text, 1, 4) = 'the ' THEN 'type_a'
+                   WHEN substr(text, 1, 1) IN ('a', 'b', 'c') THEN 'type_b'
+                   ELSE 'other' END AS sniffed_type
+       FROM documents""",
+)
+def q54(spark, sf):
+    # Binary plumbing: encode → BinaryType column; magic-byte sniff on the
+    # leading bytes (the real decoder stubs live in operators/multimodal.py).
+    d = t(spark, sf, "documents").withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+    return d.select(
+        "doc_id",
+        F.octet_length(F.col("payload")).cast("long").alias("n_bytes"),
+        F.hex(F.encode(F.substring(F.col("text"), 1, 4), "UTF-8")).alias("magic_hex"),
+        F.when(F.substring("text", 1, 4) == "the ", "type_a")
+        .when(F.substring("text", 1, 1).isin("a", "b", "c"), "type_b")
+        .otherwise("other")
+        .alias("sniffed_type"),
+    )
