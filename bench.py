@@ -1,0 +1,79 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Each query is fully materialized via the no-op sink (measures compute,
+not driver transfer). Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ipes_data_pipeline_spark.queries import REGISTRY, load_all
+from ipes_data_pipeline_spark.session import get_session
+
+#: Headline set: one per heavy operator family (scan, agg, joins, windows,
+#: dedup at three flavors, similarity, text, sessionization, as-of).
+HEADLINE = [
+    "q01_scan_project",
+    "q13_group_count",
+    "q14_tpch_q1",
+    "q23_inner_join_agg",
+    "q24_broadcast_join",
+    "q25_star_join",
+    "q29_drop_duplicates",
+    "q32_window_rownumber",
+    "q33_window_rank_lag_running",
+    "q39_fuzzy_dedup",
+    "q40_tumbling_window_batch",
+    "q41_dedup_exact",
+    "q42_dedup_minhash_lsh",
+    "q43_dedup_simhash",
+    "q45_embedding_neardup_lsh",
+    "q46_ann_topk",
+    "q48_quality_score",
+    "q50_fingerprint",
+    "q52_sessionize",
+    "q53_asof_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    load_all()
+    spark = get_session("ipes-bench")
+
+    # Warm up the JVM + parquet footer caches outside the timed region.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

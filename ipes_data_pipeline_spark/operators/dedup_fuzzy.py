@@ -44,7 +44,13 @@ def candidate_pairs(
         F.col(name_col).alias("name"),
         block_expr.alias("blk"),
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    # Round-robin the probe side: under a broadcast-hash join the probe
+    # inherits the scan's partitioning (often 1 file = 1 task), which
+    # serializes the whole O(Σb²) levenshtein work. With a shuffled probe
+    # side every core gets a slice regardless of block skew.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = keyed.repartition(n_parts).alias("a")
+    b = keyed.alias("b")
     half = (
         a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.node") < F.col("b.node")])
         .where(F.levenshtein(F.col("a.name"), F.col("b.name")) <= max_edits)
@@ -68,9 +74,14 @@ def min_label_components(
     unroll a fixed count; library callers can pass ``checkpoint=True`` to
     truncate lineage each round (mandatory on deep graphs at scale).
     """
+    # Materialize the edge set once — it is referenced in every round, and
+    # lazy persist() does not reliably prevent the (expensive) similarity
+    # join from re-executing inside the multi-round DAG; an eager local
+    # checkpoint does, and also truncates lineage. (On a multi-node
+    # cluster prefer reliable checkpointing for fault tolerance.)
     e_self = edges.unionAll(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = nodes.select("node", F.col("node").alias("lab"))
     for _ in range(iterations):
         labels = (

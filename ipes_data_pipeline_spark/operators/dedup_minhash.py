@@ -29,10 +29,18 @@ def minhash_bands(
     band_size: int = 2,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, band_idx, band_key) — one row per LSH band per document."""
-    sh = shingles(tokens(F.col(text_col)), shingle_n)
-    sigs = [minhash(sh, seed).alias(f"mh{seed}") for seed in range(n_hashes)]
-    with_sig = df.select(F.col(id_col).alias("id"), *sigs)
+    """(id, band_idx, band_key) — one row per LSH band per document.
+
+    Tokens → shingles → signatures are *staged projections* so each array
+    is computed once per row; inlining them into the 8 signature
+    expressions would re-tokenize/re-shingle per hash seed (Catalyst's
+    CollapseProject keeps expensive aliases in their own stage, making
+    this the cheap way to share work).
+    """
+    toks_df = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    sh_df = toks_df.select("id", shingles(F.col("toks"), shingle_n).alias("sh"))
+    sigs = [minhash(F.col("sh"), seed).alias(f"mh{seed}") for seed in range(n_hashes)]
+    with_sig = sh_df.select("id", *sigs)
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -82,10 +90,17 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_bits: int = 32
 ) -> DataFrame:
-    """(id, simhash) — bit-string signature per document."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        simhash_bits(tokens(F.col(text_col)), n_bits).alias("simhash"),
+    """(id, simhash) — bit-string signature per document.
+
+    Tokens are materialized in their own projection; the 32 per-bit
+    aggregates then reference the array attribute (cheap) instead of
+    re-tokenizing 32×.
+    """
+    toks_df = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    return toks_df.select(
+        "id", simhash_bits(F.col("toks"), n_bits).alias("simhash")
     )
 
 
