@@ -1,0 +1,151 @@
+"""Silver: relevance filter → normalize → fuzzy dedup → star schema.
+
+Re-expresses the reference's ``structure_data()`` megafunction
+(``code/structure_data.py:125-311``) as composable DataFrame stages.
+Divergences by design (SURVEY §2.3): order-independent canonical ids
+(component min), real arrays instead of `"; "` strings, and the intended
+(not dead) latest-filing sort.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ipes_data_pipeline_spark.operators.classify import (
+    entity_type,
+    is_applicant_filing,
+    is_excluded_entity,
+)
+from ipes_data_pipeline_spark.operators.dedup_fuzzy import dedupe_fuzzy
+from ipes_data_pipeline_spark.operators.normalize import (
+    deterministic_key,
+    normalize_name,
+)
+
+#: Relevance predicate terms (reference structure_data.py:136-146).
+RELEVANCE_TERMS = ("voip", "52.15")
+RELEVANCE_DOCKET = "inbox-52.15"
+
+
+def filter_relevant(flat: DataFrame) -> DataFrame:
+    """C1 OR-of-contains relevance filter + C7 blank-name guard."""
+    desc = F.lower(F.col("proceeding_description"))
+    dockets_lower = F.transform(F.col("docket_numbers"), lambda d: F.lower(d))
+    relevant = (
+        desc.contains(RELEVANCE_TERMS[0])
+        | desc.contains(RELEVANCE_TERMS[1])
+        | F.array_contains(dockets_lower, RELEVANCE_DOCKET)
+    )
+    return flat.filter(relevant & (F.length(F.trim(F.col("company_name"))) > 0))
+
+
+def exclude_institutions(df: DataFrame, name_col: str = "company_name") -> DataFrame:
+    """C2 regex anti-filter for bureaus/agencies."""
+    return df.filter(~is_excluded_entity(name_col))
+
+
+def with_normalized_names(df: DataFrame) -> DataFrame:
+    return df.withColumn("normalized_name", normalize_name("company_name"))
+
+
+def with_canonical_names(df: DataFrame, max_edits: int = 2) -> DataFrame:
+    """F4 fuzzy dedup: canonical_name per connected component of
+    near-duplicate normalized names (first-token blocking)."""
+    names = df.select("normalized_name").distinct()
+    mapping = dedupe_fuzzy(
+        names.withColumn("name_id", F.col("normalized_name")),
+        id_col="name_id",
+        name_col="normalized_name",
+        max_edits=max_edits,
+    ).select(
+        F.col("name_id").alias("normalized_name"),
+        F.col("canonical_id").alias("canonical_name"),
+    )
+    # mapping is one row per distinct name — broadcastable in the silver
+    # flow (distinct entity names ≪ filings).
+    return df.join(F.broadcast(mapping), "normalized_name", "left").withColumn(
+        "canonical_name", F.coalesce("canonical_name", "normalized_name")
+    )
+
+
+@dataclass
+class StarSchema:
+    companies: DataFrame
+    filings: DataFrame
+    companies_nested: DataFrame
+
+
+def build_star(filings_flat: DataFrame) -> StarSchema:
+    """Group filings per canonical entity → company dim + filing fact.
+
+    One shuffle on ``canonical_name`` produces every per-entity aggregate
+    (count, representative name via max_by-on-length, latest date,
+    boolean ANY applicant flag, nested filing list) in a single pass —
+    the reference does five Python loops over the same groups.
+    """
+    per_entity = filings_flat.groupBy("canonical_name").agg(
+        F.max_by("company_name", F.length("company_name")).alias("entity_name"),
+        F.count(F.lit(1)).cast("int").alias("filing_count"),
+        F.max("date_received").alias("latest_filing_date"),
+        F.max(F.when(is_applicant_filing("submission_type"), 1).otherwise(0)).alias(
+            "_has_application"
+        ),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "date_received",
+                    F.col("submission_id").alias("filing_id"),
+                    "submission_type",
+                    "filing_status",
+                    "docket_numbers",
+                    "document_urls",
+                )
+            )
+        ).alias("_filings_asc"),
+    )
+    # Final applicant gate (C5): company emitted only if it has an
+    # application-type filing and is not an individual.
+    gated = (
+        per_entity.withColumn("entity_type", entity_type("canonical_name"))
+        .filter((F.col("_has_application") == 1) & (F.col("entity_type") == "Company"))
+        .withColumn("id", deterministic_key("canonical_name"))
+    )
+    companies = gated.select(
+        "id",
+        "entity_name",
+        F.col("canonical_name").alias("normalized_name"),
+        "entity_type",
+        "filing_count",
+        "latest_filing_date",
+    ).orderBy(F.desc("latest_filing_date"), "id")  # intended semantics of the
+    # reference's dead sort (structure_data.py:274-278, SURVEY §2.3.1)
+
+    companies_nested = gated.select(
+        "id",
+        "entity_name",
+        F.col("canonical_name").alias("normalized_name"),
+        "filing_count",
+        F.reverse(F.col("_filings_asc")).alias("filings"),  # desc by date
+    )
+
+    filings = companies_nested.select(
+        F.col("id").alias("company_id"), F.explode("filings").alias("f")
+    ).select(
+        "company_id",
+        F.col("f.filing_id").alias("filing_id"),
+        F.col("f.date_received").alias("date_received"),
+        F.array_join(F.col("f.docket_numbers"), "; ").alias("docket_number"),
+        F.col("f.submission_type").alias("submission_type"),
+        F.col("f.filing_status").alias("status"),
+        F.element_at(F.col("f.document_urls"), 1).alias("primary_doc_url"),
+    )
+    return StarSchema(companies, filings, companies_nested)
+
+
+def structure(flat: DataFrame, max_edits: int = 2) -> StarSchema:
+    """Full silver stage: filter → normalize → dedup → star."""
+    relevant = with_normalized_names(exclude_institutions(filter_relevant(flat)))
+    return build_star(with_canonical_names(relevant, max_edits))
