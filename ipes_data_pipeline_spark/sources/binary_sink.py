@@ -1,0 +1,147 @@
+"""Resilient binary document sink (reference ``code/download_pdfs_robust.py``).
+
+Reference behavior re-expressed for a cluster:
+
+- per-run browser/session setup (``establish_session``, :227-241)
+  → a per-partition open hook inside ``foreachPartition`` (one session
+  per task, not per row, and never on the driver);
+- magic-byte content sniffing ``%PDF`` / ``PK`` / OLE2 → .pdf/.docx/.doc
+  (:112-121, :203-214) → a pure function applied to fetched bytes;
+- URL rewrite ``/document/`` → ``/documents/`` (:150-157) → column op;
+- resume = "skip existing ≥1000-byte files" (:268) → a *manifest table*
+  anti-join: completed (url, size, sha) rows live in Parquet, the next
+  run's work queue is ``queue ⟂ manifest`` — no filesystem listing, no
+  driver loop, idempotent across retries;
+- politeness delay (:38-39) → per-partition token bucket.
+
+The fetch transport is pluggable; tests use a deterministic in-memory
+fake. The sink writes files to a target directory (executor-local or a
+shared filesystem in production) and RETURNS the new manifest rows so
+the caller appends them to the manifest table — the same
+cache-table-append pattern as enrichment.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ipes_data_pipeline_spark.operators.enrich import TokenBucket
+
+#: transport(url) -> bytes; raise for fetch failure
+FetchFn = Callable[[str], bytes]
+
+MIN_VALID_BYTES = 1000  # reference download_pdfs_robust.py:268
+
+MANIFEST_SCHEMA_DDL = (
+    "url string, path string, n_bytes long, content_type string, ok boolean"
+)
+
+
+def sniff_extension(payload: bytes) -> str:
+    """Magic-byte type sniff (reference download_pdfs_robust.py:112-121):
+    %PDF → pdf, PK zip → docx, OLE2 compound doc → doc, else bin."""
+    if payload[:4] == b"%PDF":
+        return "pdf"
+    if payload[:2] == b"PK":
+        return "docx"
+    if payload[:4] == b"\xd0\xcf\x11\xe0":
+        return "doc"
+    return "bin"
+
+
+def rewrite_doc_url(col) -> Column:
+    """``/document/`` → ``/documents/`` (reference :150-157)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"/document/", "/documents/")
+
+
+def pending_work(queue: DataFrame, manifest: DataFrame) -> DataFrame:
+    """A9 resume: drop queue rows whose url already has a successful,
+    ≥MIN_VALID_BYTES manifest entry (left-anti join — distributed skip,
+    no filesystem stat calls)."""
+    done = manifest.filter(
+        F.col("ok") & (F.col("n_bytes") >= MIN_VALID_BYTES)
+    ).select("url")
+    return queue.join(done, "url", "left_anti")
+
+
+def download_documents(
+    queue: DataFrame,
+    out_dir: str,
+    fetch: FetchFn,
+    manifest: DataFrame | None = None,
+    requests_per_second: float = 0.0,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Fetch every queued (url, file_stem) to ``out_dir``; returns new
+    manifest rows (url, path, n_bytes, content_type, ok).
+
+    Queue needs columns ``url`` and ``file_stem`` (pre-sanitized name,
+    e.g. ``{company}_{doc_id}`` — reference :82-91). Failures produce
+    ``ok=false`` rows instead of aborting the job, so one bad document
+    can't fail a 100 TB backfill; retries re-enqueue via the manifest.
+    """
+    work = queue.select(rewrite_doc_url("url").alias("url"), "file_stem")
+    if manifest is not None:
+        work = pending_work(work, manifest)
+    work = work.dropDuplicates(["url"])
+    if n_partitions:
+        work = work.repartition(n_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # partition-open hook: session/bucket built once per task
+        bucket = (
+            TokenBucket(requests_per_second) if requests_per_second > 0 else None
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                if bucket:
+                    bucket.acquire()
+                try:
+                    payload = fetch(row.url)
+                    ext = sniff_extension(payload)
+                    path = os.path.join(out_dir, f"{row.file_stem}.{ext}")
+                    tmp = f"{path}.tmp-{os.getpid()}-{int(time.time() * 1e6)}"
+                    with open(tmp, "wb") as f:
+                        f.write(payload)
+                    os.replace(tmp, path)  # atomic: no torn files on retry
+                    rows.append(
+                        {
+                            "url": row.url,
+                            "path": path,
+                            "n_bytes": len(payload),
+                            "content_type": ext,
+                            "ok": len(payload) >= MIN_VALID_BYTES,
+                        }
+                    )
+                except Exception as e:  # failure row, not job abort
+                    rows.append(
+                        {
+                            "url": row.url,
+                            "path": None,
+                            "n_bytes": 0,
+                            "content_type": f"error:{type(e).__name__}",
+                            "ok": False,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "path", "n_bytes", "content_type", "ok"]
+            )
+
+    return work.mapInPandas(run, schema=MANIFEST_SCHEMA_DDL)
+
+
+def read_documents(spark, doc_dir: str) -> DataFrame:
+    """Read side of the store: Spark's binaryFile source (path, length,
+    modificationTime, content) — the scan a downstream multimodal
+    pipeline starts from."""
+    return spark.read.format("binaryFile").load(doc_dir)

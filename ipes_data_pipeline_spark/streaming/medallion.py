@@ -1,0 +1,115 @@
+"""Incremental medallion: file-source streaming bronze→silver→gold.
+
+Reference analog: ``run_pipeline.py`` re-runs stages over materialized
+files with ``--skip-*`` flags (I2) and a 10-second poll-loop scheduler
+(I3). Structured Streaming replaces both:
+
+- **replay / catch-up** = ``Trigger.AvailableNow`` over a file source:
+  processes everything not yet in the checkpoint, then stops — the
+  exactly-once version of "re-run the stage on what changed";
+- **scheduler** = ``trigger(processingTime=...)`` on the same query;
+- **enrichment cache across batches** = ``foreachBatch`` that (1) joins
+  the micro-batch against the cache Parquet, (2) calls the backend only
+  for misses, (3) appends the new cache rows — the streaming form of
+  the batch cache-append contract (operators/enrich.py).
+
+Each layer is restartable from its own checkpoint, so a 100 TB backfill
+interrupted at bronze→silver resumes without reprocessing bronze.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ipes_data_pipeline_spark.pipeline.bronze import flatten_filings
+from ipes_data_pipeline_spark.pipeline.gold import build_gold
+from ipes_data_pipeline_spark.pipeline.silver import structure
+from ipes_data_pipeline_spark.schemas import ENRICHMENT_CACHE, RAW_FILING_NESTED
+
+
+def stream_bronze(
+    spark: SparkSession,
+    raw_dir: str,
+    bronze_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Raw JSON landing dir → typed flat bronze Parquet, exactly-once.
+
+    Explicit schema (never inferred — schema inference would scan 100 TB
+    twice and silently widen types between runs).
+    """
+    raw = (
+        spark.readStream.schema(RAW_FILING_NESTED)
+        .option("maxFilesPerTrigger", 1024)
+        .json(raw_dir)
+    )
+    flat = flatten_filings(raw)
+    writer = (
+        flat.writeStream.format("parquet")
+        .option("path", bronze_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_silver_refresh(spark: SparkSession, bronze_dir: str, silver_dir: str) -> None:
+    """Recompute silver from the full bronze table (idempotent overwrite).
+
+    Silver's star build is a *global* grouped computation (canonical
+    entities span micro-batches: a new filing can merge two existing
+    entities), so each refresh recomputes the star from the full bronze
+    table — correct, idempotent, and the same semantics as the
+    reference, which rebuilds silver every run. Called after a bronze
+    catch-up or from a scheduler tick."""
+    flat = spark.read.parquet(bronze_dir)
+    star = structure(flat)
+    star.companies.write.mode("overwrite").parquet(
+        os.path.join(silver_dir, "companies")
+    )
+    star.filings.write.mode("overwrite").parquet(os.path.join(silver_dir, "filings"))
+
+
+def stream_gold_enrichment(
+    spark: SparkSession,
+    companies_stream: DataFrame,
+    filings: DataFrame,
+    cache_dir: str,
+    gold_dir: str,
+    checkpoint_dir: str,
+    backend: Callable | None = None,
+    available_now: bool = True,
+):
+    """Streaming enrichment with a cross-batch memoization cache.
+
+    foreachBatch gives exactly-once *effects* per micro-batch: read the
+    cache table, enrich only misses, append new cache rows, upsert gold.
+    The cache read happens inside the batch fn so batch N+1 sees batch
+    N's appends (a stream-static join would snapshot the cache at query
+    start and never observe growth).
+    """
+
+    def enrich_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        try:
+            cache = s.read.schema(ENRICHMENT_CACHE).parquet(cache_dir)
+        except Exception:
+            cache = s.createDataFrame([], ENRICHMENT_CACHE)
+        out = build_gold(batch_df, filings, cache, backend=backend)
+        out.new_cache_rows.coalesce(1).write.mode("append").parquet(cache_dir)
+        out.enriched.write.mode("append").parquet(gold_dir)
+
+    writer = (
+        companies_stream.writeStream.foreachBatch(enrich_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
