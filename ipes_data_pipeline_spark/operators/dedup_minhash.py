@@ -19,6 +19,7 @@ from ipes_data_pipeline_spark.functions.text import (
     simhash_bits,
     tokens,
 )
+from ipes_data_pipeline_spark.operators.util import spread
 
 
 def minhash_bands(
@@ -37,7 +38,9 @@ def minhash_bands(
     CollapseProject keeps expensive aliases in their own stage, making
     this the cheap way to share work).
     """
-    toks_df = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    toks_df = spread(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
     sh_df = toks_df.select("id", shingles(F.col("toks"), shingle_n).alias("sh"))
     sigs = [minhash(F.col("sh"), seed).alias(f"mh{seed}") for seed in range(n_hashes)]
     with_sig = sh_df.select("id", *sigs)
@@ -96,7 +99,7 @@ def simhash_signatures(
     aggregates then reference the array attribute (cheap) instead of
     re-tokenizing 32×.
     """
-    toks_df = df.select(
+    toks_df = spread(df).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
     return toks_df.select(
