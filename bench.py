@@ -54,12 +54,23 @@ def main() -> None:
     # Warm up the JVM + parquet footer caches outside the timed region.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
         t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        df = spec.spark(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Release checkpoint/persist blocks before the next query: the
+        # ContextCleaner only frees them after the Python refs drop AND a
+        # JVM GC runs; stale blocks from a heavy query (fuzzy-dedup edge
+        # sets) otherwise squeeze the next query's execution memory.
+        del df
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.3)
 
     total = round(sum(timings.values()), 3)
     print(

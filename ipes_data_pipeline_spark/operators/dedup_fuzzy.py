@@ -82,8 +82,12 @@ def min_label_components(
     e_self = edges.unionAll(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
     ).localCheckpoint(eager=True)
-    labels = nodes.select("node", F.col("node").alias("lab"))
-    for _ in range(iterations):
+    # Round 1 fused: the initial label of a node IS the node, so the first
+    # propagation is plain groupBy(src).min(dst) — one shuffle, no join.
+    labels = e_self.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("lab")
+    )
+    for _ in range(iterations - 1):
         labels = (
             e_self.join(labels, e_self.dst == labels.node)
             .groupBy(e_self.src.alias("node"))

@@ -74,7 +74,13 @@ def minhash_lsh_pairs(
     The band join shuffles on (band_idx, band_key) — bucket-local work
     only. Callers typically refine with exact Jaccard on the candidates.
     """
-    bands = minhash_bands(df, id_col, text_col, n_hashes, band_size, shingle_n)
+    # Eager checkpoint: `bands` sits on BOTH sides of the self-join, and
+    # without materialization the md5-heavy signature pipeline executes
+    # twice (once per alias). The band table is tiny (n_docs × n_bands
+    # short rows) — always worth pinning.
+    bands = minhash_bands(
+        df, id_col, text_col, n_hashes, band_size, shingle_n
+    ).localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -119,7 +125,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         distinct_tokens(F.col(text_col)).alias("toks"),
         *block_cols,
-    )
+    ).localCheckpoint(eager=True)  # both sides of the self-join
     a, b = keyed.alias("a"), keyed.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
         F.col("a.id") < F.col("b.id")

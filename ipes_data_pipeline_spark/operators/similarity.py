@@ -37,11 +37,13 @@ def cosine_topk_pairs_lsh(
     k: int = 50,
 ) -> DataFrame:
     """Top-k most-similar pairs among sign-LSH bucket candidates."""
+    # materialize: referenced on both sides of the self-join (avoids
+    # recomputing the scan + bucket per alias)
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         sign_bucket(F.col(vec_col), dims).alias("bkt"),
-    )
+    ).localCheckpoint(eager=True)
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = a.join(
         b, on=[F.col("a.bkt") == F.col("b.bkt"), F.col("a.id") < F.col("b.id")]

