@@ -1,0 +1,135 @@
+"""Batch pipeline driver: bronze → silver → gold in one SparkSession
+(reference ``run_pipeline.py:47-89`` — four subprocesses with file
+handoff; here stages are lazy DataFrame transforms with Parquet layer
+boundaries and lineage instead of files-as-IR).
+
+Parity notes:
+
+- stage skipping (``--skip-fetch`` etc., run_pipeline.py:59-66) →
+  ``skip_bronze``/``skip_gold`` flags reuse the materialized layer;
+- run telemetry (run_pipeline.py:107-144) → one appended Parquet row
+  with REAL per-stage durations (the reference's ``step_metrics`` is
+  always empty — SURVEY §2.3.2) + the validation report;
+- fail-fast with a failure record (run_pipeline.py:158-166) → the
+  except branch records status="failed" before re-raising.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ipes_data_pipeline_spark.operators.validate import (
+    company_constraints,
+    validate,
+    validation_report,
+)
+from ipes_data_pipeline_spark.pipeline.bronze import flatten_filings
+from ipes_data_pipeline_spark.pipeline.gold import build_gold
+from ipes_data_pipeline_spark.pipeline.silver import structure
+from ipes_data_pipeline_spark.schemas import ENRICHMENT_CACHE, RAW_FILING_NESTED
+from ipes_data_pipeline_spark.sources.metrics import record_run
+
+
+@dataclass
+class PipelineResult:
+    companies: DataFrame
+    filings: DataFrame
+    gold: DataFrame
+    report: dict
+    step_durations: dict[str, float] = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    raw_dir: str,
+    out_root: str,
+    backend: Callable | None = None,
+    skip_bronze: bool = False,
+    skip_gold: bool = False,
+    stats: bool = True,
+) -> PipelineResult:
+    """Execute the medallion pipeline over a raw-JSON landing dir.
+
+    Layers land under ``out_root``: bronze/, silver/{companies,filings},
+    gold/, enrichment_cache/, monitoring/.
+    """
+    paths = {
+        k: os.path.join(out_root, k)
+        for k in ("bronze", "silver", "gold", "enrichment_cache", "monitoring")
+    }
+    steps: dict[str, float] = {}
+    t_run = time.perf_counter()
+
+    def timed(name: str):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *exc):
+                steps[name] = round(time.perf_counter() - self.t0, 3)
+
+        return _T()
+
+    try:
+        if not skip_bronze:
+            with timed("bronze"):
+                raw = spark.read.schema(RAW_FILING_NESTED).json(raw_dir)
+                flatten_filings(raw).write.mode("overwrite").parquet(paths["bronze"])
+
+        with timed("silver"):
+            flat = spark.read.parquet(paths["bronze"])
+            star = structure(flat)
+            checked = validate(star.companies, company_constraints())
+            checked.valid.write.mode("overwrite").parquet(
+                os.path.join(paths["silver"], "companies")
+            )
+            star.filings.write.mode("overwrite").parquet(
+                os.path.join(paths["silver"], "filings")
+            )
+            report = validation_report(checked)
+
+        companies = spark.read.parquet(os.path.join(paths["silver"], "companies"))
+        filings = spark.read.parquet(os.path.join(paths["silver"], "filings"))
+
+        if not skip_gold:
+            with timed("gold"):
+                try:
+                    cache = spark.read.schema(ENRICHMENT_CACHE).parquet(
+                        paths["enrichment_cache"]
+                    )
+                    cache.head(1)
+                except Exception:
+                    cache = spark.createDataFrame([], ENRICHMENT_CACHE)
+                out = build_gold(companies, filings, cache, backend=backend)
+                out.enriched.write.mode("overwrite").parquet(paths["gold"])
+                out.new_cache_rows.coalesce(1).write.mode("append").parquet(
+                    paths["enrichment_cache"]
+                )
+
+        gold = spark.read.parquet(paths["gold"])
+        if stats:
+            record_run(
+                spark,
+                paths["monitoring"],
+                "success",
+                time.perf_counter() - t_run,
+                steps,
+                report,
+            )
+        return PipelineResult(companies, filings, gold, report, steps)
+    except Exception:
+        if stats:
+            record_run(
+                spark,
+                paths["monitoring"],
+                "failed",
+                time.perf_counter() - t_run,
+                steps,
+                None,
+            )
+        raise

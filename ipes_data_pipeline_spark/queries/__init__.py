@@ -119,7 +119,11 @@ def sql_davg(expr: str) -> str:
 
 def load_all() -> None:
     """Import all query modules so REGISTRY is fully populated."""
-    from ipes_data_pipeline_spark.queries import dataops, relational  # noqa: F401
+    from ipes_data_pipeline_spark.queries import (  # noqa: F401
+        dataops,
+        relational,
+        windows_batch,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
