@@ -1,1 +1,6 @@
-from ipes_data_pipeline_spark.sources import binary_sink, metrics, rest  # noqa: F401
+from ipes_data_pipeline_spark.sources import (  # noqa: F401
+    binary_sink,
+    io,
+    metrics,
+    rest,
+)

@@ -1,0 +1,60 @@
+"""Typed CSV/JSON layer I/O (reference A4–A6: ``json.dump``/``csv.DictWriter``
+at ``code/fetch.py:310-325``, ``code/structure_data.py:333-378``,
+``pd.read_csv`` at ``dashboard/pages/3_📈_Data_Insights.py:21-22``).
+
+Rules carried over from the reference's data (SURVEY §2.3.6):
+
+- CSV values contain quoted embedded newlines (a literal
+  ``"ERRATA\\n ERRATUM OR ADDENDUM"`` submission type) → reads use
+  ``multiLine`` + explicit quoting, never naive line splitting;
+- schemas are ALWAYS explicit on read (inference costs a second scan
+  and silently widens types between runs);
+- internal layers are Parquet; CSV/JSON exist only at the edges
+  (export for the reference's consumers, ingest of its bronze files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Quote-correct, schema-enforced CSV read (multiline values OK)."""
+    return (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')  # RFC-4180 doubled quotes
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Header CSV with RFC-4180 quoting (embedded newlines/commas stay
+    quoted — parity with the reference's csv.DictWriter output).
+
+    ``single_file`` coalesces to one part file for small exports; leave
+    False at scale (one file per partition, written in parallel).
+    """
+    out = df.coalesce(1) if single_file else df
+    (
+        out.write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("quoteAll", False)
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema-enforced JSON-lines read; records not matching the schema
+    surface as nulls (permissive mode), never abort the scan."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)

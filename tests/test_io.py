@@ -1,0 +1,59 @@
+"""CSV/JSON edge I/O: multiline quoted values round-trip (SURVEY §2.3.6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from ipes_data_pipeline_spark.sources.io import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("filing_id", T.StringType(), False),
+        T.StructField("submission_type", T.StringType(), True),
+        T.StructField("n", T.IntegerType(), True),
+    ]
+)
+
+ROWS = [
+    ("f1", "ERRATA\n ERRATUM OR ADDENDUM", 1),  # embedded newline
+    ("f2", 'quoted "inner" text', 2),  # embedded quotes
+    ("f3", "a, b; c", 3),  # embedded comma
+    ("f4", None, None),  # nulls
+]
+
+
+def test_csv_multiline_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "csv")
+    write_csv(df, path, single_file=True)
+    back = read_csv(spark, path, SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_json_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "json")
+    write_json(df, path)
+    back = read_json(spark, path, SCHEMA)
+    assert sorted(
+        map(tuple, back.collect())
+    ) == sorted(map(tuple, df.collect()))
+
+
+def test_json_schema_mismatch_is_permissive(spark, tmp_path):
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "x.jsonl").write_text(
+        '{"filing_id": "ok", "submission_type": "T", "n": 5}\n'
+        '{"filing_id": "bad-n", "submission_type": "T", "n": "not-an-int"}\n'
+    )
+    back = read_json(spark, str(p), SCHEMA)
+    rows = {r["filing_id"]: r for r in back.collect() if r["filing_id"]}
+    assert rows["ok"]["n"] == 5
+    # malformed field nulls out; the scan does not abort
+    assert back.count() == 2
