@@ -1,1 +1,6 @@
-from ipes_data_pipeline_spark.streaming import medallion, windows  # noqa: F401
+from ipes_data_pipeline_spark.streaming import (  # noqa: F401
+    medallion,
+    scheduler,
+    stateful,
+    windows,
+)

@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis, seeded/deterministic profile):
+
+- name normalization is idempotent for arbitrary printable names;
+- fuzzy-dedup canonical assignment is invariant under row order;
+- nest→unnest round-trips the filing set exactly (Q35 semantics).
+
+Batched: hypothesis generates the corpus driver-side, ONE Spark job per
+property checks all examples at once (per-example Spark jobs would take
+minutes)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from ipes_data_pipeline_spark.operators.dedup_fuzzy import dedupe_fuzzy
+from ipes_data_pipeline_spark.operators.normalize import normalize_name
+
+#: printable-ish company-name alphabet incl. the characters the
+#: normalizer manipulates (punctuation, suffixes, whitespace runs)
+NAME_ALPHABET = st.sampled_from(
+    list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+    + list(" .,&-/()'\"")
+)
+NAMES = st.lists(
+    st.text(NAME_ALPHABET, min_size=0, max_size=40), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(NAMES)
+def test_normalize_idempotent(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], "raw string")
+    out = df.select(
+        normalize_name("raw").alias("n1")
+    ).select("n1", normalize_name(F.col("n1")).alias("n2"))
+    assert all(r["n1"] == r["n2"] for r in out.collect())
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.permutations(list(range(8))))
+def test_dedup_canonical_order_invariant(spark, perm):
+    base = [
+        (i, n)
+        for i, n in enumerate(
+            ["acme corp", "acme corpx", "acme co", "globex", "globexx",
+             "initech", "initceh", "umbrella"]
+        )
+    ]
+    rows = [base[i] for i in perm]
+    df = spark.createDataFrame(rows, "id int, name string")
+    got = {
+        r["id"]: r["canonical_id"]
+        for r in dedupe_fuzzy(df, "id", "name", max_edits=2, iterations=4).collect()
+    }
+    df0 = spark.createDataFrame(base, "id int, name string")
+    want = {
+        r["id"]: r["canonical_id"]
+        for r in dedupe_fuzzy(df0, "id", "name", max_edits=2, iterations=4).collect()
+    }
+    assert got == want
+
+
+def test_nest_unnest_roundtrip(spark):
+    orders = spark.createDataFrame(
+        [(c, d, k) for c in range(5) for d, k in [(1, 10), (2, 20), (3, 30)]],
+        "custkey int, odate int, okey int",
+    )
+    nested = orders.groupBy("custkey").agg(
+        F.sort_array(F.collect_list(F.struct("odate", "okey"))).alias("os")
+    )
+    back = nested.select("custkey", F.explode("os").alias("o")).select(
+        "custkey", F.col("o.odate").alias("odate"), F.col("o.okey").alias("okey")
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
