@@ -64,6 +64,7 @@ def min_label_components(
     edges: DataFrame,
     iterations: int,
     checkpoint: bool = False,
+    until_converged: bool = False,
 ) -> DataFrame:
     """Connected components by min-label propagation.
 
@@ -73,6 +74,13 @@ def min_label_components(
     must be ≥ the component diameter. For oracle-deterministic queries we
     unroll a fixed count; library callers can pass ``checkpoint=True`` to
     truncate lineage each round (mandatory on deep graphs at scale).
+
+    ``until_converged=True`` makes ``iterations`` an upper bound: after
+    each round a cheap anti-join probes whether any label changed and
+    stops early — correctness then never depends on guessing the
+    component diameter. Each probe is one action over the (small,
+    checkpointed) label table; rounds are forcibly checkpointed in this
+    mode so the probe doesn't re-run the round's join.
     """
     # Materialize the edge set once — it is referenced in every round, and
     # lazy persist() does not reliably prevent the (expensive) similarity
@@ -87,14 +95,29 @@ def min_label_components(
     labels = e_self.groupBy(F.col("src").alias("node")).agg(
         F.min("dst").alias("lab")
     )
+    if until_converged:
+        labels = labels.localCheckpoint(eager=True)
     for _ in range(iterations - 1):
-        labels = (
+        new_labels = (
             e_self.join(labels, e_self.dst == labels.node)
             .groupBy(e_self.src.alias("node"))
             .agg(F.min("lab").alias("lab"))
         )
-        if checkpoint:
-            labels = labels.localCheckpoint(eager=True)
+        if checkpoint or until_converged:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        if until_converged:
+            # fixpoint probe: any node whose label shrank this round?
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.lab") != F.col("o.lab"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
+        labels = new_labels
     return labels.select("node", F.col("lab").alias("canonical_id"))
 
 
@@ -104,14 +127,18 @@ def dedupe_fuzzy(
     name_col: str,
     block_expr: Column | None = None,
     max_edits: int = 2,
-    iterations: int = 6,
+    iterations: int = 8,
     checkpoint: bool = False,
+    until_converged: bool = True,
 ) -> DataFrame:
     """Full blocked fuzzy dedup: returns ``(<id_col>, canonical_id)``.
 
     Default block = first whitespace token of the name (the reference's
     implicit blocking is none at all; first-token blocking is the cheapest
     key that keeps true duplicates together for entity-name data).
+    Library default is converge-with-upper-bound: exact components up to
+    diameter ``iterations``, stopping as soon as the labels fix —
+    entity-name graphs usually settle in 2-3 rounds.
     """
     block = (
         block_expr
@@ -120,5 +147,8 @@ def dedupe_fuzzy(
     )
     nodes = df.select(F.col(id_col).alias("node"))
     edges = candidate_pairs(df, id_col, name_col, block, max_edits)
-    comp = min_label_components(nodes, edges, iterations, checkpoint=checkpoint)
+    comp = min_label_components(
+        nodes, edges, iterations, checkpoint=checkpoint,
+        until_converged=until_converged,
+    )
     return comp.select(F.col("node").alias(id_col), "canonical_id")

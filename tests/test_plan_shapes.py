@@ -1,63 +1,60 @@
 """Physical-plan assertions (SURVEY §5.2 t1): the plans we *want*, not
 just plans that pass — broadcast for dims, pushdown/pruning reaching the
-parquet scan, TakeOrderedAndProject for top-k, codegen in the hot path."""
+parquet scan, TakeOrderedAndProject for top-k, codegen in the hot path.
+Built on the library's own plan inspectors (ipes_data_pipeline_spark.plans)."""
 
 from __future__ import annotations
 
-import pytest
-
+from ipes_data_pipeline_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pruned_columns,
+    assert_pushed_filters,
+    formatted_plan,
+    has_operator,
+)
 from ipes_data_pipeline_spark.queries import REGISTRY, load_all
 
 load_all()
 
 
-def plan(spark, name, sf_dir) -> str:
-    df = REGISTRY[name].spark(spark, sf_dir)
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+def q(spark, name, sf_dir):
+    return REGISTRY[name].spark(spark, sf_dir)
 
 
 def test_dim_join_broadcasts(spark, sf_dir):
     # part is a dim: the join must be broadcast-hash, not sort-merge
-    p = plan(spark, "q24_broadcast_join", sf_dir)
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    assert_broadcast_join(q(spark, "q24_broadcast_join", sf_dir), forbid_smj=True)
 
 
 def test_star_join_broadcasts_small_dims(spark, sf_dir):
     # 6-way star: nation/region/supplier sides must broadcast
-    p = plan(spark, "q25_star_join", sf_dir)
-    assert "BroadcastHashJoin" in p
+    assert_broadcast_join(q(spark, "q25_star_join", sf_dir))
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
-    p = plan(spark, "q03_filter_range", sf_dir)
-    assert "PushedFilters: [" in p
-    # the range predicate lands in the scan, not just a post-filter
-    assert "IsNotNull(l_shipdate)" in p or "GreaterThanOrEqual(l_shipdate" in p
+    assert_pushed_filters(
+        q(spark, "q03_filter_range", sf_dir), "IsNotNull(l_shipdate)"
+    )
 
 
 def test_column_pruning(spark, sf_dir):
-    p = plan(spark, "q01_scan_project", sf_dir)
-    m = [ln for ln in p.splitlines() if "ReadSchema" in ln]
-    assert m, p
-    schema_line = m[0]
-    # only the 3 projected columns are read — a fat read would list more
-    assert "l_orderkey" in schema_line and "l_quantity" in schema_line
-    assert "l_comment" not in schema_line and "l_shipdate" not in schema_line
+    assert_pruned_columns(
+        q(spark, "q01_scan_project", sf_dir),
+        expected=["l_orderkey", "l_quantity"],
+        forbidden=["l_comment", "l_shipdate"],
+    )
 
 
 def test_topk_is_take_ordered(spark, sf_dir):
-    p = plan(spark, "q37_global_topk", sf_dir)
-    assert "TakeOrderedAndProject" in p
+    assert has_operator(q(spark, "q37_global_topk", sf_dir), "TakeOrderedAndProject")
 
 
 def test_agg_partial_before_exchange(spark, sf_dir):
     # map-side combine: partial aggregation must run before the shuffle
     # (codegen markers only appear on the finalized AQE plan, so assert
     # the aggregate shape instead)
-    p = plan(spark, "q14_tpch_q1", sf_dir)
+    p = formatted_plan(q(spark, "q14_tpch_q1", sf_dir))
     assert "HashAggregate" in p
     assert "partial_sum" in p
     # partial agg appears upstream of the final-agg exchange
@@ -65,8 +62,8 @@ def test_agg_partial_before_exchange(spark, sf_dir):
 
 
 def test_semi_anti_join_shapes(spark, sf_dir):
-    assert "LeftSemi" in plan(spark, "q27_semi_join", sf_dir)
-    assert "LeftAnti" in plan(spark, "q28_anti_join", sf_dir)
+    assert "LeftSemi" in formatted_plan(q(spark, "q27_semi_join", sf_dir))
+    assert "LeftAnti" in formatted_plan(q(spark, "q28_anti_join", sf_dir))
 
 
 def test_no_cartesian_products(spark, sf_dir):
@@ -77,5 +74,4 @@ def test_no_cartesian_products(spark, sf_dir):
         "q45_embedding_neardup_lsh",
         "q39_fuzzy_dedup",
     ):
-        p = plan(spark, name, sf_dir)
-        assert "CartesianProduct" not in p, name
+        assert_no_cartesian(q(spark, name, sf_dir))
