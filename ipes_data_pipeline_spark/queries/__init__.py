@@ -121,6 +121,7 @@ def load_all() -> None:
     """Import all query modules so REGISTRY is fully populated."""
     from ipes_data_pipeline_spark.queries import (  # noqa: F401
         dataops,
+        extras,
         relational,
         windows_batch,
     )

@@ -1,0 +1,228 @@
+"""Additional declared operator families: cube/grouping-sets, exact
+percentiles, decimal-exact correlation, string/array function surfaces,
+pivot, and the SQL entry point (correlated subqueries through
+``spark.sql`` — the engine's query language IS Spark SQL, so part of
+the declared surface runs as SQL text, not DataFrame calls).
+
+Determinism rules as in queries/__init__: exact arithmetic through
+decimals where float summation order could differ between engines;
+every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ipes_data_pipeline_spark.queries import register, t
+
+# --------------------------------------------------------------- cube
+
+
+@register(
+    "q58_cube",
+    "E-family: CUBE over two dims (all grouping sets)",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def q58(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------- percentile
+
+
+@register(
+    "q59_percentile_exact",
+    "E-family: exact percentiles (linear interpolation, per group)",
+    """SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.5) AS p50_qty,
+              quantile_cont(l_extendedprice, 0.9) AS p90_price
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q59(spark, sf):
+    # Spark `percentile` = exact linear interpolation ≡ DuckDB
+    # quantile_cont (both sort within the group; no approximation).
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50_qty"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+    )
+
+
+# --------------------------------------------------------------- correlation
+
+
+@register(
+    "q60_corr_decimal",
+    "E-family: Pearson correlation via decimal-exact co-moments",
+    """WITH s AS (
+         SELECT COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+                CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy
+         FROM lineitem)
+       SELECT round((n * sxy - sx * sy) /
+              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+       FROM s""",
+)
+def q60(spark, sf):
+    # corr() itself folds doubles in partition order (engine-dependent).
+    # Determinism here: the per-row double product is IEEE-identical in
+    # both engines, the decimal cast rounds it identically, and the
+    # decimal sum is exact — so the co-moments are bit-stable without
+    # needing (overflow-prone) decimal×decimal multiplication.
+    li = t(spark, sf, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(p.cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((q * p).cast("decimal(28,8)")).cast("double").alias("sxy"),
+        F.sum((q * q).cast("decimal(28,8)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(28,8)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price")
+    )
+
+
+# --------------------------------------------------------------- string surface
+
+
+@register(
+    "q61_string_functions",
+    "D-family: wider string surface (initcap/lpad/translate/reverse/instr)",
+    """SELECT n_nationkey,
+              upper(substr(lower(n_name), 1, 1)) || substr(lower(n_name), 2) AS name_initcap,
+              lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS key_padded,
+              translate(n_name, 'AEIOU', 'aeiou') AS name_translated,
+              reverse(n_name) AS name_reversed,
+              CAST(instr(n_name, 'A') AS INT) AS first_a,
+              repeat('-', 3) || n_name AS name_dashed
+       FROM nation""",
+)
+def q61(spark, sf):
+    # nation names are single tokens, so initcap reduces to first-letter
+    # capitalization in both engines.
+    n = t(spark, sf, "nation")
+    return n.select(
+        "n_nationkey",
+        F.initcap(F.lower("n_name")).alias("name_initcap"),
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("key_padded"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("name_translated"),
+        F.reverse("n_name").alias("name_reversed"),
+        F.instr(F.col("n_name"), "A").cast("int").alias("first_a"),
+        F.concat(F.repeat(F.lit("-"), 3), F.col("n_name")).alias("name_dashed"),
+    )
+
+
+# --------------------------------------------------------------- array surface
+
+
+@register(
+    "q62_array_functions",
+    "B/D-family: array surface (sequence/slice/position/flatten/zip)",
+    """SELECT o_orderkey,
+              range(1, 4) AS seq3,
+              list_slice(string_split(o_orderpriority, '-'), 1, 1) AS prio_head,
+              list_contains(string_split(o_orderpriority, '-'), 'URGENT') AS is_urgent,
+              flatten([[o_orderkey], [o_custkey]]) AS key_pair
+       FROM orders""",
+)
+def q62(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.sequence(F.lit(1), F.lit(3)).alias("seq3"),
+        F.slice(F.split("o_orderpriority", "-"), 1, 1).alias("prio_head"),
+        F.array_contains(F.split("o_orderpriority", "-"), "URGENT").alias(
+            "is_urgent"
+        ),
+        F.flatten(
+            F.array(F.array(F.col("o_orderkey")), F.array(F.col("o_custkey")))
+        ).alias("key_pair"),
+    )
+
+
+# --------------------------------------------------------------- SQL surface
+
+
+@register(
+    "q63_sql_exists_subquery",
+    "SQL entry point: correlated EXISTS subquery (planned as semi join)",
+    """SELECT o_orderkey, o_totalprice
+       FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)""",
+)
+def q63(spark, sf):
+    t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_v o
+        WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        """
+    )
+
+
+@register(
+    "q64_sql_scalar_subquery",
+    "SQL entry point: scalar subquery in projection",
+    """SELECT o_orderpriority,
+              COUNT(*) AS n,
+              (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS total_customers
+       FROM orders GROUP BY o_orderpriority""",
+)
+def q64(spark, sf):
+    t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    t(spark, sf, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               (SELECT COUNT(DISTINCT c_custkey) FROM customer_v) AS total_customers
+        FROM orders_v GROUP BY o_orderpriority
+        """
+    )
+
+
+# --------------------------------------------------------------- pivot
+
+
+@register(
+    "q65_pivot",
+    "E-family: pivot (wide conditional aggregation)",
+    """SELECT o_orderpriority,
+              COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+              COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+              COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+       FROM orders GROUP BY o_orderpriority""",
+)
+def q65(spark, sf):
+    out = (
+        t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("status_F"),
+        F.coalesce("O", F.lit(0)).alias("status_O"),
+        F.coalesce("P", F.lit(0)).alias("status_P"),
+    )
