@@ -121,6 +121,58 @@ def min_label_components(
     return labels.select("node", F.col("lab").alias("canonical_id"))
 
 
+def min_label_components_contracted(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Connected components by one propagation round + graph contraction.
+
+    Exact true components (not a k-hop approximation):
+
+    1. ``l1(x)`` = min over x's closed neighborhood — one groupBy.
+    2. Contract: every edge (x, y) becomes (l1(x), l1(y)) — two
+       *broadcast* joins of the edge list against the (small) label
+       table, then a distinct whose map-side partial dedup collapses
+       the result before the shuffle.
+    3. Min-label propagate to fixpoint on the contracted graph — rows =
+       distinct labels, orders of magnitude smaller than the node set
+       for dense similarity graphs.
+    4. Map back: node → l1 → contracted canonical.
+
+    A component's min node m satisfies l1(m) = m, so m survives into the
+    contracted graph and the fixpoint assigns every node its true
+    component minimum. This is the scale path for dense edge sets (the
+    plain k-round propagation re-joins the full edge list every round);
+    inspired by the alternating-star contraction family of
+    connected-components algorithms.
+    """
+    e_self = edges.unionAll(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint(eager=True)
+    l1 = (
+        e_self.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    # no broadcast hints: l1 has one row per node (arbitrarily large at
+    # scale) — AQE picks BHJ when it actually fits
+    contracted = (
+        e_self.join(l1.withColumnRenamed("node", "src")
+                    .withColumnRenamed("lab", "src_lab"), "src")
+        .join(l1.withColumnRenamed("node", "dst")
+              .withColumnRenamed("lab", "dst_lab"), "dst")
+        .select(F.col("src_lab").alias("src"), F.col("dst_lab").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    label_nodes = l1.select(F.col("lab").alias("node")).distinct()
+    comp = min_label_components(
+        label_nodes, contracted, iterations=max_rounds, until_converged=True
+    ).withColumnRenamed("node", "lab")
+    return l1.join(comp, "lab").select("node", "canonical_id")
+
+
 def dedupe_fuzzy(
     df: DataFrame,
     id_col: str,
@@ -147,8 +199,9 @@ def dedupe_fuzzy(
     )
     nodes = df.select(F.col(id_col).alias("node"))
     edges = candidate_pairs(df, id_col, name_col, block, max_edits)
-    comp = min_label_components(
-        nodes, edges, iterations, checkpoint=checkpoint,
-        until_converged=until_converged,
-    )
+    if until_converged:
+        # contraction path: exact components, cheapest on dense graphs
+        comp = min_label_components_contracted(nodes, edges, max_rounds=iterations)
+    else:
+        comp = min_label_components(nodes, edges, iterations, checkpoint=checkpoint)
     return comp.select(F.col("node").alias(id_col), "canonical_id")
