@@ -123,6 +123,7 @@ def load_all() -> None:
         dataops,
         extras,
         relational,
+        tpch_shapes,
         windows_batch,
     )
 

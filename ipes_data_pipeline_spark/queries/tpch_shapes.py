@@ -1,0 +1,208 @@
+"""Named TPC-H query shapes (adapted to the testdata's column subset)
+plus declared *streaming* queries.
+
+The TPC-H shapes exercise the multi-join + filtered-aggregate + top-k
+compositions a warehouse engine lives on; each has a DuckDB oracle with
+decimal-exact revenue sums.
+
+The streaming queries (q70+) register WITHOUT oracle SQL — the driver
+records a rows-only check for them (SURVEY §2.2: streaming semantics
+are not SQL-expressible in DuckDB). Each runs a bounded
+Structured-Streaming query (AvailableNow over the parquet file) and
+returns the materialized result; the batch twins (q40/q55/q56) carry
+the value-hash gate for the same transformations.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ipes_data_pipeline_spark.queries import register, sql_dsum, t
+from ipes_data_pipeline_spark.queries import dsum
+
+
+@register(
+    "q66_tpch_q3_shape",
+    "TPC-H Q3 shape: segment revenue top-10 (3-way join, filtered agg)",
+    f"""SELECT l.l_orderkey, o.o_orderdate,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q66(spark, sf):
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q67_tpch_q10_shape",
+    "TPC-H Q10 shape: returned-item revenue loss per customer+nation, top-20",
+    f"""SELECT c.c_custkey, c.c_name, n.n_name,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def q67(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q68_tpch_q18_shape",
+    "TPC-H Q18 shape: large-volume orders via HAVING subquery",
+    f"""WITH big AS (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150)
+        SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               {sql_dsum('l.l_quantity')} AS total_qty
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice""",
+)
+def q68(spark, sf):
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+    )
+
+
+@register(
+    "q69_tpch_q7_shape",
+    "TPC-H Q7 shape: supplier-nation x customer-nation revenue matrix",
+    f"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ns.n_nationkey < 3 AND nc.n_nationkey < 3
+        GROUP BY ns.n_name, nc.n_name""",
+)
+def q69(spark, sf):
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    ns = F.broadcast(n.filter(F.col("n_nationkey") < 3)).alias("ns")
+    nc = F.broadcast(n.filter(F.col("n_nationkey") < 3)).alias("nc")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(ns, s.s_nationkey == F.col("ns.n_nationkey"))
+        .join(nc, c.c_nationkey == F.col("nc.n_nationkey"))
+        .groupBy(
+            F.col("ns.n_name").alias("supp_nation"),
+            F.col("nc.n_name").alias("cust_nation"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# ------------------------------------------------------- streaming (rows-only)
+
+
+def _run_available_now(stream_df, mode: str = "complete"):
+    """Run a bounded streaming query to a memory sink, return the result."""
+    import uuid
+
+    spark = stream_df.sparkSession
+    name = f"srq_{uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _events_stream(spark, sf):
+    # testdata stores ts as TIMESTAMP(NANOS) which the reader surfaces as
+    # a nanos long (nanosAsLong conf, see session.py) — convert like t().
+    # Glob, not a bare file path: FileStreamSource requires a directory
+    # base (the glob's parent becomes basePath).
+    events = spark.readStream.schema(
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(f"{sf}/events*.parquet")
+    return events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@register(
+    "q70_streaming_tumbling",
+    "STREAMING: watermarked tumbling counts over the events file stream "
+    "(rows-only check; value gate = batch twin q40)",
+    None,
+)
+def q70(spark, sf):
+    from ipes_data_pipeline_spark.streaming.windows import tumbling_counts
+
+    return _run_available_now(tumbling_counts(_events_stream(spark, sf)))
+
+
+@register(
+    "q71_streaming_session_window",
+    "STREAMING: watermarked session windows per user "
+    "(rows-only check; value gate = batch twin q55)",
+    None,
+)
+def q71(spark, sf):
+    from ipes_data_pipeline_spark.streaming.windows import session_counts
+
+    return _run_available_now(session_counts(_events_stream(spark, sf)))
