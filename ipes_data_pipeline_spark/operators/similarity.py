@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ipes_data_pipeline_spark.functions.vectors import cosine, sign_bucket
+from ipes_data_pipeline_spark.functions.vectors import cosine, dot, norm, sign_bucket
 
 
 def ann_topk_bruteforce(
@@ -38,11 +38,14 @@ def cosine_topk_pairs_lsh(
 ) -> DataFrame:
     """Top-k most-similar pairs among sign-LSH bucket candidates."""
     # materialize: referenced on both sides of the self-join (avoids
-    # recomputing the scan + bucket per alias)
+    # recomputing the scan + bucket per alias). Norms precompute per
+    # VECTOR, not per pair — higher-order array folds don't codegen, so
+    # paying |V| folds instead of 2|pairs| is the dominant win here.
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         sign_bucket(F.col(vec_col), dims).alias("bkt"),
+        norm(F.col(vec_col)).alias("nrm"),
     ).localCheckpoint(eager=True)
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = a.join(
@@ -50,7 +53,9 @@ def cosine_topk_pairs_lsh(
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
+            "cos_sim"
+        ),
     )
     return pairs.orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")).limit(k)
 
