@@ -318,8 +318,12 @@ def q49(spark, sf):
        FROM n""",
 )
 def q50(spark, sf):
+    from ipes_data_pipeline_spark.operators.util import spread
+
+    # the rolling hash is a ~300-step interpreted fold per row — spread
+    # an under-parallel scan before it (no-op at real scale)
     return (
-        t(spark, sf, "documents")
+        spread(t(spark, sf, "documents"))
         .select("doc_id", normalized_text("text").alias("norm"))
         .select(
             "doc_id",
