@@ -58,6 +58,11 @@ def candidate_pairs(
         a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.node") < F.col("b.node")])
         .where((lev >= 0) & (lev <= max_edits))
         .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
+        # Materialize the HALF edge set here: it feeds every downstream
+        # use, and the reverse direction derives lazily below as a narrow
+        # projection over the checkpoint — half the materialized bytes of
+        # checkpointing the doubled set.
+        .localCheckpoint(eager=True)
     )
     return half.unionAll(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
@@ -85,14 +90,14 @@ def min_label_components(
     checkpointed) label table; rounds are forcibly checkpointed in this
     mode so the probe doesn't re-run the round's join.
     """
-    # Materialize the edge set once — it is referenced in every round, and
-    # lazy persist() does not reliably prevent the (expensive) similarity
-    # join from re-executing inside the multi-round DAG; an eager local
-    # checkpoint does, and also truncates lineage. (On a multi-node
-    # cluster prefer reliable checkpointing for fault tolerance.)
+    # Edge set referenced every round: candidate_pairs already
+    # checkpoints the half edges, so the doubled union here is a narrow
+    # projection over materialized data — no further checkpoint needed.
+    # (Raw un-materialized edge inputs re-execute their producing join
+    # per round; materialize before calling if that producer is costly.)
     e_self = edges.unionAll(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
     # Round 1 fused: the initial label of a node IS the node, so the first
     # propagation is plain groupBy(src).min(dst) — one shuffle, no join.
     labels = e_self.groupBy(F.col("src").alias("node")).agg(
@@ -150,9 +155,11 @@ def min_label_components_contracted(
     inspired by the alternating-star contraction family of
     connected-components algorithms.
     """
+    # half edges are checkpointed by candidate_pairs; the doubled union
+    # is narrow over that, so no re-materialization here
     e_self = edges.unionAll(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
     l1 = (
         e_self.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("lab"))
