@@ -149,3 +149,63 @@ def structure(flat: DataFrame, max_edits: int = 2) -> StarSchema:
     """Full silver stage: filter → normalize → dedup → star."""
     relevant = with_normalized_names(exclude_institutions(filter_relevant(flat)))
     return build_star(with_canonical_names(relevant, max_edits))
+
+
+#: Blocking key used by the fuzzy dedup (dedupe_fuzzy default): fuzzy
+#: edges only form within a block, so entity components never span
+#: blocks — the invariant the delta refresh below exploits.
+def _block_key(name_col: str):
+    return F.element_at(F.split(F.col(name_col), r"\s+"), 1)
+
+
+def structure_delta(
+    prev: StarSchema,
+    full_flat: DataFrame,
+    delta_flat: DataFrame,
+    max_edits: int = 2,
+) -> StarSchema:
+    """Incremental silver refresh: recompute ONLY the entities whose
+    dedup block is touched by the delta; splice everything else from the
+    previous silver output unchanged.
+
+    Correctness rests on the blocking invariant: a new filing can merge
+    or extend components only within its normalized name's block, so
+    entities in untouched blocks keep their canonical assignment, counts
+    and nested filings bit-for-bit. At 100 TB this turns a daily refresh
+    over the full corpus into one over the day's affected blocks.
+    """
+    delta_rel = with_normalized_names(
+        exclude_institutions(filter_relevant(delta_flat))
+    )
+    affected_blocks = (
+        delta_rel.select(_block_key("normalized_name").alias("blk")).distinct()
+    )
+
+    full_rel = with_normalized_names(
+        exclude_institutions(filter_relevant(full_flat))
+    ).withColumn("blk", _block_key("normalized_name"))
+    affected_flat = full_rel.join(
+        F.broadcast(affected_blocks), "blk", "left_semi"
+    ).drop("blk")
+    recomputed = build_star(with_canonical_names(affected_flat, max_edits))
+
+    prev_keyed = prev.companies.withColumn("blk", _block_key("normalized_name"))
+    untouched = prev_keyed.join(
+        F.broadcast(affected_blocks), "blk", "left_anti"
+    ).drop("blk")
+    untouched_ids = untouched.select("id")
+    untouched_filings = prev.filings.join(
+        untouched_ids.withColumnRenamed("id", "company_id"),
+        "company_id",
+        "left_semi",
+    )
+    untouched_nested = prev.companies_nested.join(
+        untouched_ids, "id", "left_semi"
+    )
+    return StarSchema(
+        companies=untouched.unionByName(recomputed.companies),
+        filings=untouched_filings.unionByName(recomputed.filings),
+        companies_nested=untouched_nested.unionByName(
+            recomputed.companies_nested
+        ),
+    )
