@@ -58,9 +58,16 @@ def minhash(shingle_col: Column, seed: int) -> Column:
     )
 
 
-def simhash_bits(tok_col: Column, n_bits: int = 32) -> Column:
-    """SimHash: per bit-dimension d, sum ±1 over tokens according to the
-    d-th hex digit's high bit of md5(token); bit = 1 iff sum >= 0.
+def token_hashes(tok_col: Column) -> Column:
+    """md5 hex per token — staged ONCE so the 32 simhash bit expressions
+    reference the array instead of re-hashing per bit (32× less md5)."""
+    return F.transform(tok_col, lambda t: F.md5(t))
+
+
+def simhash_bits_from_hashes(hash_col: Column, n_bits: int = 32) -> Column:
+    """SimHash bits over a pre-hashed token array (see
+    :func:`token_hashes`): per bit-dimension d, sum ±1 according to the
+    d-th hex digit's high bit; bit = 1 iff sum >= 0.
 
     Returns the signature as an ``n_bits``-char '0'/'1' string (printable,
     engine-portable; hamming distance = count of differing chars).
@@ -69,16 +76,22 @@ def simhash_bits(tok_col: Column, n_bits: int = 32) -> Column:
     # element *index* to a second parameter, which would shadow a `d=d`
     # default-argument closure.
     def contrib_fn(d: int):
-        return lambda t: F.when(
-            F.substring(F.md5(t), d + 1, 1) >= "8", F.lit(1)
+        return lambda h: F.when(
+            F.substring(h, d + 1, 1) >= "8", F.lit(1)
         ).otherwise(F.lit(-1))
 
     bits = []
     for d in range(n_bits):
-        contrib = F.transform(tok_col, contrib_fn(d))
+        contrib = F.transform(hash_col, contrib_fn(d))
         total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
         bits.append(F.when(total >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def simhash_bits(tok_col: Column, n_bits: int = 32) -> Column:
+    """SimHash signature directly from a token array (hashes inlined —
+    prefer staging :func:`token_hashes` in its own projection first)."""
+    return simhash_bits_from_hashes(token_hashes(tok_col), n_bits)
 
 
 def normalized_text(col) -> Column:

@@ -16,7 +16,8 @@ from ipes_data_pipeline_spark.functions.text import (
     distinct_tokens,
     minhash,
     shingles,
-    simhash_bits,
+    simhash_bits_from_hashes,
+    token_hashes,
     tokens,
 )
 from ipes_data_pipeline_spark.operators.util import spread
@@ -101,15 +102,16 @@ def simhash_signatures(
 ) -> DataFrame:
     """(id, simhash) — bit-string signature per document.
 
-    Tokens are materialized in their own projection; the 32 per-bit
-    aggregates then reference the array attribute (cheap) instead of
-    re-tokenizing 32×.
+    Tokens AND their md5s are staged in their own projections; the 32
+    per-bit aggregates then reference the hash array attribute instead
+    of re-tokenizing and re-hashing 32× (md5 is the dominant cost).
     """
     toks_df = spread(df).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
-    return toks_df.select(
-        "id", simhash_bits(F.col("toks"), n_bits).alias("simhash")
+    hashed = toks_df.select("id", token_hashes(F.col("toks")).alias("th"))
+    return hashed.select(
+        "id", simhash_bits_from_hashes(F.col("th"), n_bits).alias("simhash")
     )
 
 

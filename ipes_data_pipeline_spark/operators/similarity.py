@@ -60,6 +60,59 @@ def cosine_topk_pairs_lsh(
     return pairs.orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")).limit(k)
 
 
+def ann_topk_ivf_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    n_cells: int = 8,
+    k: int = 10,
+    n_probe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN with *learned* cells: k-means centroids partition the
+    vector space; search probes the ``n_probe`` cells nearest the query.
+
+    The scale shape is identical to :func:`ann_topk_ivf` (equi-join on a
+    cell id — no cross join); the cells are simply better balanced than
+    coordinate sign planes. Training cost is one pass over a sample;
+    assignment is a per-row argmin over ``n_cells`` centroids (JVM-side
+    via the fitted model's transform). Declared as a rows-only-checked
+    query: k-means results depend on init sampling, so no cross-engine
+    value oracle exists (the exactness baseline remains
+    :func:`ann_topk_bruteforce`).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feat.select("features"))
+    assigned = model.transform(feat).select(
+        "id", "v", F.col("prediction").alias("cell")
+    )
+    q_assigned = model.transform(
+        query_df.select(
+            F.col(vec_col).alias("q_vec"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+                "features"
+            ),
+        )
+    ).select("q_vec", F.col("prediction").alias("q_cell"))
+    # n_probe=1 probes the query's own cell; >1 would rank cells by
+    # centroid distance (left for the caller via model.clusterCenters())
+    q = F.broadcast(q_assigned.limit(n_probe))
+    return (
+        assigned.join(q, assigned.cell == F.col("q_cell"))
+        .select(F.col("id"), cosine(F.col("v"), F.col("q_vec")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def ann_topk_ivf(
     df: DataFrame,
     id_col: str,

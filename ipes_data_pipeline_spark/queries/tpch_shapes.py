@@ -197,6 +197,21 @@ def q70(spark, sf):
 
 
 @register(
+    "q72_ann_ivf_kmeans",
+    "similarity search: IVF ANN with learned k-means cells "
+    "(rows-only check; exactness baseline = q46 brute force)",
+    None,
+)
+def q72(spark, sf):
+    from ipes_data_pipeline_spark.operators.similarity import ann_topk_ivf_kmeans
+
+    emb = t(spark, sf, "embeddings")
+    return ann_topk_ivf_kmeans(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 7), k=10
+    )
+
+
+@register(
     "q71_streaming_session_window",
     "STREAMING: watermarked session windows per user "
     "(rows-only check; value gate = batch twin q55)",
