@@ -58,6 +58,25 @@ def minhash(shingle_col: Column, seed: int) -> Column:
     )
 
 
+def shingle_hashes(shingle_col: Column, salt: str) -> Column:
+    """md5('<salt>|' + shingle) per shingle — staged once, then sliced
+    into multiple MinHash components by :func:`minhash_slice` (one md5
+    pass yields four 32-bit hash families instead of paying md5 per
+    component)."""
+    return F.transform(
+        shingle_col, lambda s: F.md5(F.concat(F.lit(f"{salt}|"), s))
+    )
+
+
+def minhash_slice(hash_col: Column, slice_idx: int) -> Column:
+    """MinHash component = min over the ``slice_idx``-th 8-hex-char
+    (32-bit) slice of the staged hashes. Fixed-width hex ⇒ string min ==
+    numeric min; identical in any engine with md5 + substr."""
+    return F.array_min(
+        F.transform(hash_col, lambda h: F.substring(h, slice_idx * 8 + 1, 8))
+    )
+
+
 def token_hashes(tok_col: Column) -> Column:
     """md5 hex per token — staged ONCE so the 32 simhash bit expressions
     reference the array instead of re-hashing per bit (32× less md5)."""

@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 
 from ipes_data_pipeline_spark.functions.text import (
     distinct_tokens,
-    minhash,
+    minhash_slice,
+    shingle_hashes,
     shingles,
     simhash_bits_from_hashes,
     token_hashes,
@@ -33,18 +34,29 @@ def minhash_bands(
 ) -> DataFrame:
     """(id, band_idx, band_key) — one row per LSH band per document.
 
-    Tokens → shingles → signatures are *staged projections* so each array
-    is computed once per row; inlining them into the 8 signature
-    expressions would re-tokenize/re-shingle per hash seed (Catalyst's
-    CollapseProject keeps expensive aliases in their own stage, making
-    this the cheap way to share work).
+    Tokens → shingles → salted shingle md5s → signatures are *staged
+    projections* so each array computes once per row. One md5 pass
+    yields FOUR 32-bit MinHash components (8-hex slices of the digest),
+    so ``n_hashes`` components cost ``ceil(n_hashes/4)`` md5 passes
+    instead of one md5 pass per component — md5 dominates this operator.
     """
     toks_df = spread(df).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
     sh_df = toks_df.select("id", shingles(F.col("toks"), shingle_n).alias("sh"))
-    sigs = [minhash(F.col("sh"), seed).alias(f"mh{seed}") for seed in range(n_hashes)]
-    with_sig = sh_df.select("id", *sigs)
+    n_salts = -(-n_hashes // 4)  # ceil: 4 components per md5 pass
+    hashed = sh_df.select(
+        "id",
+        *[
+            shingle_hashes(F.col("sh"), str(salt)).alias(f"h{salt}")
+            for salt in range(n_salts)
+        ],
+    )
+    sigs = [
+        minhash_slice(F.col(f"h{i // 4}"), i % 4).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    with_sig = hashed.select("id", *sigs)
     n_bands = n_hashes // band_size
     bands = F.array(
         *[

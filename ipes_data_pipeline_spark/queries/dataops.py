@@ -70,9 +70,11 @@ def q41(spark, sf):
 
 def _q42_oracle() -> str:
     toks = SQL_TOKENS.format(c="text")
+    # same staged construction as the engine: one md5 pass per salt,
+    # four 32-bit (8-hex-char) MinHash slices per pass
     mh = ", ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{seed}|' || s)), 'min') AS mh{seed}"
-        for seed in range(8)
+        f"list_aggregate(list_transform(h{i // 4}, x -> substr(x, {(i % 4) * 8 + 1}, 8)), 'min') AS mh{i}"
+        for i in range(8)
     )
     bands = " UNION ALL ".join(
         f"SELECT id, {b} AS band_idx, mh{2 * b} || '|' || mh{2 * b + 1} AS band_key FROM sigs"
@@ -84,7 +86,11 @@ sh AS (SELECT id, CASE WHEN len(w) >= 3
          THEN list_distinct(list_transform(range(1, len(w) - 1),
               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
          ELSE [] END AS shingles FROM toks),
-sigs AS (SELECT id, {mh} FROM sh),
+hashed AS (SELECT id,
+         list_transform(shingles, s -> md5('0|' || s)) AS h0,
+         list_transform(shingles, s -> md5('1|' || s)) AS h1
+         FROM sh),
+sigs AS (SELECT id, {mh} FROM hashed),
 bands AS ({bands})
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM bands a JOIN bands b
