@@ -54,7 +54,6 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed):
         assert "SortMergeJoin" in p
         # the join inputs read bucket files directly — no Exchange below
         # the join (only the final aggregation exchanges)
-        join_section = p[: p.index("HashAggregate")] if "HashAggregate" in p else p
         assert "Exchange hashpartitioning(o_orderkey" not in p
         assert "Exchange hashpartitioning(l_orderkey" not in p
         assert "SelectedBucketsCount" in p  # scans are bucket-pruned readers
