@@ -109,6 +109,52 @@ def q42(spark, sf):
     )
 
 
+def _q42c_oracle() -> str:
+    """End-to-end doc dedup: q42's candidate pairs → 3-round min-label
+    components → (doc, keeper). Both engines unroll the same rounds."""
+    base = _q42_oracle().strip().removeprefix("WITH").rsplit("SELECT DISTINCT", 1)[0]
+    rounds = "".join(
+        f""",
+  l{i + 1} AS (
+    SELECT e.src AS node, MIN(l.lab) AS lab
+    FROM e_self e JOIN l{i} l ON l.node = e.dst
+    GROUP BY e.src)"""
+        for i in range(3)
+    )
+    return f"""
+WITH {base.strip().rstrip(',')},
+half AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id),
+e0 AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+e_self AS (SELECT src, dst FROM e0
+           UNION ALL SELECT doc_id, doc_id FROM documents),
+l0 AS (SELECT doc_id AS node, doc_id AS lab FROM documents){rounds}
+SELECT node AS doc_id, lab AS keeper_id FROM l3
+"""
+
+
+@register(
+    "q42c_dedup_minhash_components",
+    "dedup: END-TO-END near-dup doc dedup (LSH pairs -> components -> keeper)",
+    _q42c_oracle(),
+)
+def q42c(spark, sf):
+    from ipes_data_pipeline_spark.operators.dedup_fuzzy import min_label_components
+
+    docs = t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comp = min_label_components(nodes, edges, iterations=3)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("canonical_id").alias("keeper_id")
+    )
+
+
 def _q43_oracle() -> str:
     toks = SQL_TOKENS.format(c="text")
     bits = " || ".join(
