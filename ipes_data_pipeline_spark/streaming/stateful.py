@@ -29,6 +29,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql import types as T
 
 from ipes_data_pipeline_spark.operators.enrich import DeterministicMockBackend
@@ -113,4 +114,104 @@ def enrich_stateful(
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class MemoEnrichProcessor(StatefulProcessor):
+    """``transformWithState`` form of the memo cache (Spark 4 API).
+
+    Two independent state variables per key — the richer model the
+    GroupState API can't express:
+
+    - ``cache``: the enrichment record, with an optional **TTL**. The
+      state store drops values older than ``ttl_ms`` at read time, so an
+      expired key transparently re-pays the backend — the reference's
+      cache has no expiry (``code/enrich_data.py:176-180`` serves any
+      hit forever), which is wrong for "is this company active?" data;
+      TTL bounds staleness without a side process sweeping the cache.
+    - ``seen``: lifetime occurrence counter, deliberately WITHOUT TTL —
+      cache expiry must not reset usage statistics.
+    """
+
+    def __init__(
+        self,
+        backend: Callable[[str, list[str]], dict] | None = None,
+        ttl_ms: int | None = None,
+    ) -> None:
+        self._backend = backend or DeterministicMockBackend()
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._cache = handle.getValueState(
+            "cache",
+            T.StructType(STATE_SCHEMA.fields[:-1]),  # record sans counter
+            ttlDurationMs=self._ttl_ms,
+        )
+        self._seen = handle.getValueState("seen", "n_seen long")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        name = key[0]
+        n_rows = sum(len(p) for p in rows)
+        if self._cache.exists():
+            is_active, signal, segment, summary, position = self._cache.get()
+            from_state = True
+        else:
+            rec = self._backend(name, [])
+            is_active, signal, segment, summary, position = (
+                rec.get(f) for f in _FIELDS
+            )
+            from_state = False
+            self._cache.update((is_active, signal, segment, summary, position))
+        n_seen = (self._seen.get()[0] if self._seen.exists() else 0) + n_rows
+        self._seen.update((n_seen,))
+        yield pd.DataFrame(
+            [
+                {
+                    "normalized_name": name,
+                    "is_active": is_active,
+                    "activity_signal": signal,
+                    "industry_segment": segment,
+                    "product_summary": summary,
+                    "market_position": position,
+                    "from_state": from_state,
+                    "n_occurrences": n_seen,
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` talks to the JVM state server over a
+    protobuf protocol; the API exists without protobuf but its driver
+    worker crashes on first use."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent 'google' namespace absent
+        return False
+
+
+def enrich_stateful_tws(
+    names_stream: DataFrame,
+    backend: Callable[[str, list[str]], dict] | None = None,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """``enrich_stateful`` on the ``transformWithStateInPandas`` API:
+    same memoization contract, plus cache expiry after ``ttl_ms`` of
+    processing time (counter state is never expired)."""
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pip install protobuf); use enrich_stateful (GroupState API) "
+            "where it is unavailable"
+        )
+    return names_stream.groupBy("normalized_name").transformWithStateInPandas(
+        MemoEnrichProcessor(backend, ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="ProcessingTime",
     )

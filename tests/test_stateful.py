@@ -57,3 +57,75 @@ def test_stateful_enrichment_memoizes(spark, tmp_path):
     assert (
         rows2["acme"]["industry_segment"] == rows1["acme"]["industry_segment"]
     )
+
+
+def _run_tws(spark, src_dir, ckpt, ttl_ms=None):
+    import pytest
+
+    from ipes_data_pipeline_spark.streaming.stateful import (
+        enrich_stateful_tws,
+        tws_available,
+    )
+
+    if not tws_available():  # protobuf absent in this container
+        pytest.skip("transformWithStateInPandas needs protobuf")
+
+    rows = []
+    stream = spark.readStream.schema("normalized_name string").parquet(src_dir)
+    q = (
+        enrich_stateful_tws(stream, ttl_ms=ttl_ms)
+        .writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {r["normalized_name"]: r for r in rows}
+
+
+def test_transform_with_state_memoizes_across_restart(spark, tmp_path):
+    src = str(tmp_path / "names")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [("acme",), ("acme",), ("globex",)], "normalized_name string"
+    ).write.mode("append").parquet(src)
+    rows1 = _run_tws(spark, src, ckpt)
+    assert set(rows1) == {"acme", "globex"}
+    assert all(not r["from_state"] for r in rows1.values())
+    assert rows1["acme"]["n_occurrences"] == 2
+
+    spark.createDataFrame(
+        [("acme",), ("hooli",)], "normalized_name string"
+    ).write.mode("append").parquet(src)
+    rows2 = _run_tws(spark, src, ckpt)
+    assert set(rows2) == {"acme", "hooli"}
+    assert rows2["acme"]["from_state"] is True
+    assert rows2["acme"]["n_occurrences"] == 3
+    assert rows2["hooli"]["from_state"] is False
+    assert (
+        rows2["acme"]["industry_segment"] == rows1["acme"]["industry_segment"]
+    )
+
+
+def test_transform_with_state_ttl_expires_cache_not_counter(spark, tmp_path):
+    import time
+
+    src = str(tmp_path / "names")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [("acme",)], "normalized_name string"
+    ).write.mode("append").parquet(src)
+    rows1 = _run_tws(spark, src, ckpt, ttl_ms=1)
+    assert rows1["acme"]["from_state"] is False
+
+    time.sleep(2)  # let the 1 ms cache TTL lapse in processing time
+    spark.createDataFrame(
+        [("acme",)], "normalized_name string"
+    ).write.mode("append").parquet(src)
+    rows2 = _run_tws(spark, src, ckpt, ttl_ms=1)
+    # cache expired -> backend re-called; counter state (no TTL) kept
+    assert rows2["acme"]["from_state"] is False
+    assert rows2["acme"]["n_occurrences"] == 2
