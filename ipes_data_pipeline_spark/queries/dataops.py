@@ -488,3 +488,39 @@ def q54(spark, sf):
         .otherwise("other")
         .alias("sniffed_type"),
     )
+
+
+# ----------------------------------------------------------------- range join
+
+
+@register(
+    "q73_range_join_bucketed",
+    "range join: per-order shipments inside [orderdate, orderdate+7d)",
+    """SELECT o_orderkey, COUNT(*) AS n_shipped
+       FROM orders o JOIN lineitem l
+         ON l.l_shipdate >= o.o_orderdate
+        AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+       GROUP BY o_orderkey""",
+)
+def q73(spark, sf):
+    # Cross-key range-containment join; the bucketed rewrite keeps the
+    # plan a shuffle equi-join (no BroadcastNestedLoopJoin) — see
+    # operators/rangejoin.py for the scale argument.
+    from ipes_data_pipeline_spark.operators.rangejoin import bucketed_range_join
+
+    week = 7 * 86400.0
+    # NTZ → timestamp → double = epoch seconds (session tz is UTC, so the
+    # +7d in seconds is exactly DuckDB's INTERVAL 7 DAY on these dates).
+    epoch = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    orders = t(spark, sf, "orders").select(
+        "o_orderkey",
+        epoch("o_orderdate").alias("w_start"),
+        (epoch("o_orderdate") + F.lit(week)).alias("w_end"),
+    )
+    ships = t(spark, sf, "lineitem").select(
+        epoch("l_shipdate").alias("ship_ts")
+    )
+    hits = bucketed_range_join(
+        ships, orders, "ship_ts", "w_start", "w_end", bucket_width=week
+    )
+    return hits.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))

@@ -75,3 +75,16 @@ def test_no_cartesian_products(spark, sf_dir):
         "q39_fuzzy_dedup",
     ):
         assert_no_cartesian(q(spark, name, sf_dir))
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    # The naive inequality join plans as BroadcastNestedLoopJoin; the
+    # bucketed rewrite must plan as a hash/sort-merge equi-join.
+    df = q(spark, "q73_range_join_bucketed", sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert any(
+        op in plan
+        for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
