@@ -524,3 +524,74 @@ def q73(spark, sf):
         ships, orders, "ship_ts", "w_start", "w_end", bucket_width=week
     )
     return hits.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))
+
+
+# -------------------------------------------------------- distinct sketches
+
+
+def _q74_oracle() -> str:
+    from ipes_data_pipeline_spark.functions.sketches import sql_hll_estimate
+
+    est = sql_hll_estimate("events", ["event_type"], "user_id")
+    return f"""
+WITH est AS ({est}),
+exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+          FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+SELECT e.event_type, e.n_exact, s.hll_est
+FROM exact e JOIN est s ON e.event_type = s.event_type
+"""
+
+
+@register(
+    "q74_hll_distinct",
+    "sketch: HyperLogLog distinct users per event_type (exact-int registers)",
+    _q74_oracle(),
+)
+def q74(spark, sf):
+    from ipes_data_pipeline_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = t(spark, sf, "events")
+    est = hll_estimate(hll_registers(ev, ["event_type"], "user_id"), ["event_type"])
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return exact.join(F.broadcast(est), "event_type")
+
+
+def _q75_oracle() -> str:
+    from ipes_data_pipeline_spark.functions.sketches import sql_hll_estimate
+
+    src = (
+        "(SELECT event_type, date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,"
+        " user_id FROM events)"
+    )
+    return sql_hll_estimate(src, ["event_type", "month"], "user_id")
+
+
+@register(
+    "q75_hll_rollup",
+    "sketch: daily HLL registers merged to monthly estimates (continuous agg)",
+    _q75_oracle(),
+)
+def q75(spark, sf):
+    # Genuine two-stage rollup: day-level register tables (the storable
+    # sketch) re-maxed to month — max is associative, so this equals the
+    # oracle's direct month-level sketch while never rescanning raw rows.
+    from ipes_data_pipeline_spark.functions.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = t(spark, sf, "events").withColumn("day", F.date_trunc("day", "ts"))
+    daily = hll_registers(ev, ["event_type", "day"], "user_id")
+    monthly = hll_merge(
+        daily.withColumn("month", F.date_trunc("month", "day")),
+        ["event_type", "month"],
+    )
+    return hll_estimate(monthly, ["event_type", "month"])

@@ -1,0 +1,59 @@
+"""HLL sketch properties: accuracy, mergeability, register bound.
+
+Everything is deterministic (md5-derived hashes), so the observed error
+is a fixed number, not a random draw — the bounds just leave headroom
+over the theoretical σ ≈ 1.04/√1024 ≈ 3.3%.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ipes_data_pipeline_spark.functions.sketches import (
+    M,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def test_hll_accuracy_10k(spark):
+    df = spark.range(10_000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    est = hll_estimate(hll_registers(df, ["g"], "v"), ["g"]).collect()[0]["hll_est"]
+    assert abs(est - 10_000) / 10_000 < 0.06, est
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 5 distinct values << 2.5m: the linear-counting branch must engage
+    # and be near-exact
+    df = spark.range(1000).select(
+        F.lit("g").alias("g"), (F.col("id") % 5).cast("string").alias("v")
+    )
+    est = hll_estimate(hll_registers(df, ["g"], "v"), ["g"]).collect()[0]["hll_est"]
+    assert abs(est - 5) < 0.1, est
+
+
+def test_hll_merge_equals_direct(spark):
+    # registers built per-shard then merged == registers built directly;
+    # duplicates across shards must not inflate the union estimate
+    df = spark.range(4_000).select(
+        (F.col("id") % 4).alias("shard"),
+        F.lit("g").alias("g"),
+        (F.col("id") % 1500).cast("string").alias("v"),  # overlap across shards
+    )
+    direct = hll_registers(df, ["g"], "v")
+    sharded = hll_merge(hll_registers(df, ["g", "shard"], "v"), ["g"])
+    a = {(r["j"], r["rho"]) for r in direct.collect()}
+    b = {(r["j"], r["rho"]) for r in sharded.collect()}
+    assert a == b
+    assert len(a) <= M
+
+
+def test_hll_registers_bounded(spark):
+    # the sketch never exceeds M rows per group no matter the input size
+    df = spark.range(50_000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    assert hll_registers(df, ["g"], "v").count() <= M
