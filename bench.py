@@ -41,6 +41,9 @@ HEADLINE = [
     "q50_fingerprint",
     "q52_sessionize",
     "q53_asof_join",
+    "q73_range_join_bucketed",
+    "q74_hll_distinct",
+    "q75_hll_rollup",
 ]
 
 
