@@ -41,9 +41,15 @@ HEADLINE = [
     "q50_fingerprint",
     "q52_sessionize",
     "q53_asof_join",
-    "q73_range_join_bucketed",
+    # q73 (bucketed pair join, same semantics) is registry-only: at sf0.1
+    # it materializes ~260M candidate pairs (70 s) to compute what the
+    # prefix-sum form answers in ~2 s — see operators/rangejoin.range_count
+    "q76_range_count_prefix",
     "q74_hll_distinct",
     "q75_hll_rollup",
+    "q77_hash_split",
+    "q78_pack_sequences",
+    "q80_vocab_topk",
 ]
 
 

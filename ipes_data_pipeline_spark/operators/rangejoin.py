@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 _B = "__rj_bucket"
 
@@ -74,3 +75,75 @@ def bucketed_range_join(
     )
     drop = [p[_B], i[_B]] + [i[ik] for _, ik in keys]
     return joined.drop(*drop)
+
+
+def range_count(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    out_col: str = "n_points",
+) -> DataFrame:
+    """Per-interval COUNT of points in ``[start, end)`` WITHOUT the pair
+    join: ``count = prefix(end-1) - prefix(start-1)`` over a dense
+    cumulative histogram of the point column.
+
+    :func:`bucketed_range_join` materializes every (point, interval)
+    candidate pair; when intervals are long relative to point spacing
+    that is O(|points|·|intervals| / #buckets) rows — at sf0.1 the
+    orders×lineitem week-window query produces ~260 M pairs just to
+    count them. When the query only needs the *count* per interval (the
+    common rollup case), the prefix-sum form is O(|points| + |intervals|
+    + domain): one small agg, one window over the dense domain, two
+    broadcast equi-joins. No pair blow-up at any scale.
+
+    All three columns must be integer-valued with a unit-step domain
+    (e.g. days since epoch). The dense histogram has one row per domain
+    value between min and max point — suitable for day/hour grains
+    (decades ≈ 10⁴–10⁵ rows, broadcastable); for second-grain domains
+    over years, bucket to a coarser grain first or use
+    :func:`bucketed_range_join`. Intervals with zero points are kept
+    (count 0) — filter afterwards to mirror inner-join semantics.
+    """
+    per = points.groupBy(F.col(point_col).cast("long").alias("__p")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    bounds = per.agg(F.min("__p").alias("__lo"), F.max("__p").alias("__hi"))
+    dense = (
+        bounds.select(F.explode(F.sequence("__lo", "__hi")).alias("__p"))
+        .join(per, "__p", "left")
+        .na.fill({"__n": 0})
+    )
+    # single-partition window is deliberate: the dense domain is small by
+    # contract (see docstring), and the result broadcasts to the probe side
+    w = W.orderBy("__p").rowsBetween(W.unboundedPreceding, 0)
+    prefix = dense.select("__p", F.sum("__n").over(w).alias("__cum"))
+
+    iv = intervals.crossJoin(F.broadcast(bounds))
+    # clamp both lookups into [lo-1, hi]; keys outside the histogram
+    # resolve to NULL → COALESCE 0 (below min) or are clamped to the
+    # total (above max), so out-of-range windows count correctly
+    iv = iv.withColumn(
+        "__ek", F.least(F.col(end_col).cast("long") - 1, F.col("__hi"))
+    ).withColumn(
+        "__sk",
+        F.least(
+            F.greatest(F.col(start_col).cast("long") - 1, F.col("__lo") - 1),
+            F.col("__hi"),
+        ),
+    )
+    pe = F.broadcast(prefix)
+    iv = iv.join(
+        pe.withColumnRenamed("__p", "__ek").withColumnRenamed("__cum", "__ce"),
+        "__ek",
+        "left",
+    ).join(
+        pe.withColumnRenamed("__p", "__sk").withColumnRenamed("__cum", "__cs"),
+        "__sk",
+        "left",
+    )
+    return iv.withColumn(
+        out_col,
+        F.coalesce(F.col("__ce"), F.lit(0)) - F.coalesce(F.col("__cs"), F.lit(0)),
+    ).drop("__ek", "__sk", "__ce", "__cs", "__lo", "__hi")

@@ -595,3 +595,181 @@ def q75(spark, sf):
         ["event_type", "month"],
     )
     return hll_estimate(monthly, ["event_type", "month"])
+
+
+# ------------------------------------------------- range count via prefix sum
+
+
+@register(
+    "q76_range_count_prefix",
+    "range count: shipments per order window via cumulative histogram (no pair join)",
+    """SELECT o_orderkey, COUNT(*) AS n_shipped
+       FROM orders o JOIN lineitem l
+         ON l.l_shipdate >= o.o_orderdate
+        AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+       GROUP BY o_orderkey""",
+)
+def q76(spark, sf):
+    # Same semantics as q73 (the oracle is identical), but the aggregate-
+    # only form: prefix(end-1) - prefix(start-1) over a dense daily
+    # histogram. q73's bucketed pair join materializes ~260M candidate
+    # pairs at sf0.1 just to count them (70 s); this plan is two broadcast
+    # lookups per order (<2 s) and stays linear at any scale.
+    from ipes_data_pipeline_spark.operators.rangejoin import range_count
+
+    day = lambda c: F.datediff(F.to_date(c), F.lit("1970-01-01").cast("date"))  # noqa: E731
+    orders = t(spark, sf, "orders").select(
+        "o_orderkey",
+        day("o_orderdate").alias("w_start"),
+        (day("o_orderdate") + F.lit(7)).alias("w_end"),
+    )
+    ships = t(spark, sf, "lineitem").select(day("l_shipdate").alias("ship_day"))
+    res = range_count(ships, orders, "ship_day", "w_start", "w_end", out_col="n_cnt")
+    return res.where(F.col("n_cnt") > 0).select(
+        "o_orderkey", F.col("n_cnt").alias("n_shipped")
+    )
+
+
+# ----------------------------------------- deterministic train/val/test split
+
+
+@register(
+    "q77_hash_split",
+    "curation: deterministic hash-bucketed train/val/test split (80/10/10)",
+    """WITH b AS (
+         SELECT lang, n_chars,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+         FROM documents)
+       SELECT lang,
+              CASE WHEN bucket < 80 THEN 'train'
+                   WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       FROM b GROUP BY lang, split""",
+)
+def q77(spark, sf):
+    # Content-addressed split: bucket = md5(id) % 100, so membership is
+    # stable under reshuffles, re-partitions, and incremental appends —
+    # the property a training pipeline needs (a random() split is neither
+    # reproducible nor append-stable). Pure column ops, no shuffle beyond
+    # the final small agg.
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        t(spark, sf, "documents")
+        .withColumn("bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ------------------------------------------------ sequence packing (concat+chunk)
+
+
+@register(
+    "q78_pack_sequences",
+    "curation: concat-and-chunk packing of documents into 2048-token windows",
+    f"""WITH tk AS (
+         SELECT source, doc_id,
+                CAST(len({SQL_TOKENS.format(c='text')}) AS BIGINT) AS tok
+         FROM documents),
+       o AS (
+         SELECT source, tok,
+                COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         FROM tk)
+       SELECT source, CAST(off // 2048 AS BIGINT) AS chunk_id,
+              COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS chunk_tokens
+       FROM o GROUP BY source, chunk_id""",
+)
+def q78(spark, sf):
+    # LLM-training packing: concatenate a shard's documents in stable
+    # doc_id order, split the token stream into fixed 2048-token context
+    # windows, report docs/tokens per window. One window per shard
+    # (source) — shards are the parallel unit, exactly how a packing job
+    # partitions at scale.
+    from pyspark.sql.window import Window as W
+
+    toks = tokens(F.col("text"))
+    tk = t(spark, sf, "documents").select(
+        "source", "doc_id", F.size(toks).cast("long").alias("tok")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        tk.withColumn("off", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+        .withColumn("chunk_id", F.expr("off div 2048"))
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("chunk_tokens"),
+        )
+    )
+
+
+# -------------------------------------------- per-language quality percentile
+
+
+@register(
+    "q79_quality_percentile_gate",
+    "curation: drop the bottom quartile by length within each language",
+    """SELECT doc_id, lang, n_chars, pr FROM (
+         SELECT doc_id, lang, n_chars,
+                percent_rank() OVER (PARTITION BY lang
+                                     ORDER BY n_chars, doc_id) AS pr
+         FROM documents)
+       WHERE pr >= 0.25""",
+)
+def q79(spark, sf):
+    # Percentile gates must be computed within-language — an absolute
+    # threshold keeps verbose languages and guts terse ones. percent_rank
+    # with a doc_id tiebreak is deterministic in both engines.
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", "lang", "n_chars", F.percent_rank().over(w).alias("pr"))
+        .where(F.col("pr") >= 0.25)
+    )
+
+
+# ------------------------------------------------------------- vocabulary top-k
+
+
+@register(
+    "q80_vocab_topk",
+    "curation: corpus vocabulary — top 200 tokens by frequency",
+    f"""WITH tk AS (
+         SELECT unnest({SQL_TOKENS.format(c='text')}) AS tok FROM documents)
+       SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok
+       ORDER BY cnt DESC, tok ASC LIMIT 200""",
+)
+def q80(spark, sf):
+    # explode → partial-agg → shuffle on token → TakeOrderedAndProject:
+    # the map-side combine collapses each partition's token stream before
+    # the shuffle, so the exchange carries vocabulary-sized data, not
+    # corpus-sized. Ties broken by token text for cross-engine stability.
+    return (
+        t(spark, sf, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(200)
+    )

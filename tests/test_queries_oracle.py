@@ -37,3 +37,37 @@ def test_bucketed_range_join_with_equi_keys(spark):
     got = {(r["pid"], r["wid"]) for r in out.collect()}
     assert got == {(1, "w1"), (2, "w2")}
     assert out.count() == 2  # exactly-once per match, no bucket dups
+
+
+def test_range_count_prefix_sum_edges(spark):
+    """Operator unit: prefix-sum counts equal the pair-join counts,
+    including windows fully below, fully above, and straddling the
+    histogram bounds, and zero-count windows are kept with 0."""
+    from ipes_data_pipeline_spark.operators.rangejoin import range_count
+
+    points = spark.createDataFrame(
+        [(10,), (10,), (12,), (15,), (20,)], "p long"
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("below", 0, 5),  # entirely before min(p) -> 0
+            ("above", 30, 40),  # entirely after max(p) -> 0
+            ("straddle_lo", 5, 11),  # clamps start below lo -> counts the two 10s
+            ("straddle_hi", 15, 99),  # clamps end above hi -> 15 and 20
+            ("interior", 11, 16),  # half-open: 12 and 15, excludes nothing at 16
+            ("empty_gap", 13, 15),  # in-range but no points -> 0
+            ("all", 0, 100),  # whole histogram -> 5
+        ],
+        "wid string, s long, e long",
+    )
+    out = range_count(points, intervals, "p", "s", "e", out_col="n")
+    got = {r["wid"]: r["n"] for r in out.collect()}
+    assert got == {
+        "below": 0,
+        "above": 0,
+        "straddle_lo": 2,
+        "straddle_hi": 2,
+        "interior": 2,
+        "empty_gap": 0,
+        "all": 5,
+    }
