@@ -106,8 +106,14 @@ def range_count(
     :func:`bucketed_range_join`. Intervals with zero points are kept
     (count 0) — filter afterwards to mirror inner-join semantics.
     """
-    per = points.groupBy(F.col(point_col).cast("long").alias("__p")).agg(
-        F.count(F.lit(1)).alias("__n")
+    # materialize the histogram once: it is referenced by three consumers
+    # (bounds, and both lookup sides) and without a checkpoint Catalyst
+    # re-executes the whole points scan+agg per consumer — 5 full scans
+    # of the fact table instead of 1 (verified via .explain)
+    per = (
+        points.groupBy(F.col(point_col).cast("long").alias("__p"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
     )
     bounds = per.agg(F.min("__p").alias("__lo"), F.max("__p").alias("__hi"))
     dense = (
@@ -118,7 +124,9 @@ def range_count(
     # single-partition window is deliberate: the dense domain is small by
     # contract (see docstring), and the result broadcasts to the probe side
     w = W.orderBy("__p").rowsBetween(W.unboundedPreceding, 0)
-    prefix = dense.select("__p", F.sum("__n").over(w).alias("__cum"))
+    prefix = dense.select(
+        "__p", F.sum("__n").over(w).alias("__cum")
+    ).localCheckpoint(eager=True)
 
     iv = intervals.crossJoin(F.broadcast(bounds))
     # clamp both lookups into [lo-1, hi]; keys outside the histogram

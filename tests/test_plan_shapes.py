@@ -88,3 +88,36 @@ def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
         op in plan
         for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     ), plan
+
+
+def test_range_count_is_broadcast_lookups(spark, sf_dir):
+    # The prefix-sum form must resolve both histogram lookups as
+    # broadcast-hash joins — no shuffle of the orders probe side, and no
+    # pair materialization. The one allowed nested-loop is the scalar
+    # bounds attach: a cross join against a single-row (lo, hi) relation.
+    # formatted plans name each operator twice (tree + detail section)
+    plan = formatted_plan(q(spark, "q76_range_count_prefix", sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # the histogram is checkpointed: the fact table must not be re-scanned
+    # per lookup side (it would appear 4x un-checkpointed)
+    assert plan.count("lineitem.parquet") == 0, plan
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    # LIMIT 200 over the grouped counts must plan as
+    # TakeOrderedAndProject (per-partition top-k, no global sort), with
+    # a partial count before the token exchange (map-side combine).
+    plan = formatted_plan(q(spark, "q80_vocab_topk", sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_hash_split_single_shuffle(spark, sf_dir):
+    # The split is pure column math: exactly one exchange (the final
+    # small agg), nothing upstream of it.
+    plan = formatted_plan(q(spark, "q77_hash_split", sf_dir))
+    assert plan.count("Exchange") <= 2, plan  # agg exchange (+AQE read)
+    assert "Join" not in plan, plan
