@@ -120,6 +120,7 @@ def sql_davg(expr: str) -> str:
 def load_all() -> None:
     """Import all query modules so REGISTRY is fully populated."""
     from ipes_data_pipeline_spark.queries import (  # noqa: F401
+        curation,
         dataops,
         extras,
         relational,

@@ -1,0 +1,355 @@
+"""Training-data curation operators, round 2 of the family started in
+dataops.py (q77–q80): chunking, repetition scoring, benchmark
+contamination, rolling windows, language rebalancing, bigram vocab,
+TF-IDF.  Reference anchors: the reference's text normalization + dedup
+funnel (structure_data.py:125-211) stops at entity names; these extend
+the same funnel to document corpora the way a pretraining pipeline
+needs (quality gate -> dedup -> contamination -> pack/chunk).
+
+All expressions are higher-order array/string functions (JVM codegen,
+no Python UDFs), each with an exact DuckDB twin:
+
+- q81 fixed-width char chunking with overlap (sequence + explode);
+- q82 duplicate-trigram fraction (the Gopher repetition signal);
+- q83 train/benchmark contamination via distinct-shingle semi-join;
+- q84 per-customer 30-day rolling spend (RANGE frame);
+- q85 per-language rebalancing downsample (content-addressed buckets);
+- q86 bigram counts (BPE pair-count analog);
+- q87 TF-IDF-style top term per document (tf/df argmax).
+
+Scale notes are on each query; none shuffles more than once beyond its
+final aggregate, and the single broadcast (q83) is vocabulary-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ipes_data_pipeline_spark.functions.text import shingles, tokens
+from ipes_data_pipeline_spark.queries import register, t
+
+SQL_TOKENS = (
+    "list_filter(string_split_regex(lower({c}), '\\W+'), x -> x <> '')"
+)
+
+# --------------------------------------------------- fixed-width chunking
+
+_CHUNK, _STRIDE = 512, 448  # 64-char overlap between neighbours
+
+
+@register(
+    "q81_chunk_documents",
+    "curation: overlapping fixed-width char chunks (context-window prep)",
+    f"""WITH ks AS (
+         SELECT doc_id, text,
+                unnest(range(0, greatest((length(text) - 1) // {_STRIDE}, 0) + 1)) AS k
+         FROM documents)
+       SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+              CAST(length(substr(text, CAST(1 + k * {_STRIDE} AS INT), {_CHUNK})) AS INT)
+                AS chunk_len,
+              md5(substr(text, CAST(1 + k * {_STRIDE} AS INT), {_CHUNK})) AS chunk_md5
+       FROM ks""",
+)
+def q81(spark, sf):
+    # Chunk starts are derivable per row (sequence + explode), so the
+    # operator is embarrassingly parallel: no shuffle at all, and output
+    # rows inherit the scan's partitioning. Overlap (stride < width)
+    # keeps boundary context — the standard context-window prep.
+    n = F.length("text")
+    ks = F.sequence(
+        F.lit(0).cast("long"),
+        F.floor(F.greatest(n - 1, F.lit(0)) / _STRIDE).cast("long"),
+    )
+    chunk = F.col("text").substr(
+        (F.col("k") * _STRIDE + 1).cast("int"), F.lit(_CHUNK)
+    )
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", "text", F.explode(ks).alias("k"))
+        .select(
+            "doc_id",
+            F.col("k").alias("chunk_idx"),
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+# ------------------------------------------------- repetition (dup 3-grams)
+
+
+def _ngrams(tok_col, n: int):
+    """Non-distinct n-gram list (space-joined); empty when < n tokens."""
+    idx = F.sequence(F.lit(1), F.size(tok_col) - (n - 1))
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok_col, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(tok_col) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _q82_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    tri = (
+        "CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), "
+        "i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) ELSE [] END"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+g AS (SELECT doc_id, {tri} AS tri FROM d)
+SELECT doc_id,
+       CAST(len(tri) AS INT) AS n_trigrams,
+       CASE WHEN len(tri) > 0
+            THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+                   / CAST(len(tri) AS DOUBLE)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM g
+"""
+
+
+@register(
+    "q82_repetition_score",
+    "curation: duplicate-trigram fraction (Gopher-style repetition gate)",
+    _q82_oracle(),
+)
+def q82(spark, sf):
+    # Repetitious documents (boilerplate, scraped nav bars, degenerate
+    # generations) score high and get gated. Pure per-row array math —
+    # zero shuffles; the ratio is one int division so it hashes
+    # identically cross-engine.
+    tri = _ngrams(tokens(F.col("text")), 3)
+    n = F.size(tri)
+    dup = n - F.size(F.array_distinct(tri))
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        n.alias("n_trigrams"),
+        F.when(n > 0, dup.cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+
+
+# ------------------------------------------ benchmark contamination check
+
+
+def _q83_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    sh = (
+        "CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) "
+        "ELSE [] END"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({sh}) AS s FROM d),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0)
+SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_shared_shingles
+FROM sh JOIN bench USING (s)
+WHERE doc_id % 23 <> 0
+GROUP BY doc_id
+"""
+
+
+def contamination_overlap(docs, id_col, text_col, bench_pred, n: int = 5):
+    """Per-training-doc count of distinct n-token shingles shared with
+    the benchmark subset (rows where ``bench_pred`` holds). Docs with no
+    overlap are absent — the common "flag and drop" contract.
+
+    The benchmark shingle set is benchmark-sized — always the broadcast
+    side — so the probe over the (much larger) training corpus never
+    shuffles; only the tiny per-doc count does.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), n)).alias("s")
+    )
+    bench = sh.where(bench_pred(F.col(id_col))).select("s").distinct()
+    return (
+        sh.where(~bench_pred(F.col(id_col)))
+        .join(F.broadcast(bench), "s")
+        .groupBy(id_col)
+        .agg(F.countDistinct("s").alias("n_shared_shingles"))
+    )
+
+
+@register(
+    "q83_contamination_check",
+    "curation: train docs sharing 5-gram shingles with a benchmark set",
+    _q83_oracle(),
+)
+def q83(spark, sf):
+    # Decontamination: any training document sharing a 5-token shingle
+    # with the held-out benchmark (here: doc_id % 23) is flagged with its
+    # overlap count.
+    return contamination_overlap(
+        t(spark, sf, "documents"),
+        "doc_id",
+        "text",
+        lambda ident: ident % 23 == 0,
+        n=5,
+    )
+
+
+# ------------------------------------------------ rolling 30-day window
+
+
+@register(
+    "q84_rolling_30d_spend",
+    "window: per-customer 30-day rolling spend (RANGE frame, not ROWS)",
+    """SELECT o_orderkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+                     RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS spend_30d
+       FROM orders""",
+)
+def q84(spark, sf):
+    # RANGE (value-based) frame, not ROWS: same-day orders are peers and
+    # gaps in the calendar shrink the frame — the semantics a rolling
+    # business metric needs. One shuffle on o_custkey; the frame scan is
+    # a single ordered pass per partition. Decimal-exact sum so the
+    # rolling totals hash identically cross-engine.
+    day = F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+    w = W.partitionBy("o_custkey").orderBy(day).rangeBetween(-29, 0)
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+# ------------------------------------------- language rebalancing sample
+
+
+@register(
+    "q85_lang_rebalance",
+    "curation: per-language content-addressed downsample (cap dominant lang)",
+    """WITH b AS (
+         SELECT lang, n_chars,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+                  AS bucket
+         FROM documents)
+       SELECT lang,
+              COUNT(*) AS n_total,
+              CAST(SUM(CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 100 ELSE 500 END)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(SUM(CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 100 ELSE 500 END)
+                            THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+       FROM b GROUP BY lang""",
+)
+def q85(spark, sf):
+    # Rebalancing an en-dominated corpus: keep 10% of English, 50% of
+    # everything else, membership decided by a content-addressed bucket
+    # (md5 of the id, as q77) so the sample is stable under reshuffles
+    # and incremental appends — per-stratum exact rates without
+    # sampleBy's RNG. Pure column math plus one tiny aggregate.
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    rate = F.when(F.col("lang") == "en", 100).otherwise(500)
+    kept = (bucket < rate).cast("long")
+    return (
+        t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(kept * F.col("n_chars")).alias("kept_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------- bigram counts
+
+
+def _q86_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    big = (
+        "CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), "
+        "i -> w[i] || ' ' || w[i + 1]) ELSE [] END"
+    )
+    return f"""
+WITH d AS (SELECT {toks} AS w FROM documents),
+g AS (SELECT unnest({big}) AS bigram FROM d)
+SELECT bigram, COUNT(*) AS cnt FROM g GROUP BY bigram
+ORDER BY cnt DESC, bigram ASC LIMIT 100
+"""
+
+
+@register(
+    "q86_bigram_topk",
+    "curation: top adjacent-pair counts (the BPE merge-candidate scan)",
+    _q86_oracle(),
+)
+def q86(spark, sf):
+    # The inner loop of BPE vocabulary induction: count adjacent token
+    # pairs, take the most frequent. Same shape as q80 — map-side
+    # combine collapses each partition's pair stream before the shuffle,
+    # and LIMIT plans as TakeOrderedAndProject (no global sort).
+    return (
+        t(spark, sf, "documents")
+        .select(F.explode(_ngrams(tokens(F.col("text")), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(100)
+    )
+
+
+# ------------------------------------------------- TF-IDF top term per doc
+
+
+def _q87_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+tf AS (SELECT doc_id, unnest(w) AS tok FROM d),
+tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tf GROUP BY doc_id, tok),
+dfc AS (SELECT tok, COUNT(*) AS df FROM tfc GROUP BY tok),
+scored AS (
+  SELECT t.doc_id, t.tok,
+         CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS score,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) DESC,
+                                     t.tok ASC) AS rn
+  FROM tfc t JOIN dfc d USING (tok))
+SELECT doc_id, tok AS top_tok, score FROM scored WHERE rn = 1
+"""
+
+
+@register(
+    "q87_tfidf_top_term",
+    "curation: most characteristic term per doc (tf/df argmax)",
+    _q87_oracle(),
+)
+def q87(spark, sf):
+    # Two-stage distributive agg: per-(doc,term) counts, then the term's
+    # document frequency derived FROM that table (one row per doc-term,
+    # so COUNT(*) is the df) — the raw corpus is scanned once. df is
+    # vocabulary-sized, hence broadcast; tf/df is one double division so
+    # the score hashes identically cross-engine. ln(N/df) is a constant
+    # monotone reweighting per term — omitted to keep the oracle exact.
+    tfc = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tfc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf").cast("double") / F.col("df").cast("double")
+    w = W.partitionBy("doc_id").orderBy(F.desc(score), F.asc("tok"))
+    return (
+        tfc.join(F.broadcast(dfc), "tok")
+        .select("doc_id", "tok", score.alias("score"), F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_tok"), "score")
+    )

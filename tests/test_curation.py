@@ -1,0 +1,97 @@
+"""Semantic units for the curation operators (q81–q87) beyond the
+oracle hash-match: coverage/overlap invariants for chunking, extreme
+cases for the repetition score, and planted-overlap contamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ipes_data_pipeline_spark.queries import REGISTRY, load_all
+from ipes_data_pipeline_spark.queries.curation import (
+    _CHUNK,
+    _STRIDE,
+    _ngrams,
+    contamination_overlap,
+)
+
+load_all()
+
+
+def test_chunking_covers_every_char_with_fixed_overlap(spark, sf_dir):
+    chunks = REGISTRY["q81_chunk_documents"].spark(spark, sf_dir)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+            F.min("chunk_idx").alias("min_idx"),
+            F.max_by("chunk_len", "chunk_idx").alias("last_len"),
+        )
+        .join(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "n_chars"
+            ),
+            "doc_id",
+        )
+        .collect()
+    )
+    assert per_doc
+    for r in per_doc:
+        # contiguous indices 0..k, count = floor((n-1)/stride)+1
+        assert r["min_idx"] == 0
+        assert r["n_chunks"] == r["max_idx"] + 1
+        assert r["n_chunks"] == (r["n_chars"] - 1) // _STRIDE + 1
+        # the last chunk ends exactly at the document's end: every char
+        # is covered once the (CHUNK - STRIDE)-char overlaps are stitched
+        assert r["max_idx"] * _STRIDE + r["last_len"] == r["n_chars"]
+        # non-final chunks are full width
+        if r["n_chunks"] > 1:
+            assert r["last_len"] <= _CHUNK
+
+
+def test_repetition_score_extremes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # one distinct trigram
+            (2, "alpha bravo charlie delta echo foxtrot"),  # all distinct
+            (3, "too short"),  # < 3 tokens -> 0 trigrams, frac 0.0
+        ],
+        "doc_id long, text string",
+    )
+    tri = _ngrams(F.split(F.lower("text"), r"\W+"), 3)
+    n = F.size(tri)
+    dup = n - F.size(F.array_distinct(tri))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            n.alias("n_tri"),
+            F.when(n > 0, dup.cast("double") / n.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("frac"),
+        ).collect()
+    }
+    assert out[1]["n_tri"] == 4 and out[1]["frac"] == 0.75  # 1 distinct of 4
+    assert out[2]["frac"] == 0.0
+    assert out[3]["n_tri"] == 0 and out[3]["frac"] == 0.0
+
+
+def test_contamination_flags_planted_overlap_only(spark):
+    bench_text = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (23, bench_text),  # benchmark doc (id % 23 == 0)
+            (24, "zz " + bench_text + " yy"),  # copies benchmark 5-grams
+            (25, "totally different words with no shared run at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared_shingles"]
+        for r in contamination_overlap(
+            docs, "doc_id", "text", lambda i: i % 23 == 0, n=5
+        ).collect()
+    }
+    # doc 24 contains all 4 of the benchmark's 5-gram shingles; doc 25
+    # and the benchmark doc itself are absent
+    assert got == {24: 4}

@@ -115,6 +115,23 @@ def test_vocab_topk_is_take_ordered(spark, sf_dir):
     assert "partial_count" in plan, plan
 
 
+def test_contamination_probe_is_broadcast(spark, sf_dir):
+    # The benchmark shingle set must broadcast: the training-corpus probe
+    # side reaches the join without an exchange; the only shuffles are
+    # the benchmark distinct and the tiny per-doc count.
+    plan = formatted_plan(q(spark, "q83_contamination_check", sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bigram_topk_is_take_ordered(spark, sf_dir):
+    # Same contract as q80: map-side combine before the pair-key
+    # exchange, LIMIT planned as per-partition top-k.
+    plan = formatted_plan(q(spark, "q86_bigram_topk", sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan
+
+
 def test_hash_split_single_shuffle(spark, sf_dir):
     # The split is pure column math: exactly one exchange (the final
     # small agg), nothing upstream of it.
