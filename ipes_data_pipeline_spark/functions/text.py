@@ -33,7 +33,14 @@ def distinct_tokens(col) -> Column:
 
 
 def shingles(tok_col: Column, n: int = 3) -> Column:
-    """Distinct n-token shingles (space-joined). Empty when < n tokens."""
+    """Distinct n-token shingles (space-joined). Empty when < n tokens.
+
+    ``tok_col`` MUST be a materialized column (``.select(tokens(...)
+    .alias("toks"))`` first), not the raw ``tokens(...)`` expression:
+    Catalyst performs no common-subexpression elimination inside lambda
+    bodies, so an inlined tokenizer would re-split the whole document at
+    every shingle position — O(n²) per document.
+    """
     idx = F.sequence(F.lit(1), F.size(tok_col) - (n - 1))
     make = F.transform(
         idx,

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ipes_data_pipeline_spark.functions.text import shingles, tokens
+from ipes_data_pipeline_spark.operators.util import spread
 from ipes_data_pipeline_spark.queries import register, t
 
 SQL_TOKENS = (
@@ -80,7 +81,11 @@ def q81(spark, sf):
 
 
 def _ngrams(tok_col, n: int):
-    """Non-distinct n-gram list (space-joined); empty when < n tokens."""
+    """Non-distinct n-gram list (space-joined); empty when < n tokens.
+
+    Pass a materialized token column, never the raw ``tokens(...)``
+    expression — no CSE inside lambda bodies (see functions.text.shingles).
+    """
     idx = F.sequence(F.lit(1), F.size(tok_col) - (n - 1))
     make = F.transform(
         idx,
@@ -121,16 +126,24 @@ def q82(spark, sf):
     # Repetitious documents (boilerplate, scraped nav bars, degenerate
     # generations) score high and get gated. Pure per-row array math —
     # zero shuffles; the ratio is one int division so it hashes
-    # identically cross-engine.
-    tri = _ngrams(tokens(F.col("text")), 3)
-    n = F.size(tri)
-    dup = n - F.size(F.array_distinct(tri))
-    return t(spark, sf, "documents").select(
-        "doc_id",
-        n.alias("n_trigrams"),
-        F.when(n > 0, dup.cast("double") / n.cast("double"))
-        .otherwise(F.lit(0.0))
-        .alias("dup_trigram_frac"),
+    # identically cross-engine. Tokens are materialized as a column
+    # BEFORE the n-gram transform: Catalyst does no CSE inside lambda
+    # bodies, so passing the raw tokenize expression would re-split the
+    # whole document at every n-gram position (O(n²) per doc).
+    tri = _ngrams(F.col("toks"), 3)
+    n = F.size(F.col("tri"))
+    dup = n - F.size(F.array_distinct(F.col("tri")))
+    return (
+        spread(t(spark, sf, "documents"))
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", tri.alias("tri"))
+        .select(
+            "doc_id",
+            n.alias("n_trigrams"),
+            F.when(n > 0, dup.cast("double") / n.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_trigram_frac"),
+        )
     )
 
 
@@ -162,14 +175,24 @@ def contamination_overlap(docs, id_col, text_col, bench_pred, n: int = 5):
 
     The benchmark shingle set is benchmark-sized — always the broadcast
     side — so the probe over the (much larger) training corpus never
-    shuffles; only the tiny per-doc count does.
+    shuffles; only the tiny per-doc count does. Each side filters its
+    rows BEFORE shingling (the expensive per-row stage), so the corpus
+    is tokenized exactly once across the two branches, and ``spread``
+    keeps the per-row stage parallel when the scan is a single file.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), n)).alias("s")
-    )
-    bench = sh.where(bench_pred(F.col(id_col))).select("s").distinct()
+    docs = spread(docs)
+
+    def sh(d):
+        # two-step select: tokens land in a real column before the
+        # shingle transform references them (no CSE inside lambdas —
+        # inlining the tokenizer would be O(n²) per document)
+        return d.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("toks")
+        ).select(F.col(id_col), F.explode(shingles(F.col("toks"), n)).alias("s"))
+
+    bench = sh(docs.where(bench_pred(F.col(id_col)))).select("s").distinct()
     return (
-        sh.where(~bench_pred(F.col(id_col)))
+        sh(docs.where(~bench_pred(F.col(id_col))))
         .join(F.broadcast(bench), "s")
         .groupBy(id_col)
         .agg(F.countDistinct("s").alias("n_shared_shingles"))
@@ -296,8 +319,9 @@ def q86(spark, sf):
     # combine collapses each partition's pair stream before the shuffle,
     # and LIMIT plans as TakeOrderedAndProject (no global sort).
     return (
-        t(spark, sf, "documents")
-        .select(F.explode(_ngrams(tokens(F.col("text")), 2)).alias("bigram"))
+        spread(t(spark, sf, "documents"))
+        .select(tokens(F.col("text")).alias("toks"))
+        .select(F.explode(_ngrams(F.col("toks"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("bigram"))
