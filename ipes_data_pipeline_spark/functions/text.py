@@ -166,3 +166,28 @@ def langid_struct(tok_col: Column) -> list[Column]:
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
         best = s if best is None else F.greatest(s, best)
     return [*scores.values(), pred.alias("pred_lang")]
+
+
+#: PII scrub patterns, applied in order. Pattern syntax is restricted to
+#: the Java-regex ∩ RE2 common subset (no backrefs, no lookaround) so the
+#: engine and the DuckDB oracle match identical spans. Email runs first
+#: (its local part may contain digits the later numeric patterns would
+#: otherwise split); the 3-2-4 id shape and the +1 phone shape are
+#: disjoint, so their order is immaterial.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>"),
+    (r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Chained global regexp_replace over :data:`PII_PATTERNS`.
+
+    JVM-side (whole-stage codegen), no Python in the hot path; at 100 TB
+    this is a pure map stage that inherits the scan's partitioning.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col

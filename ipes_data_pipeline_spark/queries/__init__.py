@@ -123,6 +123,7 @@ def load_all() -> None:
         curation,
         dataops,
         extras,
+        prep,
         relational,
         tpch_shapes,
         windows_batch,

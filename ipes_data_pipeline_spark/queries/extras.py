@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ipes_data_pipeline_spark.queries import register, t
+from ipes_data_pipeline_spark.queries import dsum, register, sql_dsum, t
 
 # --------------------------------------------------------------- cube
 
@@ -225,4 +225,85 @@ def q65(spark, sf):
         F.coalesce("F", F.lit(0)).alias("status_F"),
         F.coalesce("O", F.lit(0)).alias("status_O"),
         F.coalesce("P", F.lit(0)).alias("status_P"),
+    )
+
+
+# --------------------------------------------------------------- full outer
+
+
+@register(
+    "q88_full_outer_join",
+    "F-family: full outer join (reconcile two partial views, null both sides)",
+    f"""WITH l AS (SELECT c_custkey, c_acctbal FROM customer
+                   WHERE c_mktsegment = 'FURNITURE'),
+         r AS (SELECT o_custkey, COUNT(*) AS n_f_orders,
+                      {sql_dsum('o_totalprice')} AS f_spend
+               FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+       SELECT COALESCE(l.c_custkey, r.o_custkey) AS custkey,
+              l.c_acctbal AS c_acctbal,
+              r.n_f_orders AS n_f_orders,
+              r.f_spend AS f_spend
+       FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey""",
+)
+def q88(spark, sf):
+    # Both inputs are PARTIAL views (a segment of customers; only
+    # finished orders), so unmatched rows exist on both sides — the
+    # reconciliation shape full outer exists for. One shuffle on the
+    # key; at scale the smaller side would broadcast but full outer
+    # forbids it, so SMJ on custkey is the right (and chosen) plan.
+    left = (
+        t(spark, sf, "customer")
+        .where(F.col("c_mktsegment") == "FURNITURE")
+        .select("c_custkey", "c_acctbal")
+    )
+    right = (
+        t(spark, sf, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_f_orders"),
+            dsum("o_totalprice", "f_spend"),
+        )
+    )
+    return left.join(
+        right, left.c_custkey == right.o_custkey, "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_acctbal",
+        "n_f_orders",
+        "f_spend",
+    )
+
+
+# --------------------------------------------------------------- unpivot
+
+
+@register(
+    "q89_unpivot",
+    "E-family: unpivot / melt (wide measures -> long key-value rows)",
+    f"""WITH w AS (SELECT l_returnflag,
+                          {sql_dsum('l_quantity')} AS sum_qty,
+                          {sql_dsum('l_extendedprice')} AS sum_price,
+                          {sql_dsum('l_discount')} AS sum_disc
+                   FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+       UNION ALL
+       SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM w
+       UNION ALL
+       SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM w""",
+)
+def q89(spark, sf):
+    # unpivot is the Spark-native melt: no join, no shuffle beyond the
+    # feeding aggregate — each wide row fans out to k long rows in place.
+    wide = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_price"),
+            dsum("l_discount", "sum_disc"),
+        )
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
     )
