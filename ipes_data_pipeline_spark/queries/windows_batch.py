@@ -17,6 +17,7 @@ value-hash gate covers them too:
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ipes_data_pipeline_spark.operators.similarity import ann_topk_ivf
 from ipes_data_pipeline_spark.queries import register, t
@@ -137,4 +138,38 @@ def q57(spark, sf):
         emb.filter(F.col("vec_id") == 7),
         probe_dims=(1, 9, 17),
         k=10,
+    )
+
+
+@register(
+    "q93_window_surface",
+    "G-family: remaining window surface (ntile/cume_dist/first/last/lead)",
+    """SELECT o_orderkey,
+              ntile(4) OVER w AS quartile,
+              cume_dist() OVER w AS cd,
+              first_value(o_totalprice) OVER w AS first_price,
+              last_value(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS last_price,
+              lead(o_orderkey, 1, -1) OVER w AS next_orderkey
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+)
+def q93(spark, sf):
+    # The window functions q32/q33 left out. Ordering key (o_orderdate,
+    # o_orderkey) is unique per partition, so every function is
+    # deterministic — including last_value, whose frame is widened to the
+    # full partition (the default frame stops at CURRENT ROW, making
+    # last_value a no-op trap both engines share). One shuffle on
+    # o_custkey serves all five functions (single Window node).
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.lead("o_orderkey", 1, -1).over(w).alias("next_orderkey"),
     )

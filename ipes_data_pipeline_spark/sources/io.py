@@ -58,3 +58,15 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
 def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema-enforced ORC read. Same predicate-pushdown/column-pruning
+    contract as parquet (both columnar with min/max stripe stats); offered
+    for lakes standardized on ORC."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, single_file: bool = False) -> None:
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").orc(path)

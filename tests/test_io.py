@@ -57,3 +57,13 @@ def test_json_schema_mismatch_is_permissive(spark, tmp_path):
     assert rows["ok"]["n"] == 5
     # malformed field nulls out; the scan does not abort
     assert back.count() == 2
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from ipes_data_pipeline_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path, SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
