@@ -50,6 +50,13 @@ HEADLINE = [
     "q77_hash_split",
     "q78_pack_sequences",
     "q80_vocab_topk",
+    "q82_repetition_score",
+    "q83_contamination_check",
+    "q86_bigram_topk",
+    "q87_tfidf_top_term",
+    "q90_pii_redact",
+    "q91_kmeans_assign",
+    "q92_neardup_resolution",
 ]
 
 
