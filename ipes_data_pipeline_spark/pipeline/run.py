@@ -83,7 +83,10 @@ def run_pipeline(
 
         with timed("silver"):
             flat = spark.read.parquet(paths["bronze"])
-            star = structure(flat)
+            # persist=True: the two sinks below share the per-entity
+            # aggregate (and the whole dedup subtree above it) — cached
+            # once instead of executed once per sink
+            star = structure(flat, persist=True)
             checked = validate(star.companies, company_constraints())
             checked.valid.write.mode("overwrite").parquet(
                 os.path.join(paths["silver"], "companies")
@@ -92,6 +95,7 @@ def run_pipeline(
                 os.path.join(paths["silver"], "filings")
             )
             report = validation_report(checked)
+            star.unpersist()
 
         companies = spark.read.parquet(os.path.join(paths["silver"], "companies"))
         filings = spark.read.parquet(os.path.join(paths["silver"], "filings"))

@@ -76,15 +76,27 @@ class StarSchema:
     companies: DataFrame
     filings: DataFrame
     companies_nested: DataFrame
+    #: shared per-entity parent when built with ``persist=True``
+    _gated: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self._gated is not None:
+            self._gated.unpersist()
 
 
-def build_star(filings_flat: DataFrame) -> StarSchema:
+def build_star(filings_flat: DataFrame, persist: bool = False) -> StarSchema:
     """Group filings per canonical entity → company dim + filing fact.
 
     One shuffle on ``canonical_name`` produces every per-entity aggregate
     (count, representative name via max_by-on-length, latest date,
     boolean ANY applicant flag, nested filing list) in a single pass —
     the reference does five Python loops over the same groups.
+
+    ``persist=True`` caches that shared per-entity frame (MEMORY_AND_DISK,
+    spillable) so writing companies, filings and the nested layer executes
+    the aggregation — and everything upstream of it, including the dedup
+    joins — once instead of once per sink. Call ``StarSchema.unpersist()``
+    after the sinks run.
     """
     per_entity = filings_flat.groupBy("canonical_name").agg(
         F.max_by("company_name", F.length("company_name")).alias("entity_name"),
@@ -113,6 +125,8 @@ def build_star(filings_flat: DataFrame) -> StarSchema:
         .filter((F.col("_has_application") == 1) & (F.col("entity_type") == "Company"))
         .withColumn("id", deterministic_key("canonical_name"))
     )
+    if persist:
+        gated = gated.persist()
     companies = gated.select(
         "id",
         "entity_name",
@@ -142,13 +156,15 @@ def build_star(filings_flat: DataFrame) -> StarSchema:
         F.col("f.filing_status").alias("status"),
         F.element_at(F.col("f.document_urls"), 1).alias("primary_doc_url"),
     )
-    return StarSchema(companies, filings, companies_nested)
+    return StarSchema(
+        companies, filings, companies_nested, _gated=gated if persist else None
+    )
 
 
-def structure(flat: DataFrame, max_edits: int = 2) -> StarSchema:
+def structure(flat: DataFrame, max_edits: int = 2, persist: bool = False) -> StarSchema:
     """Full silver stage: filter → normalize → dedup → star."""
     relevant = with_normalized_names(exclude_institutions(filter_relevant(flat)))
-    return build_star(with_canonical_names(relevant, max_edits))
+    return build_star(with_canonical_names(relevant, max_edits), persist=persist)
 
 
 #: Blocking key used by the fuzzy dedup (dedupe_fuzzy default): fuzzy
