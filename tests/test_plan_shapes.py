@@ -138,3 +138,28 @@ def test_hash_split_single_shuffle(spark, sf_dir):
     plan = formatted_plan(q(spark, "q77_hash_split", sf_dir))
     assert plan.count("Exchange") <= 2, plan  # agg exchange (+AQE read)
     assert "Join" not in plan, plan
+
+
+def test_full_outer_is_sort_merge(spark, sf_dir):
+    # Full outer cannot broadcast either side (null rows must surface
+    # from both); the plan must be a shuffle join on the key.
+    plan = formatted_plan(q(spark, "q88_full_outer_join", sf_dir))
+    assert "FullOuter" in plan, plan
+    assert any(op in plan for op in ("SortMergeJoin", "ShuffledHashJoin")), plan
+
+
+def test_pii_redact_is_pure_map(spark, sf_dir):
+    # Chained regexp_replace is a map-only plan: no exchange, no join —
+    # the stage inherits the scan's partitioning at any scale.
+    plan = formatted_plan(q(spark, "q90_pii_redact", sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_kmeans_scoring_broadcasts_centroids(spark, sf_dir):
+    # Centroid scoring must broadcast the (tiny) centroid side; the
+    # embedding table reaches the argmin window without a pre-join
+    # shuffle. The window + final per-cluster agg are the only exchanges.
+    plan = formatted_plan(q(spark, "q91_kmeans_assign", sf_dir))
+    assert "Broadcast" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
