@@ -113,3 +113,51 @@ def stream_gold_enrichment(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_gold_upsert(
+    spark: SparkSession,
+    companies_stream: DataFrame,
+    filings: DataFrame,
+    cache_dir: str,
+    gold_dir: str,
+    checkpoint_dir: str,
+    backend: Callable | None = None,
+    available_now: bool = True,
+):
+    """Streaming enrichment whose gold sink is MERGED, not appended.
+
+    :func:`stream_gold_enrichment` appends — replaying or re-enriching a
+    company accumulates duplicate gold rows (the test suite demonstrates
+    it). This variant upserts each micro-batch on ``id`` via
+    :func:`~ipes_data_pipeline_spark.operators.upsert.upsert_partitioned`,
+    so gold converges to one row per company no matter how batches
+    replay. Gold is partitioned by the first hex char of the key
+    (16 stable buckets): an upsert rewrites only the buckets its batch
+    touches, and the bucket of a key never changes.
+    """
+    from pyspark.sql import functions as F
+
+    from ipes_data_pipeline_spark.operators.upsert import upsert_partitioned
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        try:
+            cache = s.read.schema(ENRICHMENT_CACHE).parquet(cache_dir)
+        except Exception:
+            cache = s.createDataFrame([], ENRICHMENT_CACHE)
+        out = build_gold(batch_df, filings, cache, backend=backend)
+        out.new_cache_rows.coalesce(1).write.mode("append").parquet(cache_dir)
+        enriched = out.enriched.withColumn(
+            "id_bucket", F.substring("id", 1, 1)
+        )
+        upsert_partitioned(s, gold_dir, enriched, ["id"], "id_bucket")
+
+    writer = (
+        companies_stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

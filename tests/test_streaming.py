@@ -179,3 +179,47 @@ def test_incremental_medallion(spark, tmp_path):
     gold2 = spark.read.parquet(gold_dir)
     assert gold2.count() == 2 * companies.count()
     assert gold2.filter(F.col("industry_segment").isNull()).count() == 0
+
+
+def test_gold_upsert_converges(spark, tmp_path):
+    """stream_gold_upsert: replaying the same companies merges on id —
+    gold stays one row per company (the append variant doubles)."""
+    from ipes_data_pipeline_spark.pipeline.bronze import flatten_filings
+    from ipes_data_pipeline_spark.pipeline.silver import structure
+    from ipes_data_pipeline_spark.schemas import RAW_FILING_NESTED
+    from ipes_data_pipeline_spark.streaming.medallion import stream_gold_upsert
+
+    star = structure(
+        flatten_filings(spark.createDataFrame(RAW_FILINGS, RAW_FILING_NESTED))
+    )
+    silver_dir = str(tmp_path / "silver_companies")
+    star.companies.write.parquet(silver_dir)
+    star.filings.write.parquet(str(tmp_path / "silver_filings"))
+    companies = spark.read.parquet(silver_dir)
+    filings = spark.read.parquet(str(tmp_path / "silver_filings"))
+    n = companies.count()
+
+    cache_dir = str(tmp_path / "cache")
+    gold_dir = str(tmp_path / "gold")
+    comp_stream = spark.readStream.schema(companies.schema).parquet(silver_dir)
+
+    q = stream_gold_upsert(
+        spark, comp_stream, filings, cache_dir, gold_dir,
+        str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+    gold = spark.read.parquet(gold_dir)
+    assert gold.count() == n
+    assert gold.select("id").distinct().count() == n
+
+    # replay with a fresh checkpoint: same companies re-enriched from
+    # cache; gold must CONVERGE (merge on id), not double
+    q = stream_gold_upsert(
+        spark, comp_stream, filings, cache_dir, gold_dir,
+        str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(120)
+    gold2 = spark.read.parquet(gold_dir)
+    assert gold2.count() == n
+    assert gold2.select("id").distinct().count() == n
+    assert gold2.filter(F.col("industry_segment").isNull()).count() == 0
