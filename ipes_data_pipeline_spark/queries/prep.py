@@ -209,3 +209,125 @@ def q92(spark, sf):
     return agg.join(reps, "cluster_id").select(
         "cluster_id", "n_members", "total_chars", "rep_doc_id"
     )
+
+
+# -------------------------------- sketch quality: minhash est vs exact
+
+
+def _q94_oracle() -> str:
+    from ipes_data_pipeline_spark.queries.dataops import _q42_oracle
+
+    base = _q42_oracle().strip().removeprefix("WITH").rsplit("SELECT DISTINCT", 1)[0]
+    est = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    return f"""
+WITH {base.strip().rstrip(',')},
+p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id)
+SELECT p.id_a, p.id_b,
+       CAST(({est}) AS DOUBLE) / 8.0 AS est_jaccard,
+       CAST(len(list_intersect(ha.shingles, hb.shingles)) AS DOUBLE)
+         / CAST(len(list_distinct(ha.shingles || hb.shingles)) AS DOUBLE)
+         AS exact_jaccard
+FROM p JOIN sigs sa ON sa.id = p.id_a
+       JOIN sigs sb ON sb.id = p.id_b
+       JOIN sh ha ON ha.id = p.id_a
+       JOIN sh hb ON hb.id = p.id_b
+"""
+
+
+@register(
+    "q94_minhash_quality",
+    "dedup: sketch quality — MinHash-estimated vs exact Jaccard per candidate",
+    _q94_oracle(),
+)
+def q94(spark, sf):
+    # The calibration query behind every MinHash threshold choice: for
+    # each LSH candidate pair, the signature-agreement estimate next to
+    # the exact shingle Jaccard. Signatures and shingle sets are staged
+    # projections (computed once per doc, checkpointed band table feeds
+    # the pair join); the per-pair math is array intersect/union on
+    # already-distinct shingle arrays. At scale the pair set is LSH-
+    # bounded, so the exact refine touches candidates only — never n².
+    from ipes_data_pipeline_spark.functions.text import (
+        minhash_slice,
+        shingle_hashes,
+        shingles,
+        tokens,
+    )
+    from ipes_data_pipeline_spark.operators.dedup_minhash import minhash_lsh_pairs
+    from ipes_data_pipeline_spark.operators.util import spread
+
+    docs = t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2)
+    sh_df = (
+        spread(docs)
+        .select(F.col("doc_id").alias("id"), tokens(F.col("text")).alias("toks"))
+        .select("id", shingles(F.col("toks"), 3).alias("sh"))
+    )
+    side = sh_df.select(
+        "id",
+        "sh",
+        shingle_hashes(F.col("sh"), "0").alias("h0"),
+        shingle_hashes(F.col("sh"), "1").alias("h1"),
+    ).select(
+        "id",
+        "sh",
+        *[minhash_slice(F.col(f"h{i // 4}"), i % 4).alias(f"mh{i}") for i in range(8)],
+    )
+    a = side.alias("a")
+    b = side.alias("b")
+    est = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    exact = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    return (
+        pairs.join(a, pairs.id_a == F.col("a.id"))
+        .join(b, pairs.id_b == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (est.cast("double") / F.lit(8.0)).alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+        )
+    )
+
+
+# ----------------------------------------------- explicit grouping sets
+
+
+@register(
+    "q95_grouping_sets",
+    "E-family: GROUPING SETS with grouping() indicator columns",
+    f"""SELECT o_orderstatus, o_orderpriority,
+              CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+              CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+              COUNT(*) AS n,
+              {{dsum}} AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".format(
+        dsum="CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+    ),
+)
+def q95(spark, sf):
+    # Arbitrary grouping sets (not the rollup/cube lattices q34/q58
+    # already declare): each attribute's marginal plus the grand total in
+    # ONE pass — Spark expands the sets and aggregates once; grouping()
+    # disambiguates a NULL group value from a rolled-up dimension.
+    t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
