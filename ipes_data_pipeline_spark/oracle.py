@@ -67,8 +67,11 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
         problems.append(f"row count differs: spark={len(spark_df)} oracle={len(oracle_df)}")
     a, b = canonicalize(spark_df), canonicalize(oracle_df)
     if a != b:
-        only_spark = [r for r in a if r not in set(b)][:3]
-        only_oracle = [r for r in b if r not in set(a)][:3]
+        # build each membership set once — inside the comprehension the
+        # set literal would be reconstructed per row (O(n²) on big diffs)
+        set_a, set_b = set(a), set(b)
+        only_spark = [r for r in a if r not in set_b][:3]
+        only_oracle = [r for r in b if r not in set_a][:3]
         problems.append(
             f"values differ; sample only-in-spark={only_spark} only-in-oracle={only_oracle}"
         )

@@ -173,3 +173,56 @@ def q93(spark, sf):
         F.last("o_totalprice").over(w_full).alias("last_price"),
         F.lead("o_orderkey", 1, -1).over(w).alias("next_orderkey"),
     )
+
+
+@register(
+    "q96_gap_fill",
+    "time-series: calendar spine + forward-fill (gap months carry last spend)",
+    """WITH m AS (
+         SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS month_spend
+         FROM orders GROUP BY o_custkey, date_trunc('month', o_orderdate)),
+       b AS (SELECT o_custkey, MIN(month) AS lo, MAX(month) AS hi FROM m GROUP BY o_custkey),
+       spine AS (SELECT o_custkey,
+                        unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+                 FROM b)
+       SELECT s.o_custkey, s.month, m.month_spend,
+              last_value(m.month_spend IGNORE NULLS) OVER (
+                PARTITION BY s.o_custkey ORDER BY s.month) AS ff_spend
+       FROM spine s LEFT JOIN m ON m.o_custkey = s.o_custkey AND m.month = s.month""",
+)
+def q96(spark, sf):
+    # Regularize an irregular series: per-customer month spine from first
+    # to last activity (sequence + explode — spine rows are generated
+    # where the customer's data lives, no driver involvement), left join
+    # actuals, forward-fill gaps with last(ignorenulls). The spine grows
+    # with calendar span, not row count; the fill is one partition-local
+    # ordered pass after the join's shuffle on the customer key.
+    # month stays TIMESTAMP on both sides (date_trunc, not a DATE cast):
+    # pandas renders an oracle DATE as midnight datetime64, so a DATE
+    # output would hash-mismatch on representation alone
+    m = (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("month_spend")
+        )
+    )
+    b = m.groupBy("o_custkey").agg(F.min("month").alias("lo"), F.max("month").alias("hi"))
+    spine = b.select(
+        "o_custkey",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("month"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("month")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return spine.join(m, ["o_custkey", "month"], "left").select(
+        "o_custkey",
+        "month",
+        "month_spend",
+        F.last("month_spend", ignorenulls=True).over(w).alias("ff_spend"),
+    )
