@@ -61,6 +61,42 @@ class FileBackedTransport:
             return json.load(f), total
 
 
+@dataclass
+class HttpTransport:
+    """JSON-over-HTTP page transport with bounded retry + backoff
+    (reference ``request_page``, fetch.py:49-87, incl. its retry loop).
+
+    ``GET {base_url}?q=<query>&limit=<limit>&offset=<offset>`` expecting a
+    ``{"total": N, "records": [...]}`` body. Plain-field dataclass, so it
+    pickles into executor tasks; urllib is stdlib (no dependency). Spark
+    task retry handles page-level failure beyond these attempts — a dead
+    page never forces refetching the others.
+    """
+
+    base_url: str
+    max_retries: int = 3
+    backoff_s: float = 0.2
+    timeout_s: float = 30.0
+
+    def __call__(self, query: str, limit: int, offset: int) -> tuple[list[dict], int]:
+        import time
+        import urllib.parse
+        import urllib.request
+
+        qs = urllib.parse.urlencode({"q": query, "limit": limit, "offset": offset})
+        url = f"{self.base_url}?{qs}"
+        err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                with urllib.request.urlopen(url, timeout=self.timeout_s) as resp:
+                    payload = json.loads(resp.read().decode("utf-8"))
+                return payload.get("records", []), int(payload.get("total", 0))
+            except Exception as e:  # noqa: BLE001 — retry any transport error
+                err = e
+                time.sleep(self.backoff_s * (2**attempt))
+        raise err
+
+
 def materialize_pages(
     root: str, query: str, records: list[dict], page_size: int
 ) -> None:
