@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 import time
 from collections.abc import Callable, Iterator
+from dataclasses import dataclass
 
 import pandas as pd
 
@@ -36,6 +37,33 @@ from ipes_data_pipeline_spark.operators.enrich import TokenBucket
 
 #: transport(url) -> bytes; raise for fetch failure
 FetchFn = Callable[[str], bytes]
+
+
+@dataclass
+class HttpFetcher:
+    """HTTP byte-fetch transport with bounded retry + backoff (reference
+    ``download_with_retry``, download_pdfs_robust.py:169-226, incl. its
+    3-attempt loop). Plain-field dataclass so it pickles into executor
+    tasks; urllib is stdlib. Per-document failure beyond these attempts
+    surfaces as an ``ok=false`` manifest row in ``download_documents``,
+    never a task abort."""
+
+    max_retries: int = 3
+    backoff_s: float = 0.2
+    timeout_s: float = 60.0
+
+    def __call__(self, url: str) -> bytes:
+        import urllib.request
+
+        err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                with urllib.request.urlopen(url, timeout=self.timeout_s) as resp:
+                    return resp.read()
+            except Exception as e:  # noqa: BLE001 — retry any transport error
+                err = e
+                time.sleep(self.backoff_s * (2**attempt))
+        raise err
 
 MIN_VALID_BYTES = 1000  # reference download_pdfs_robust.py:268
 
