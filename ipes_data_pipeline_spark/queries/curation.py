@@ -377,3 +377,134 @@ def q87(spark, sf):
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("tok").alias("top_tok"), "score")
     )
+
+
+# ------------------------------------------- unigram surprisal quality score
+
+
+def _q98_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+tk AS (SELECT doc_id, unnest(w) AS tok FROM d),
+tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, tok),
+vocab AS (SELECT tok, SUM(tf) AS cnt FROM tfc GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS n FROM vocab),
+s AS (SELECT tok, CAST(ROUND(LN(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) AS sp
+      FROM vocab, tot)
+SELECT tfc.doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(CAST(tf AS DECIMAL(9,0)) * sp) AS DOUBLE)
+              / CAST(SUM(tf) AS DOUBLE) AS DOUBLE) AS mean_surprisal
+FROM tfc JOIN s USING (tok)
+GROUP BY tfc.doc_id
+"""
+
+
+@register(
+    "q98_unigram_surprisal",
+    "curation: mean unigram surprisal per doc (LM-free quality score)",
+    _q98_oracle(),
+)
+def q98(spark, sf):
+    # Perplexity-style quality signal without a language model: score a
+    # document by the mean -ln p(token) under the corpus's own unigram
+    # distribution (high = rare-token-heavy, low = stopword mush; both
+    # tails get gated in real pipelines). One corpus scan: per-doc term
+    # frequencies feed BOTH the vocabulary rollup and the final join
+    # (q87's derivation trick), so no second tokenize pass exists. The
+    # vocabulary is token-distinct (≪ corpus; Heaps' law) — broadcast.
+    # Cross-engine exactness: ln() is applied once per DISTINCT token,
+    # rounded to 6 dp, fixed to DECIMAL(18,6), and the per-doc mean is an
+    # exact decimal dot product divided by an integer — engines can only
+    # disagree if their libm ln() differs by >5e-7 on integer ratios,
+    # verified not to happen over the counts domain.
+    tfc = (
+        spread(t(spark, sf, "documents"))
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tfc.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    sp = F.round(
+        F.ln(F.col("n").cast("double") / F.col("cnt").cast("double")), 6
+    ).cast("decimal(18,6)")
+    scored = vocab.crossJoin(F.broadcast(total)).select("tok", sp.alias("sp"))
+    return (
+        tfc.join(F.broadcast(scored), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(F.col("tf").cast("decimal(9,0)") * F.col("sp")).cast("double")
+                / F.sum("tf").cast("double")
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+# --------------------------------------- cross-corpus boilerplate (DF gate)
+
+_Q99_DF_MIN = 5  # trigram is "boilerplate" when it appears in >= 5 docs
+
+
+def _q99_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    tri = (
+        "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1), "
+        "i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) ELSE [] END"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+g AS (SELECT doc_id, {tri} AS sh FROM d),
+e AS (SELECT doc_id, unnest(sh) AS sh3 FROM g),
+dfc AS (SELECT sh3, COUNT(*) AS df FROM e GROUP BY sh3)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS INT) AS n_shingles,
+       CAST(SUM(CASE WHEN dfc.df >= {_Q99_DF_MIN} THEN 1 ELSE 0 END) AS INT)
+         AS n_boiler,
+       CAST(CAST(SUM(CASE WHEN dfc.df >= {_Q99_DF_MIN} THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS boiler_frac
+FROM e JOIN dfc USING (sh3)
+GROUP BY e.doc_id
+"""
+
+
+@register(
+    "q99_boilerplate_gate",
+    "curation: cross-corpus boilerplate fraction (trigram document frequency)",
+    _q99_oracle(),
+)
+def q99(spark, sf):
+    # The third leg of the repetition family: q82 scores repetition
+    # WITHIN a doc, q83 checks overlap AGAINST a benchmark, this one
+    # finds template text shared ACROSS the corpus (nav bars, license
+    # headers, scraper artifacts) — a trigram occurring in >= DF_MIN
+    # distinct docs is boilerplate, and a doc is scored by the fraction
+    # of its distinct trigrams that are. Two shuffles, both keyed on the
+    # trigram: the DF rollup (distinct-per-doc shingles, so COUNT(*) is
+    # the document frequency) and the score-back join. The DF table
+    # grows with corpus vocabulary, NOT doc count — but unlike q83's
+    # benchmark side it is not bounded small, so it is a plain shuffle
+    # join, never a broadcast. Docs with < 3 tokens have no trigrams and
+    # drop out (same on both engines). The fraction is int/int — exact.
+    ex = (
+        spread(t(spark, sf, "documents"))
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(shingles(F.col("toks"), 3)).alias("sh3"))
+    )
+    dfc = ex.groupBy("sh3").agg(F.count(F.lit(1)).alias("df"))
+    boiler = F.when(F.col("df") >= _Q99_DF_MIN, 1).otherwise(0)
+    return (
+        ex.join(dfc, "sh3")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(boiler).cast("int").alias("n_boiler"),
+            (F.sum(boiler).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "boiler_frac"
+            ),
+        )
+    )

@@ -773,3 +773,71 @@ def q80(spark, sf):
         .orderBy(F.desc("cnt"), F.asc("tok"))
         .limit(200)
     )
+
+
+# ------------------------------------------------ ordered conversion funnel
+
+_Q100_SQL_ORACLE = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+w1 AS (SELECT *, MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1 FROM e),
+w2 AS (SELECT *, MIN(CASE WHEN event_type = 'view' AND ts >= t1 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2 FROM w1),
+w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t3 FROM w2)
+SELECT user_id,
+       MIN(t1) AS signup_ts,
+       MIN(t2) AS view_ts,
+       MIN(t3) AS purchase_ts,
+       CASE WHEN MIN(t3) IS NOT NULL THEN 'purchase'
+            WHEN MIN(t2) IS NOT NULL THEN 'view'
+            ELSE 'signup' END AS stage
+FROM w3 WHERE t1 IS NOT NULL GROUP BY user_id
+"""
+
+
+@register(
+    "q100_event_funnel",
+    "time-series: ordered conversion funnel (signup -> view -> purchase)",
+    _Q100_SQL_ORACLE,
+)
+def q100(spark, sf):
+    # Product-analytics staple Spark has no primitive for: per user, the
+    # earliest signup, the earliest view AT OR AFTER that signup, and the
+    # earliest purchase at or after THAT view — order matters, so three
+    # pivoted MINs would be wrong. Three stacked whole-partition window
+    # aggregates resolve the chain with ONE exchange: each window uses
+    # the same partitionBy(user_id), so Catalyst plans a single hash
+    # exchange and the final groupBy (already distributed by user_id)
+    # adds none. State per user is three timestamps — no sort, no
+    # collect_list, skew-safe for any per-user event volume.
+    w = W.partitionBy("user_id")
+    step = lambda typ, after: F.min(  # noqa: E731
+        F.when(
+            (F.col("event_type") == typ)
+            & (F.col("ts") >= F.col(after) if after else F.lit(True)),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = (
+        t(spark, sf, "events")
+        .select("user_id", "event_type", "ts")
+        .withColumn("t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w))
+        .withColumn("t2", step("view", "t1"))
+        .withColumn("t3", step("purchase", "t2"))
+    )
+    stage = (
+        F.when(F.col("purchase_ts").isNotNull(), "purchase")
+        .when(F.col("view_ts").isNotNull(), "view")
+        .otherwise("signup")
+    )
+    return (
+        staged.where(F.col("t1").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("t1").alias("signup_ts"),
+            F.min("t2").alias("view_ts"),
+            F.min("t3").alias("purchase_ts"),
+        )
+        .select("user_id", "signup_ts", "view_ts", "purchase_ts", stage.alias("stage"))
+    )

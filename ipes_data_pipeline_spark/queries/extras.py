@@ -307,3 +307,41 @@ def q89(spark, sf):
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
     )
+
+
+# ------------------------------------- correlated scalar subquery (TPC-H Q17)
+
+_Q97_SQL = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+            AS DOUBLE) AS avg_yearly
+FROM {li} , {pa}
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#13'
+  AND CAST(l_quantity AS DECIMAL(12,2)) * CAST(5 AS DECIMAL(1,0))
+        * (SELECT CAST(COUNT(*) AS DECIMAL(9,0)) FROM {li} l2
+           WHERE l2.l_partkey = p_partkey)
+      < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) FROM {li} l2
+         WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register(
+    "q97_sql_correlated_scalar",
+    "SQL entry point: correlated scalar subquery in a predicate (TPC-H Q17)",
+    _Q97_SQL.format(li="lineitem", pa="part"),
+)
+def q97(spark, sf):
+    # The classic small-quantity-revenue query: keep lineitems whose
+    # quantity is below 20% of that part's average. The correlated
+    # condition l_quantity < 0.2*avg(..) is stated as the exact-integer
+    # cross-multiplication 5*qty*cnt < sum(qty) (decimal widths chosen
+    # to stay inside 38 digits in both engines), so row membership can
+    # never flip on a float ulp. Catalyst decorrelates each scalar
+    # subquery to an aggregate-then-join (RewriteCorrelatedScalarSubquery)
+    # and MergeScalarSubqueries fuses the two aggregates over the same
+    # correlation key into one — the physical plan is the same
+    # per-partkey aggregate + join a hand-decorrelated DataFrame version
+    # would build, with the brand filter pushed below both branches.
+    t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
+    t(spark, sf, "part").createOrReplaceTempView("part_v")
+    return spark.sql(_Q97_SQL.format(li="lineitem_v", pa="part_v"))

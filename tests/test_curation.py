@@ -95,3 +95,57 @@ def test_contamination_flags_planted_overlap_only(spark):
     # doc 24 contains all 4 of the benchmark's 5-gram shingles; doc 25
     # and the benchmark doc itself are absent
     assert got == {24: 4}
+
+
+def test_boilerplate_gate_flags_shared_template_only(spark, tmp_path):
+    # 5 docs share the template trigram run; each also has unique text.
+    # DF_MIN = 5, so exactly the template trigrams are boilerplate.
+    template = "all rights reserved worldwide"  # 2 trigrams, df = 5
+    rows = [
+        (i, f"{template} unique{i}a unique{i}b unique{i}c") for i in range(5)
+    ] + [(9, "completely fresh prose with no template at all")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["q99_boilerplate_gate"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    for i in range(5):
+        # 7 tokens -> 5 distinct trigrams; the 2 template ones hit df=5
+        assert out[i]["n_shingles"] == 5
+        assert out[i]["n_boiler"] == 2
+        assert abs(out[i]["boiler_frac"] - 0.4) < 1e-12
+    assert out[9]["n_boiler"] == 0 and out[9]["boiler_frac"] == 0.0
+
+
+def test_event_funnel_orders_stages(spark, tmp_path):
+    from datetime import datetime as dt
+
+    def ts(h):
+        return dt(2024, 1, 1, h)
+
+    rows = [
+        # user 1: clean signup -> view -> purchase
+        (1, "signup", ts(1)), (1, "view", ts(2)), (1, "purchase", ts(3)),
+        # user 2: purchase BEFORE the view chain completes -> stage view
+        (2, "purchase", ts(1)), (2, "signup", ts(2)), (2, "view", ts(3)),
+        # user 3: view before signup doesn't count -> stage signup
+        (3, "view", ts(1)), (3, "signup", ts(2)),
+        # user 4: never signs up -> excluded
+        (4, "view", ts(1)), (4, "purchase", ts(2)),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r["user_id"]: r
+        for r in REGISTRY["q100_event_funnel"].spark(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["stage"] == "purchase" and out[1]["purchase_ts"] == ts(3)
+    assert out[2]["stage"] == "view" and out[2]["purchase_ts"] is None
+    assert out[3]["stage"] == "signup"
+    assert out[3]["view_ts"] is None and out[3]["purchase_ts"] is None
