@@ -57,6 +57,9 @@ HEADLINE = [
     "q90_pii_redact",
     "q91_kmeans_assign",
     "q92_neardup_resolution",
+    "q98_unigram_surprisal",
+    "q99_boilerplate_gate",
+    "q100_event_funnel",
 ]
 
 

@@ -139,3 +139,100 @@ SELECT {g},
        END AS {out}
 FROM est
 """
+
+
+# --------------------------------------------------- Count-Min sketch
+
+CMS_D = 4  # hash rows: the four 32-bit slices of one md5 digest
+CMS_W = 512  # buckets per row
+
+
+def cms_buckets(col) -> "F.Column":
+    """Array of CMS_D bucket indices for a value — the r-th 8-hex-char
+    (32-bit) slice of one md5 digest, mod CMS_W. One md5 pass yields all
+    four hash families (the minhash_slice trick); fixed-width hex keeps
+    the arithmetic identical in any engine with md5 + substr + conv."""
+    col = F.col(col) if isinstance(col, str) else col
+    h = F.md5(col.cast("string"))
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(F.substring(h, r * 8 + 1, 8), 16, 10).cast("long"),
+                F.lit(CMS_W),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+
+
+def cms_table(df: DataFrame, group_cols: list[str], col: str) -> DataFrame:
+    """Per-group Count-Min register table: (group..., r, b, cnt).
+
+    ≤ CMS_D × CMS_W rows per group regardless of input size, and the
+    count combines map-side — the shuffle carries sketch rows, never the
+    stream. Mergeable: re-grouping with SUM on a coarser key unions
+    sketches (see :func:`cms_merge`), the same continuous-aggregate
+    pattern as the HLL registers.
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"), F.element_at("__cb", r + 1).alias("b")
+            )
+            for r in range(CMS_D)
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .withColumn("__cb", cms_buckets(col))
+        .select(*group_cols, F.explode(pairs).alias("__p"))
+        .groupBy(*group_cols, F.col("__p.r").alias("r"), F.col("__p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(cms: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union sketches onto a coarser key: elementwise SUM per (r, b).
+    Exact (counts are additive), associative, order-independent."""
+    return cms.groupBy(*group_cols, "r", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame, col: str) -> DataFrame:
+    """Point-frequency estimates: min over the D bucket counts.
+
+    ``cms`` must be a single (global) sketch table (r, b, cnt); probes
+    gain a ``cms_est`` column. The sketch is CMS_D×CMS_W rows — always
+    broadcast; estimates never shuffle the probe side. Guarantees
+    cms_est >= true count (never under), within eN/W with prob 1-delta^D.
+    """
+    exploded = probes.withColumn("__cb", cms_buckets(col)).select(
+        "*", F.posexplode("__cb").alias("r", "b")
+    )
+    return (
+        exploded.join(F.broadcast(cms), ["r", "b"], "left")
+        .groupBy(*probes.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def sql_cms_estimate(stream: str, probes: str, col: str) -> str:
+    """DuckDB twin: global CMS over ``stream`` (one column ``{col}``),
+    estimates for ``probes`` (must carry {col}; other columns pass
+    through). Same md5-slice buckets, same min-over-rows estimate."""
+    slices = ", ".join(
+        f"(('0x' || substr(h, {r * 8 + 1}, 8))::BIGINT % {CMS_W})" for r in range(CMS_D)
+    )
+    return f"""
+WITH s_h AS (SELECT md5(CAST({col} AS VARCHAR)) AS h FROM {stream}
+             WHERE {col} IS NOT NULL),
+s_b AS (SELECT unnest([{slices}]) AS b,
+               unnest(range({CMS_D})) AS r FROM s_h),
+cms AS (SELECT r, b, COUNT(*) AS cnt FROM s_b GROUP BY r, b),
+p_h AS (SELECT p.*, md5(CAST(p.{col} AS VARCHAR)) AS h FROM {probes} p),
+p_b AS (SELECT p_h.*, unnest([{slices}]) AS b,
+               unnest(range({CMS_D})) AS r FROM p_h),
+est AS (SELECT p_b.* EXCLUDE (h, r, b), MIN(COALESCE(cms.cnt, 0)) AS cms_est
+        FROM p_b LEFT JOIN cms USING (r, b)
+        GROUP BY ALL)
+SELECT * FROM est
+"""

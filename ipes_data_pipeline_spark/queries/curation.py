@@ -411,35 +411,37 @@ def q98(spark, sf):
     # Perplexity-style quality signal without a language model: score a
     # document by the mean -ln p(token) under the corpus's own unigram
     # distribution (high = rare-token-heavy, low = stopword mush; both
-    # tails get gated in real pipelines). One corpus scan: per-doc term
-    # frequencies feed BOTH the vocabulary rollup and the final join
-    # (q87's derivation trick), so no second tokenize pass exists. The
-    # vocabulary is token-distinct (≪ corpus; Heaps' law) — broadcast.
+    # tails get gated in real pipelines). The exploded token stream is
+    # eagerly checkpointed — it feeds the vocabulary rollup and the
+    # score-back join with different pruned schemas (which defeats
+    # plan-level exchange reuse), so without it the corpus would be
+    # tokenized per consumer. Both shuffles on top of it carry only
+    # partial-aggregate output: the vocab rollup reduces to distinct
+    # tokens (≪ corpus; Heaps' law — hence broadcast back), the final
+    # groupBy reduces to one row per doc before the exchange. No
+    # corpus-cardinality shuffle exists in the plan.
     # Cross-engine exactness: ln() is applied once per DISTINCT token,
     # rounded to 6 dp, fixed to DECIMAL(18,6), and the per-doc mean is an
-    # exact decimal dot product divided by an integer — engines can only
+    # exact decimal sum divided by an integer — engines can only
     # disagree if their libm ln() differs by >5e-7 on integer ratios,
     # verified not to happen over the counts domain.
-    tfc = (
+    tok_stream = (
         spread(t(spark, sf, "documents"))
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    vocab = tfc.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    ).localCheckpoint(eager=True)
+    vocab = tok_stream.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
     sp = F.round(
         F.ln(F.col("n").cast("double") / F.col("cnt").cast("double")), 6
     ).cast("decimal(18,6)")
     scored = vocab.crossJoin(F.broadcast(total)).select("tok", sp.alias("sp"))
     return (
-        tfc.join(F.broadcast(scored), "tok")
+        tok_stream.join(F.broadcast(scored), "tok")
         .groupBy("doc_id")
         .agg(
-            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_tokens"),
             (
-                F.sum(F.col("tf").cast("decimal(9,0)") * F.col("sp")).cast("double")
-                / F.sum("tf").cast("double")
+                F.sum("sp").cast("double") / F.count(F.lit(1)).cast("double")
             ).alias("mean_surprisal"),
         )
     )
@@ -488,13 +490,16 @@ def q99(spark, sf):
     # the document frequency) and the score-back join. The DF table
     # grows with corpus vocabulary, NOT doc count — but unlike q83's
     # benchmark side it is not bounded small, so it is a plain shuffle
-    # join, never a broadcast. Docs with < 3 tokens have no trigrams and
+    # join, never a broadcast. The exploded trigram stream is eagerly
+    # checkpointed: it sits under both the rollup and the join with
+    # different pruned schemas, so without it the corpus would be
+    # re-shingled per consumer. Docs with < 3 tokens have no trigrams and
     # drop out (same on both engines). The fraction is int/int — exact.
     ex = (
         spread(t(spark, sf, "documents"))
         .select("doc_id", tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.explode(shingles(F.col("toks"), 3)).alias("sh3"))
-    )
+    ).localCheckpoint(eager=True)
     dfc = ex.groupBy("sh3").agg(F.count(F.lit(1)).alias("df"))
     boiler = F.when(F.col("df") >= _Q99_DF_MIN, 1).otherwise(0)
     return (

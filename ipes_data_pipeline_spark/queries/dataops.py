@@ -28,6 +28,7 @@ from ipes_data_pipeline_spark.operators.dedup_minhash import (
     simhash_signatures,
 )
 from ipes_data_pipeline_spark.operators.sessionize import asof_join_latest, sessionize
+from ipes_data_pipeline_spark.operators.util import spread
 from ipes_data_pipeline_spark.operators.similarity import (
     ann_topk_bruteforce,
     cosine_topk_pairs_lsh,
@@ -841,3 +842,53 @@ def q100(spark, sf):
         )
         .select("user_id", "signup_ts", "view_ts", "purchase_ts", stage.alias("stage"))
     )
+
+
+# ----------------------------------------- Count-Min heavy-hitter estimates
+
+
+def _q102_oracle() -> str:
+    from ipes_data_pipeline_spark.functions.sketches import sql_cms_estimate
+
+    toks = SQL_TOKENS.format(c="text")
+    stream = f"(SELECT unnest({toks}) AS tok FROM documents)"
+    probes = (
+        f"(SELECT tok, COUNT(*) AS n_exact FROM (SELECT unnest({toks}) AS tok "
+        "FROM documents) GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20)"
+    )
+    return sql_cms_estimate(stream, probes, "tok")
+
+
+@register(
+    "q102_cms_heavy_hitters",
+    "sketch: Count-Min frequency estimates for the top-20 tokens",
+    _q102_oracle(),
+)
+def q102(spark, sf):
+    # The frequency twin of the HLL family (q74/q75): a fixed
+    # CMS_D × CMS_W register table answers point-frequency queries with
+    # one-sided error — cms_est >= n_exact always, and the top-20 probe
+    # set shows the calibration the way q94 does for MinHash Jaccard.
+    # The token stream is checkpointed once and feeds both the exact
+    # top-k (the evaluation yardstick) and the sketch build; the sketch
+    # itself shuffles only its 2048 register rows (map-side combine),
+    # and estimation broadcasts the sketch — the probe side never moves.
+    # At 100 TB: per-partition/day sketches roll up by SUM (cms_merge),
+    # so heavy-hitter monitoring reads sketch tables, not the corpus.
+    from ipes_data_pipeline_spark.functions.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    tok_stream = (
+        spread(t(spark, sf, "documents"))
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+    ).localCheckpoint(eager=True)
+    top = (
+        tok_stream.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+        .limit(20)
+    )
+    cms = cms_table(tok_stream, [], "tok")
+    return cms_estimate(cms, top, "tok")

@@ -345,3 +345,43 @@ def q97(spark, sf):
     t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
     t(spark, sf, "part").createOrReplaceTempView("part_v")
     return spark.sql(_Q97_SQL.format(li="lineitem_v", pa="part_v"))
+
+
+# ------------------------------------------------------ recursive CTE
+
+_Q101_SQL = """
+WITH RECURSIVE months(m, mx) AS (
+  SELECT DATE_TRUNC('month', MIN(o_orderdate)),
+         DATE_TRUNC('month', MAX(o_orderdate)) FROM {o}
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH, mx FROM months WHERE m < mx
+),
+mc AS (SELECT DATE_TRUNC('month', o_orderdate) AS m, COUNT(*) AS n
+       FROM {o} GROUP BY 1)
+SELECT months.m AS month_start, COALESCE(mc.n, 0) AS n_orders
+FROM months LEFT JOIN mc ON months.m = mc.m
+"""
+
+
+@register(
+    "q101_recursive_cte",
+    "SQL entry point: recursive CTE month spine with zero-filled counts",
+    _Q101_SQL.format(o="orders"),
+)
+def q101(spark, sf):
+    # Spark 4 executes WITH RECURSIVE natively (UnionLoop iterations,
+    # bounded by spark.sql.cteRecursionLevelLimit) — the SQL text here is
+    # byte-identical in Spark and DuckDB, anchor and step included. The
+    # spine grows with calendar time, not data volume (80 rows over the
+    # order-date domain), so the recursion is driver-cheap no matter the
+    # fact-table size. The max bound rides along as a recursion column
+    # (m, mx) instead of a correlated scalar subquery in the step's
+    # WHERE — Spark's UnionLoop re-plans the step per iteration, so a
+    # subquery there would rescan orders ~80 times; carried as a column,
+    # orders is scanned once for the anchor. The one data-sized
+    # operation is the monthly rollup, which partial-aggregates before
+    # its exchange. q96 answers the same
+    # gap-fill shape with sequence+explode — this declares the recursive
+    # surface itself.
+    t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(_Q101_SQL.format(o="orders_v"))

@@ -57,3 +57,45 @@ def test_hll_registers_bounded(spark):
         F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
     )
     assert hll_registers(df, ["g"], "v").count() <= M
+
+
+def test_cms_overestimates_and_bounds_registers(spark):
+    from ipes_data_pipeline_spark.functions.sketches import (
+        CMS_D,
+        CMS_W,
+        cms_estimate,
+        cms_table,
+    )
+
+    # 3000 distinct values >> W=512 buckets forces collisions; skewed
+    # counts (value k appears k%7+1 times) give non-trivial exact counts
+    stream = spark.range(3000).select(
+        F.explode(
+            F.array_repeat(F.col("id").cast("string"), (F.col("id") % 7 + 1).cast("int"))
+        ).alias("v")
+    )
+    cms = cms_table(stream, [], "v")
+    n_regs = cms.count()
+    assert n_regs <= CMS_D * CMS_W
+    exact = stream.groupBy("v").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = cms_estimate(cms, exact, "v").collect()
+    assert len(est) == 3000
+    # one-sided error: never under the true count
+    assert all(r["cms_est"] >= r["n_exact"] for r in est)
+    # with ~12k items over 512 buckets, min-over-4-rows stays tight
+    avg_over = sum(r["cms_est"] - r["n_exact"] for r in est) / len(est)
+    assert avg_over < 30, avg_over
+
+
+def test_cms_merge_equals_direct(spark):
+    from ipes_data_pipeline_spark.functions.sketches import cms_merge, cms_table
+
+    df = spark.range(2000).select(
+        (F.col("id") % 2).alias("half"), F.col("id").cast("string").alias("v")
+    )
+    per_half = cms_table(df, ["half"], "v")
+    merged = cms_merge(per_half.drop("half"), [])
+    direct = cms_table(df, [], "v")
+    # register tables identical: merge is exact, not approximate
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
