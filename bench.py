@@ -60,6 +60,7 @@ HEADLINE = [
     "q98_unigram_surprisal",
     "q99_boilerplate_gate",
     "q100_event_funnel",
+    "q103_quantile_sketch",
 ]
 
 

@@ -892,3 +892,116 @@ def q102(spark, sf):
     )
     cms = cms_table(tok_stream, [], "tok")
     return cms_estimate(cms, top, "tok")
+
+
+# ------------------------------------- histogram quantile sketch (mergeable)
+
+_QH_W = 1000.0  # bucket width in price units
+
+
+def _q103_oracle() -> str:
+    # Same algorithm, same arithmetic: integer counts until one double
+    # division from exact integers, then one fused interpolation
+    # expression written identically on both sides. ``unnest`` happens
+    # in a sub-select because DuckDB ignores a CAST wrapped directly
+    # around ``unnest`` (queries/__init__ determinism notes).
+    return """
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 1000.0) AS BIGINT) AS b,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, b),
+c AS (
+  SELECT l_returnflag, b, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY b) AS BIGINT) AS cum
+  FROM h),
+tot AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS total
+        FROM h GROUP BY l_returnflag),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (SELECT unnest([0.5, 0.9, 0.99]) AS q)),
+tgt AS (SELECT l_returnflag, q, CAST(CEIL(q * total) AS BIGINT) AS target
+        FROM tot CROSS JOIN qs),
+pick AS (
+  SELECT t.l_returnflag, t.q, t.target, MIN(c.b) AS b
+  FROM tgt t JOIN c ON c.l_returnflag = t.l_returnflag AND c.cum >= t.target
+  GROUP BY t.l_returnflag, t.q, t.target)
+SELECT p.l_returnflag, p.q,
+       p.b * 1000.0 + 1000.0 * ((p.target - (c.cum - c.cnt)) / c.cnt) AS est_price
+FROM pick p
+JOIN c ON c.l_returnflag = p.l_returnflag AND c.b = p.b
+"""
+
+
+@register(
+    "q103_quantile_sketch",
+    "sketch: mergeable equi-width histogram quantiles (p50/p90/p99 per flag)",
+    _q103_oracle(),
+)
+def q103(spark, sf):
+    # The quantile member of the sketch family (HLL q74/q75 distinct,
+    # CMS q102 frequency): a fixed-width histogram is built in ONE pass
+    # with map-side combine, merges by SUM (store per partition/day,
+    # roll up any range without rescanning), and answers p50/p90/p99 by
+    # cumulative interpolation over sketch-sized data. Spark's own
+    # percentile_approx is an opaque KLL twin no other engine
+    # reproduces, hence the from-first-principles build (as q74's HLL).
+    # Everything stays integer until one double division from exact
+    # integers, so Spark's partial aggregation and DuckDB's
+    # single-threaded fold agree bit-for-bit.
+    # At 100 TB: the corpus scan is the only wide stage; the histogram
+    # is ~buckets x groups rows and every downstream join is
+    # broadcast-sized.
+    h = (
+        t(spark, sf, "lineitem")
+        .select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice").cast("double") / F.lit(1000.0))
+            .cast("long")
+            .alias("b"),
+        )
+        .groupBy("l_returnflag", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = h.withColumn(
+        "cum",
+        F.sum("cnt")
+        .over(W.partitionBy("l_returnflag").orderBy("b"))
+        .cast("long"),
+    )
+    tot = h.groupBy("l_returnflag").agg(F.sum("cnt").cast("long").alias("total"))
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    tgt = tot.crossJoin(F.broadcast(qs)).select(
+        "l_returnflag",
+        "q",
+        F.ceil(F.col("q") * F.col("total")).cast("long").alias("target"),
+    )
+    pick = (
+        tgt.alias("t")
+        .join(
+            c.alias("c"),
+            (F.col("c.l_returnflag") == F.col("t.l_returnflag"))
+            & (F.col("c.cum") >= F.col("t.target")),
+        )
+        .groupBy("t.l_returnflag", "t.q", "t.target")
+        .agg(F.min("c.b").alias("b"))
+    )
+    return (
+        pick.alias("p")
+        .join(
+            c.alias("c"),
+            (F.col("c.l_returnflag") == F.col("p.l_returnflag"))
+            & (F.col("c.b") == F.col("p.b")),
+        )
+        .select(
+            F.col("p.l_returnflag").alias("l_returnflag"),
+            F.col("p.q").alias("q"),
+            (
+                F.col("p.b") * F.lit(1000.0)
+                + F.lit(1000.0)
+                * (
+                    (F.col("p.target") - (F.col("c.cum") - F.col("c.cnt")))
+                    / F.col("c.cnt")
+                )
+            ).alias("est_price"),
+        )
+    )

@@ -99,3 +99,36 @@ def test_cms_merge_equals_direct(spark):
     # register tables identical: merge is exact, not approximate
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_histogram_quantile_brackets_exact(spark):
+    # q103's estimate interpolates inside the bucket holding the target
+    # rank, so it can never be more than one bucket width (1000) from
+    # the exact percentile.
+    from ipes_data_pipeline_spark.queries import REGISTRY, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    est = {
+        (r["l_returnflag"], r["q"]): r["est_price"]
+        for r in REGISTRY["q103_quantile_sketch"].spark(spark, sf).collect()
+    }
+    exact_rows = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(cast(l_extendedprice as double), array(0.5, 0.9, 0.99))"
+            ).alias("p")
+        )
+        .collect()
+    )
+    assert len(est) == 9
+    for row in exact_rows:
+        for q, ex in zip((0.5, 0.9, 0.99), row["p"]):
+            assert abs(est[(row["l_returnflag"], q)] - ex) <= 1000.0, (
+                row["l_returnflag"],
+                q,
+                est[(row["l_returnflag"], q)],
+                ex,
+            )
