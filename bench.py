@@ -61,6 +61,7 @@ HEADLINE = [
     "q99_boilerplate_gate",
     "q100_event_funnel",
     "q103_quantile_sketch",
+    "q104_bloom_semi_filter",
 ]
 
 

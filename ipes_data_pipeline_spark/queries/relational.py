@@ -771,3 +771,134 @@ def q40(spark, sf):
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
         .select(F.col("w.start").alias("window_start"), "n", "sum_value")
     )
+
+
+# --------------------------------- Bloom-filter runtime semi-join pruning
+
+
+_BF_BITS = 65536  # 2048 words x 32 bits; ~0.1% fp at sf0.1 dim cardinality
+_BF_WORDS = _BF_BITS // 32
+# 4 independent 32-bit hashes = the four non-overlapping md5 hex slices
+_BF_SLICES = (1, 9, 17, 25)
+
+
+def _bf_positions_sql(h: str) -> str:
+    slices = ", ".join(
+        f"('0x' || substr({h}, {s}, 8))::BIGINT % {_BF_BITS}" for s in _BF_SLICES
+    )
+    return f"[{slices}]"
+
+
+def _q104_oracle() -> str:
+    return f"""
+WITH dim AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v FROM customer
+  WHERE c_mktsegment = 'BUILDING'),
+dpos AS (
+  SELECT unnest({_bf_positions_sql("md5(v)")}) AS p FROM dim),
+bloom AS (
+  SELECT p // 32 AS word, bit_or((1::BIGINT) << CAST(p % 32 AS INTEGER)) AS mask
+  FROM dpos GROUP BY word),
+oh AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         md5(CAST(o_custkey AS VARCHAR)) AS h
+  FROM orders),
+op AS (
+  SELECT o_orderkey, o_orderstatus, o_custkey, unnest({_bf_positions_sql("h")}) AS p
+  FROM oh),
+hits AS (
+  SELECT op.o_orderkey, op.o_orderstatus, op.o_custkey,
+         CAST(COUNT(b.word) AS BIGINT) AS nhit
+  FROM op LEFT JOIN bloom b
+    ON b.word = op.p // 32
+   AND ((b.mask >> CAST(op.p % 32 AS INTEGER)) & 1) = 1
+  GROUP BY op.o_orderkey, op.o_orderstatus, op.o_custkey),
+flags AS (
+  SELECT o_orderstatus,
+         (nhit = 4) AS pass,
+         EXISTS (SELECT 1 FROM customer c
+                 WHERE c.c_custkey = hits.o_custkey
+                   AND c.c_mktsegment = 'BUILDING') AS ex
+  FROM hits)
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN pass AND NOT ex THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos
+FROM flags GROUP BY o_orderstatus
+"""
+
+
+def _bf_positions(col):
+    h = F.md5(col.cast("string"))
+    return F.array(
+        *[
+            F.conv(F.substring(h, s, 8), 16, 10).cast("long") % _BF_BITS
+            for s in _BF_SLICES
+        ]
+    )
+
+
+@register(
+    "q104_bloom_semi_filter",
+    "F-family: Bloom-filter runtime semi-join pruning (deterministic md5 bloom)",
+    _q104_oracle(),
+)
+def q104(spark, sf):
+    # The runtime-filter pattern behind big-join pruning at 100 TB: build
+    # a 65536-bit Bloom filter over the dim keys (one tiny aggregate;
+    # registers merge by bit_or, so per-shard blooms roll up), ship it to
+    # every probe task as ONE broadcast row holding a 2048-word array,
+    # and pre-filter the fact side with pure column math — the fact
+    # table never shuffles and non-matching rows die before the real
+    # join would run. Spark's own runtime bloom (opaque, engine-private)
+    # can't sit behind a cross-engine oracle; this md5 build is
+    # bit-reproducible in DuckDB, and the query reports its calibration:
+    # n_bloom_pass >= n_exact always (no false negatives), with
+    # n_false_pos showing the fp rate at this fill ratio.
+    dim = (
+        t(spark, sf, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").cast("string").alias("v"))
+        .distinct()
+    )
+    bloom = (
+        dim.select(F.explode(_bf_positions(F.col("v"))).alias("p"))
+        .select(
+            F.shiftright("p", 5).cast("long").alias("word"),
+            (F.col("p") % 32).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("mask"))
+    )
+    arr = bloom.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0L, {_BF_WORDS - 1}L),"
+            " w -> coalesce(element_at(m, w), 0L))"
+        ).alias("arr")
+    )
+    probe = (
+        t(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .crossJoin(F.broadcast(arr))
+        .withColumn("ps", _bf_positions(F.col("o_custkey")))
+        .withColumn(
+            "pass",
+            F.expr(
+                "forall(ps, p -> (element_at(arr, cast(shiftright(p, 5) as int) + 1)"
+                " & shiftleft(1L, cast(p % 32 as int))) != 0)"
+            ),
+        )
+    )
+    exact = probe.join(
+        F.broadcast(dim.select(F.col("v").cast("long").alias("c_custkey"))),
+        probe.o_custkey == F.col("c_custkey"),
+        "left_outer",
+    ).withColumn("ex", F.col("c_custkey").isNotNull())
+    return exact.groupBy("o_orderstatus").agg(
+        F.sum(F.col("pass").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.col("ex").cast("long")).alias("n_exact"),
+        F.sum((F.col("pass") & ~F.col("ex")).cast("long")).alias("n_false_pos"),
+    )

@@ -163,3 +163,14 @@ def test_kmeans_scoring_broadcasts_centroids(spark, sf_dir):
     plan = formatted_plan(q(spark, "q91_kmeans_assign", sf_dir))
     assert "Broadcast" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bloom_semi_filter_no_false_negatives_and_broadcast(spark, sf_dir):
+    # q104: the bloom may over-approximate but never under-approximate
+    # (n_bloom_pass = n_exact + n_false_pos per group), and the probe
+    # side must see the sketch via broadcast, never a shuffle join.
+    df = q(spark, "q104_bloom_semi_filter", sf_dir)
+    assert_broadcast_join(df, forbid_smj=True)
+    for r in df.collect():
+        assert r["n_bloom_pass"] >= r["n_exact"], r
+        assert r["n_bloom_pass"] == r["n_exact"] + r["n_false_pos"], r
