@@ -135,23 +135,33 @@ def q61(spark, sf):
     "q62_array_functions",
     "B/D-family: array surface (sequence/slice/position/flatten/zip)",
     """SELECT o_orderkey,
-              range(1, 4) AS seq3,
-              list_slice(string_split(o_orderpriority, '-'), 1, 1) AS prio_head,
+              array_to_string(range(1, 4), ',') AS seq3,
+              array_to_string(list_slice(string_split(o_orderpriority, '-'), 1, 1), ',') AS prio_head,
               list_contains(string_split(o_orderpriority, '-'), 'URGENT') AS is_urgent,
-              flatten([[o_orderkey], [o_custkey]]) AS key_pair
+              array_to_string(flatten([[o_orderkey], [o_custkey]]), ',') AS key_pair
        FROM orders""",
 )
 def q62(spark, sf):
+    # Array outputs are string-joined at the edge: the driver's comparator
+    # canonicalizes via pandas sort, which cannot hash array cells. The
+    # array ops themselves (sequence/slice/contains/flatten) still run.
     o = t(spark, sf, "orders")
     return o.select(
         "o_orderkey",
-        F.sequence(F.lit(1), F.lit(3)).alias("seq3"),
-        F.slice(F.split("o_orderpriority", "-"), 1, 1).alias("prio_head"),
+        F.array_join(
+            F.sequence(F.lit(1), F.lit(3)).cast("array<string>"), ","
+        ).alias("seq3"),
+        F.array_join(
+            F.slice(F.split("o_orderpriority", "-"), 1, 1), ","
+        ).alias("prio_head"),
         F.array_contains(F.split("o_orderpriority", "-"), "URGENT").alias(
             "is_urgent"
         ),
-        F.flatten(
-            F.array(F.array(F.col("o_orderkey")), F.array(F.col("o_custkey")))
+        F.array_join(
+            F.flatten(
+                F.array(F.array(F.col("o_orderkey")), F.array(F.col("o_custkey")))
+            ).cast("array<string>"),
+            ",",
         ).alias("key_pair"),
     )
 

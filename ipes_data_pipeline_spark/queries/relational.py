@@ -316,14 +316,20 @@ def q17(spark, sf):
 @register(
     "q18_collect_set_sorted",
     "E7 collect_set + array_sort (ref enrich_data.py:170-173)",
-    """SELECT l_orderkey, list_sort(list_distinct(list(l_returnflag))) AS flags
+    """SELECT l_orderkey, array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags
        FROM lineitem GROUP BY l_orderkey""",
 )
 def q18(spark, sf):
+    # String-joined at the edge: the driver's comparator cannot hash
+    # array cells (pandas sort_values). collect_set/array_sort still run.
     return (
         t(spark, sf, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_returnflag")).alias("flags"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("l_returnflag")), ","
+            ).alias("flags")
+        )
     )
 
 
