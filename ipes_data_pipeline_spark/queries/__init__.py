@@ -86,8 +86,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     :func:`~ipes_data_pipeline_spark.operators.util.spread` themselves.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # Testdata generations have stored ts as TIMESTAMP(NANOS) (read as
+        # a nanos long under nanosAsLong) or TIMESTAMP(MICROS) without UTC
+        # adjustment (read as TIMESTAMP_NTZ). Normalize both to session-tz
+        # TIMESTAMP — the session is pinned UTC (session.py), so the NTZ
+        # cast is wall-clock-identity and matches DuckDB's naive reading.
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -173,15 +173,19 @@ def _run_available_now(stream_df, mode: str = "complete"):
 
 
 def _events_stream(spark, sf):
-    # testdata stores ts as TIMESTAMP(NANOS) which the reader surfaces as
-    # a nanos long (nanosAsLong conf, see session.py) — convert like t().
+    # ts arrives as a nanos long (TIMESTAMP(NANOS) data under nanosAsLong)
+    # or TIMESTAMP_NTZ (micros data) depending on the testdata generation —
+    # probe the batch footer and normalize like t().
     # Glob, not a bare file path: FileStreamSource requires a directory
     # base (the glob's parent becomes basePath).
-    events = spark.readStream.schema(
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    ).parquet(f"{sf}/events*.parquet")
-    return events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    events = spark.readStream.schema(batch_schema).parquet(f"{sf}/events*.parquet")
+    dt = dict(events.dtypes).get("ts")
+    if dt == "bigint":
+        return events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events
 
 
 @register(
