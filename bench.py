@@ -62,6 +62,12 @@ HEADLINE = [
     "q100_event_funnel",
     "q103_quantile_sketch",
     "q104_bloom_semi_filter",
+    "q105_weighted_sample",
+    "q106_lexical_diversity",
+    "q107_pmi_collocations",
+    "q108_zscore_anomaly",
+    "q109_udtf_top_tokens",
+    "q110_variant_json",
 ]
 
 

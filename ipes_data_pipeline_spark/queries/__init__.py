@@ -132,6 +132,7 @@ def load_all() -> None:
         curation,
         dataops,
         extras,
+        mixing,
         prep,
         relational,
         tpch_shapes,

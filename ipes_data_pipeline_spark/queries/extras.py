@@ -395,3 +395,84 @@ def q101(spark, sf):
     # surface itself.
     t(spark, sf, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(_Q101_SQL.format(o="orders_v"))
+
+
+# ------------------------------------------------ Python UDTF surface
+
+
+def _q109_oracle() -> str:
+    toks = "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
+    return f"""
+WITH tk AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+c AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tk GROUP BY doc_id, token),
+r AS (SELECT doc_id, token, cnt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rn
+      FROM c)
+SELECT doc_id, token, CAST(cnt AS INT) AS cnt FROM r WHERE rn <= 3
+"""
+
+
+@register(
+    "q109_udtf_top_tokens",
+    "UDTF surface: arrow-batched Python table function via LATERAL join",
+    _q109_oracle(),
+)
+def q109(spark, sf):
+    # The Spark 4 Python UDTF path: a table function lateral-joined per
+    # row. Deliberately a query the engine can also answer relationally
+    # (the oracle is the explode/groupBy/window form) so the UDTF
+    # machinery itself is what's under test. This is the SLOW PATH —
+    # per-row Python with arrow batching — declared for the cases the
+    # relational form can't express (stateful per-doc parsers, external
+    # tokenizers); anything countable stays in codegen (q80/q86/q87).
+    from collections import Counter
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, cnt int")
+    class TopTokens:
+        def eval(self, text: str):  # noqa: D102 - driver contract
+            toks = [w for w in re.split(r"\W+", (text or "").lower()) if w]
+            best = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))
+            for tok, cnt in best[:3]:
+                yield tok, cnt
+
+    spark.udtf.register("top_tokens", TopTokens)
+    t(spark, sf, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        "SELECT d.doc_id, s.token, s.cnt "
+        "FROM documents_v d, LATERAL top_tokens(d.text) s"
+    )
+
+
+# ------------------------------------------------ VARIANT / semi-structured
+
+
+@register(
+    "q110_variant_json",
+    "VARIANT surface: parse_json once, typed path extraction, agg",
+    """SELECT event_type,
+              COUNT(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_with_k,
+              CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+              MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+       FROM events GROUP BY event_type""",
+)
+def q110(spark, sf):
+    # Semi-structured scan path: parse the JSON payload ONCE into a
+    # VARIANT (Spark 4's binary semi-structured type) and extract typed
+    # paths from it — at 100 TB this is the difference between one
+    # parse per row and one parse per extracted field that repeated
+    # get_json_object calls would cost (q51 declares that legacy form).
+    # Integer-only aggregates: no float determinism concerns.
+    ev = t(spark, sf, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
