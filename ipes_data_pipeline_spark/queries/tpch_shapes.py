@@ -225,3 +225,28 @@ def q71(spark, sf):
     from ipes_data_pipeline_spark.streaming.windows import session_counts
 
     return _run_available_now(session_counts(_events_stream(spark, sf)))
+
+
+@register(
+    "q111_streaming_dedup_watermark",
+    "STREAMING: dropDuplicatesWithinWatermark on the events file stream "
+    "(value-checked: key-only projection makes the survivor irrelevant)",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q111(spark, sf):
+    # Exactly-once duplicate drop with watermark-bounded state — the
+    # streaming form of F3/q29. Projecting the output to the dedup keys
+    # themselves makes the result value-checkable: whichever duplicate
+    # survives, the key set is the distinct set. AvailableNow over one
+    # file is a single micro-batch, so state covers the whole input and
+    # the answer is the exact batch DISTINCT (with live late data the
+    # guarantee weakens to at-least-once beyond the watermark horizon —
+    # that is the declared semantics of the operator, not a bug).
+    from ipes_data_pipeline_spark.streaming.windows import dedup_within_watermark
+
+    deduped = dedup_within_watermark(
+        _events_stream(spark, sf), keys=["user_id", "event_type"]
+    )
+    return _run_available_now(
+        deduped.select("user_id", "event_type"), mode="append"
+    )

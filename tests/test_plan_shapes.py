@@ -174,3 +174,27 @@ def test_bloom_semi_filter_no_false_negatives_and_broadcast(spark, sf_dir):
     for r in df.collect():
         assert r["n_bloom_pass"] >= r["n_exact"], r
         assert r["n_bloom_pass"] == r["n_exact"] + r["n_false_pos"], r
+
+
+def test_weighted_sample_is_take_ordered_no_exchange(spark, sf_dir):
+    # A-Res top-k must plan as TakeOrderedAndProject over the scan —
+    # per-task local top-50 merged on the driver, zero shuffles
+    plan = formatted_plan(q(spark, "q105_weighted_sample", sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_zscore_anomaly_single_exchange(spark, sf_dir):
+    # moments + filter in one window pass: exactly one shuffle (user_id)
+    import re
+
+    plan = formatted_plan(q(spark, "q108_zscore_anomaly", sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_pmi_totals_are_broadcast(spark, sf_dir):
+    # the 1-row totals cross join must be a broadcast nested loop over
+    # one row, never a shuffled cartesian
+    p = formatted_plan(q(spark, "q107_pmi_collocations", sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
