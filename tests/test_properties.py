@@ -74,3 +74,49 @@ def test_nest_unnest_roundtrip(spark):
         "custkey", F.col("o.odate").alias("odate"), F.col("o.okey").alias("okey")
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
+
+
+def test_weighted_sample_layout_invariant(spark, sf_dir):
+    """q105's sample is content-addressed: identical under any physical
+    layout (repartition, coalesce, sort) of the input scan."""
+    from ipes_data_pipeline_spark.queries import REGISTRY, load_all
+
+    load_all()
+    base = {
+        r["doc_id"]
+        for r in REGISTRY["q105_weighted_sample"].spark(spark, sf_dir).collect()
+    }
+    # same computation over a shuffled/derived copy of the table
+    from ipes_data_pipeline_spark.queries import t
+    from ipes_data_pipeline_spark.queries.mixing import _uniform
+
+    d = t(spark, sf_dir, "documents").repartition(7).sortWithinPartitions("lang")
+    key = F.log(_uniform(F.col("doc_id"))) / F.col("n_chars")
+    got = {
+        r["doc_id"]
+        for r in d.select("doc_id", key.alias("key"))
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(50)
+        .collect()
+    }
+    assert got == base
+
+
+def test_zscore_no_flags_on_constant_series(spark):
+    """Zero variance ⇒ no event can be 3 sigma out (and no div-zero crash)."""
+    from ipes_data_pipeline_spark.operators.util import spread  # noqa: F401
+    from pyspark.sql.window import Window as W
+
+    ev = spark.createDataFrame(
+        [(i, 1, 5.0) for i in range(40)], "event_id int, user_id int, value double"
+    )
+    w = W.partitionBy("user_id")
+    dv = F.col("value").cast("decimal(18,6)")
+    s = F.sum(dv).over(w).cast("double")
+    q = F.sum(dv * dv).over(w).cast("double")
+    c = F.count("value").over(w)
+    flagged = (F.col("value") - s / c) * (F.col("value") - s / c) > F.lit(9.0) * (
+        (q - s * s / c) / c
+    )
+    out = ev.withColumn("f", flagged & (c >= 30)).where("f")
+    assert out.count() == 0
