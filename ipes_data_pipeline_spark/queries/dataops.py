@@ -1005,3 +1005,42 @@ def q103(spark, sf):
             ).alias("est_price"),
         )
     )
+
+
+@register(
+    "q112_frame_sample_plan",
+    "multimodal: duration-scaled frame-sampling work units (explode plan)",
+    """WITH v AS (
+         SELECT doc_id AS media_id, n_chars,
+                LEAST(8, GREATEST(1, n_chars // 64)) AS n_frames
+         FROM documents)
+       SELECT media_id,
+              CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx,
+              CAST(unnest(list_transform(range(0, n_frames),
+                                         i -> i * n_chars // n_frames)) AS BIGINT)
+                AS frame_offset
+       FROM v""",
+)
+def q112(spark, sf):
+    # The scheduling half of video ingestion (operators/multimodal.py
+    # owns the stubbed decode): each media item explodes into its frame
+    # work units, count scaled by duration (n_chars proxies runtime) and
+    # offsets spaced uniformly by integer division — deterministic, no
+    # floats. The explode is the parallelism lever at 100 TB: work units
+    # shuffle to wherever capacity is, independent of how many bytes any
+    # single video holds. Two unnests zip positionally in DuckDB; Spark
+    # gets the same zip from arrays_zip + one explode.
+    d = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), "n_chars"
+    )
+    n = F.least(F.lit(8), F.greatest(F.lit(1), (F.col("n_chars") / 64).cast("int")))
+    idx = F.sequence(F.lit(0), n - 1)
+    offs = F.transform(idx, lambda i: (i * F.col("n_chars") / n).cast("long"))
+    return (
+        d.select("media_id", F.explode(F.arrays_zip(idx.alias("i"), offs.alias("o"))).alias("z"))
+        .select(
+            "media_id",
+            F.col("z.i").cast("int").alias("frame_idx"),
+            F.col("z.o").alias("frame_offset"),
+        )
+    )
