@@ -175,7 +175,15 @@ def min_label_components_contracted(
         .select(F.col("src_lab").alias("src"), F.col("dst_lab").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # Empty contraction ⇔ every component had diameter ≤ 2 ⇔ l1 is already
+    # the exact component minimum. The common case for blocked entity-name
+    # graphs — short-circuiting it saves the whole fixpoint loop (several
+    # probe/checkpoint jobs per pipeline run; the probe here is one cheap
+    # action over the just-materialized contracted edge set).
+    if contracted.isEmpty():
+        return l1.select("node", F.col("lab").alias("canonical_id"))
     label_nodes = l1.select(F.col("lab").alias("node")).distinct()
     comp = min_label_components(
         label_nodes, contracted, iterations=max_rounds, until_converged=True

@@ -104,7 +104,6 @@ def test_weighted_sample_layout_invariant(spark, sf_dir):
 
 def test_zscore_no_flags_on_constant_series(spark):
     """Zero variance ⇒ no event can be 3 sigma out (and no div-zero crash)."""
-    from ipes_data_pipeline_spark.operators.util import spread  # noqa: F401
     from pyspark.sql.window import Window as W
 
     ev = spark.createDataFrame(
