@@ -250,3 +250,32 @@ def q111(spark, sf):
     return _run_available_now(
         deduped.select("user_id", "event_type"), mode="append"
     )
+
+
+@register(
+    "q113_stream_static_join",
+    "STREAMING: stream-static enrichment join (events stream x batch "
+    "per-user profile; value-checked - the static side is deterministic)",
+    """WITH prof AS (SELECT user_id, COUNT(*) AS n_events
+                     FROM events GROUP BY user_id)
+       SELECT e.event_id, e.user_id, p.n_events
+       FROM events e JOIN prof p ON e.user_id = p.user_id""",
+)
+def q113(spark, sf):
+    # The stream-static join surface (F5's streaming form): each
+    # arriving event is enriched against a batch profile table. The
+    # static side is re-planned per micro-batch, so a small profile
+    # broadcasts - no stateful join, no watermark needed. Value-checked
+    # because the profile is a pure function of the same input table.
+    profile = (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    enriched = (
+        _events_stream(spark, sf)
+        .select("event_id", "user_id")
+        .join(F.broadcast(profile), "user_id")
+        .select("event_id", "user_id", "n_events")
+    )
+    return _run_available_now(enriched, mode="append")
