@@ -37,6 +37,7 @@ HEADLINE = [
     "q43_dedup_simhash",
     "q45_embedding_neardup_lsh",
     "q46_ann_topk",
+    "q114_knn_graph",
     "q48_quality_score",
     "q50_fingerprint",
     "q52_sessionize",

@@ -41,6 +41,7 @@ from ipes_data_pipeline_spark.operators.similarity import (  # noqa: F401
     ann_topk_bruteforce,
     ann_topk_ivf,
     cosine_topk_pairs_lsh,
+    knn_graph,
 )
 from ipes_data_pipeline_spark.operators.skew import (  # noqa: F401
     salted_broadcast_join,

@@ -32,6 +32,7 @@ from ipes_data_pipeline_spark.operators.util import spread
 from ipes_data_pipeline_spark.operators.similarity import (
     ann_topk_bruteforce,
     cosine_topk_pairs_lsh,
+    knn_graph,
 )
 from ipes_data_pipeline_spark.queries import register, sql_dsum, t
 
@@ -244,6 +245,27 @@ def q46(spark, sf):
     return ann_topk_bruteforce(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 0), k=10
     )
+
+
+@register(
+    "q114_knn_graph",
+    "similarity search: exact cosine k-NN graph (batch similarity join — "
+    "broadcast corpus matrix, Arrow-batched matmul, zero shuffles)",
+    """WITH p AS (
+         SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+                list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       r AS (SELECT *, row_number() OVER (
+               PARTITION BY id ORDER BY cos_sim DESC, neighbor_id) AS rn
+             FROM p)
+       SELECT id, neighbor_id, cos_sim FROM r WHERE rn <= 5""",
+)
+def q114(spark, sf):
+    # numpy float64 matmul vs DuckDB's double cosine agree to ~1e-16 —
+    # far inside the comparator's 6-decimal rounding; the k-boundary is
+    # tie-exact (see knn_graph's kth-value candidate selection).
+    return knn_graph(t(spark, sf, "embeddings"), "vec_id", "embedding", k=5)
 
 
 # --------------------------------------------------------------- text analysis

@@ -50,3 +50,39 @@ def test_identical_token_multisets_same_simhash(spark, docs):
     assert sigs[1] == sigs[3]  # simhash is order-insensitive (bag of tokens)
     assert sigs[1] != sigs[4]  # different vocabulary
     assert len(sigs[1]) == 32 and set(sigs[1]) <= {"0", "1"}
+
+
+def test_knn_graph_self_exclusion_ties_and_duplicates(spark):
+    """knn_graph: no self-pairs; exact-duplicate vectors tie at cos=1 and
+    the tie breaks toward the LOWER neighbor id; zero vectors don't NaN."""
+    from ipes_data_pipeline_spark.operators.similarity import knn_graph
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),   # exact duplicate of 1
+        (3, [1.0, 0.0, 0.0]),   # exact duplicate of 1
+        (4, [0.0, 1.0, 0.0]),   # orthogonal
+        (5, [0.0, 0.0, 0.0]),   # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_graph(df, "vec_id", "embedding", k=1).collect()
+    by_id = {r["id"]: r for r in out}
+    assert set(by_id) == {1, 2, 3, 4, 5}           # every row got a neighbor
+    assert all(r["id"] != r["neighbor_id"] for r in out)
+    # k=1 with a 3-way duplicate group: each member's best is the lowest
+    # OTHER member id, at cosine exactly 1.
+    assert by_id[1]["neighbor_id"] == 2 and by_id[1]["cos_sim"] == 1.0
+    assert by_id[2]["neighbor_id"] == 1 and by_id[2]["cos_sim"] == 1.0
+    assert by_id[3]["neighbor_id"] == 1
+    # zero vector scores 0 against everything, never NaN
+    assert by_id[5]["cos_sim"] == 0.0
+
+
+def test_knn_graph_k_larger_than_corpus(spark):
+    from ipes_data_pipeline_spark.operators.similarity import knn_graph
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = knn_graph(df, "vec_id", "embedding", k=10).collect()
+    assert len(out) == 2  # only one possible neighbor each
