@@ -279,3 +279,56 @@ def q113(spark, sf):
         .select("event_id", "user_id", "n_events")
     )
     return _run_available_now(enriched, mode="append")
+
+
+@register(
+    "q115_stream_stream_join",
+    "STREAMING: stream-stream watermarked interval join (view -> purchase "
+    "attribution within 1 h; value-checked - AvailableNow over one file "
+    "delivers both sides in the same micro-batch, so no match is dropped)",
+    """SELECT v.event_id AS view_id, p.event_id AS purchase_id, p.user_id,
+              (epoch_us(p.ts) - epoch_us(v.ts)) AS gap_us
+       FROM events v JOIN events p
+         ON v.user_id = p.user_id
+        AND v.event_type = 'view' AND p.event_type = 'purchase'
+        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
+)
+def q115(spark, sf):
+    # Both sides carry a watermark and the join condition bounds event
+    # time on both sides - exactly what Spark requires to evict join
+    # state (a view older than purchase-watermark minus 1 h can never
+    # match again and is dropped). At 100 TB the state store holds only
+    # the 1 h frontier per side instead of the whole history.
+    views = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("interval 1 hour")),
+        "inner",
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+    return _run_available_now(joined, mode="append")
