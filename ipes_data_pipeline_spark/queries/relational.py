@@ -14,6 +14,7 @@ from ipes_data_pipeline_spark.operators.dedup_fuzzy import (
     candidate_pairs,
     min_label_components_contracted,
 )
+from ipes_data_pipeline_spark.operators.util import spread
 from ipes_data_pipeline_spark.queries import (
     davg,
     dec,
@@ -862,11 +863,14 @@ def q104(spark, sf):
     # bit-reproducible in DuckDB, and the query reports its calibration:
     # n_bloom_pass >= n_exact always (no false negatives), with
     # n_false_pos showing the fp rate at this fill ratio.
+    # dim feeds both the bloom build and the exact check — pin it so
+    # customer scans (and the distinct shuffle) run once, not twice.
     dim = (
         t(spark, sf, "customer")
         .where(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").cast("string").alias("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     bloom = (
         dim.select(F.explode(_bf_positions(F.col("v"))).alias("p"))
@@ -877,18 +881,19 @@ def q104(spark, sf):
         .groupBy("word")
         .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("mask"))
     )
-    arr = bloom.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("m")
-    ).select(
-        F.expr(
-            f"transform(sequence(0L, {_BF_WORDS - 1}L),"
-            " w -> coalesce(element_at(m, w), 0L))"
-        ).alias("arr")
-    )
+    # Collect the 2048-word filter to the driver and inject it as ONE
+    # array literal — the same re-plan shape as Spark's own runtime
+    # bloom (build side collected, filter injected into the probe plan).
+    # This drops the single-task one-row aggregate stage and the
+    # broadcast cross join the previous formulation paid; the probe is
+    # now pure column math against a 16 KB plan constant.
+    masks = {int(r["word"]): int(r["mask"]) for r in bloom.collect()}
+    arr = F.lit([masks.get(w, 0) for w in range(_BF_WORDS)])
+    # spread: the md5×4 probe math inherits the scan's partitioning and
+    # sf0.1 orders is one row-group — one task would hog one core.
     probe = (
-        t(spark, sf, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderstatus")
-        .crossJoin(F.broadcast(arr))
+        spread(t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"))
+        .withColumn("arr", arr)
         .withColumn("ps", _bf_positions(F.col("o_custkey")))
         .withColumn(
             "pass",
