@@ -215,3 +215,48 @@ def q108(spark, sf):
         .where("__flag")
         .select("event_id", "user_id", "value")
     )
+
+
+@register(
+    "q116_mix_epoch_plan",
+    "mixing: temperature-scaled mixture plan (p_s ~ n_s^alpha, alpha=0.5) "
+    "with per-source token budgets and repetition factors",
+    f"""WITH per AS (
+         SELECT source,
+                CAST(SUM(len({_SQL_TOKENS.format(c='text')})) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY source)
+       SELECT source, n_tokens,
+              sqrt(CAST(n_tokens AS DOUBLE))
+                / SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS mix_p,
+              500000.0 * sqrt(CAST(n_tokens AS DOUBLE))
+                / SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS target_tokens,
+              500000.0 * sqrt(CAST(n_tokens AS DOUBLE))
+                / SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER ()
+                / CAST(n_tokens AS DOUBLE) AS epochs
+       FROM per""",
+)
+def q116(spark, sf):
+    # Temperature-scaled sampling (alpha = 1/T = 0.5): the standard fix
+    # for head-domain domination when assembling a training mixture —
+    # small sources are up-weighted, p_s ~ n_s^alpha. The output is the
+    # mixing PLAN: per-source probability, token budget out of a 500k
+    # target, and the repetition factor (epochs > 1 means the source
+    # repeats). One scan -> 20-row aggregate; the window normalization
+    # runs over the tiny per-source table, so the plan costs one
+    # map-side-combined shuffle regardless of corpus size.
+    per = (
+        t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"))
+    )
+    root = F.sqrt(F.col("n_tokens").cast("double"))
+    z = F.sum(root).over(W.partitionBy())
+    return per.select(
+        "source",
+        "n_tokens",
+        (root / z).alias("mix_p"),
+        (F.lit(500000.0) * root / z).alias("target_tokens"),
+        (F.lit(500000.0) * root / z / F.col("n_tokens").cast("double")).alias(
+            "epochs"
+        ),
+    )
