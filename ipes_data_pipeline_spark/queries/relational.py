@@ -913,3 +913,49 @@ def q104(spark, sf):
         F.sum(F.col("ex").cast("long")).alias("n_exact"),
         F.sum((F.col("pass") & ~F.col("ex")).cast("long")).alias("n_false_pos"),
     )
+
+
+@register(
+    "q117_cdc_apply",
+    "I-family: CDC / MERGE apply — latest-op-wins snapshot with delete "
+    "markers (the read-side twin of operators/upsert.upsert_partitioned)",
+    """WITH log AS (
+         SELECT user_id, ts, event_id, value,
+                CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn,
+                COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+         FROM events)
+       SELECT user_id, event_id AS last_event_id, value AS last_value,
+              n_changes
+       FROM log WHERE rn = 1 AND op = 'U'""",
+)
+def q117(spark, sf):
+    # The MERGE semantics every incremental pipeline needs: a change log
+    # keyed by entity, ordered by (ts, event_id), where 'error' rows are
+    # delete markers. The surviving snapshot keeps each key's LATEST row
+    # iff that row is an upsert — a key whose newest change is a delete
+    # vanishes even though older upserts exist. One window over the key:
+    # a single shuffle; at 100 TB this is the same plan shape AQE picks
+    # for foreachBatch merge (streaming form: medallion.stream_gold_upsert).
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    log = t(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(W.partitionBy("user_id")))
+        .where((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+            "n_changes",
+        )
+    )
