@@ -198,3 +198,24 @@ def test_pmi_totals_are_broadcast(spark, sf_dir):
     p = formatted_plan(q(spark, "q107_pmi_collocations", sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_knn_graph_has_no_exchange(spark, sf_dir):
+    # the broadcast-corpus kNN graph must be scan -> mapInPandas with no
+    # shuffle anywhere: the whole point of the design (SCALING.md case
+    # study) is that the pair set never materializes and the query side
+    # needs no repartitioning.
+    plan = formatted_plan(q(spark, "q114_knn_graph", sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_cdc_apply_single_window_exchange(spark, sf_dir):
+    # both window functions partition on user_id: Catalyst must plan ONE
+    # hash exchange, not one per window.
+    import re
+
+    plan = formatted_plan(q(spark, "q117_cdc_apply", sf_dir))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_exchanges == 1, plan
