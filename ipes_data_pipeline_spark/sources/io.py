@@ -70,3 +70,18 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
 def write_orc(df: DataFrame, path: str, single_file: bool = False) -> None:
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").orc(path)
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet batches whose schemas drifted (columns added over
+    time) into one frame with the UNION schema; rows from batches that
+    predate a column read NULL for it.
+
+    ``mergeSchema`` reconciles the footers at planning time — at 100 TB
+    this costs one footer read per file (parallelized on the driver's
+    listing pool), not a data pass. Type WIDENING across batches (int →
+    long) is rejected by Spark, which is the behavior we want: silent
+    widening between runs is the reference quirk SURVEY §2.3.6 warns
+    about — evolution here means columns appear, never change type.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -67,3 +67,23 @@ def test_orc_round_trip(spark, tmp_path):
     write_orc(df, path)
     back = read_orc(spark, path, SCHEMA)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_parquet_schema_evolution_union_and_backfill(spark, tmp_path):
+    """read_parquet_evolving: added columns backfill NULL for old
+    batches; the union schema is stable regardless of read order."""
+    from ipes_data_pipeline_spark.sources.io import read_parquet_evolving
+
+    v1 = str(tmp_path / "batch1")
+    v2 = str(tmp_path / "batch2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(v1)
+    spark.createDataFrame(
+        [(3, "c", 0.9)], "id long, name string, quality double"
+    ).write.parquet(v2)
+
+    out = read_parquet_evolving(spark, v1, v2)
+    assert set(out.columns) == {"id", "name", "quality"}
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["quality"] is None and rows[3]["quality"] == 0.9
