@@ -113,6 +113,52 @@ def knn_graph(
     )
 
 
+def knn_graph_bucketed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dims: tuple[int, ...] = (1, 9, 17, 25),
+) -> DataFrame:
+    """Approximate k-NN graph with a sign-LSH-sharded corpus — the
+    scale path for :func:`knn_graph` when the corpus does NOT fit
+    per-executor.
+
+    Candidates form only inside a bucket, so the shuffle key is the
+    bucket id and each task scores one bucket's candidates — corpus
+    memory per task is |bucket|, not |corpus|. Recall is traded for
+    that bound (neighbors straddling a sign plane are missed; raise
+    recall with multi-probe or more balanced learned cells, see
+    :func:`ann_topk_ivf_kmeans`). Deterministic: same bucketing + fold
+    order in any engine, so unlike most ANN indexes this one carries a
+    value-level SQL oracle (q118).
+    """
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), dims).alias("bkt"),
+        norm(F.col(vec_col)).alias("nrm"),
+    ).localCheckpoint(eager=True)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b, on=[F.col("a.bkt") == F.col("b.bkt"), F.col("a.id") != F.col("b.id")]
+    ).select(
+        F.col("a.id").alias("id"),
+        F.col("b.id").alias("neighbor_id"),
+        (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
+            "cos_sim"
+        ),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def cosine_topk_pairs_lsh(
     df: DataFrame,
     id_col: str,

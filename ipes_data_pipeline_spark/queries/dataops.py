@@ -33,6 +33,7 @@ from ipes_data_pipeline_spark.operators.similarity import (
     ann_topk_bruteforce,
     cosine_topk_pairs_lsh,
     knn_graph,
+    knn_graph_bucketed,
 )
 from ipes_data_pipeline_spark.queries import register, sql_dsum, t
 
@@ -266,6 +267,38 @@ def q114(spark, sf):
     # far inside the comparator's 6-decimal rounding; the k-boundary is
     # tie-exact (see knn_graph's kth-value candidate selection).
     return knn_graph(t(spark, sf, "embeddings"), "vec_id", "embedding", k=5)
+
+
+def _q118_oracle() -> str:
+    bkt = (
+        "(CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END || "
+        "CASE WHEN embedding[9] > 0 THEN '1' ELSE '0' END || "
+        "CASE WHEN embedding[17] > 0 THEN '1' ELSE '0' END || "
+        "CASE WHEN embedding[25] > 0 THEN '1' ELSE '0' END)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding AS v, {bkt} AS bkt FROM embeddings),
+p AS (
+  SELECT a.id AS id, b.id AS neighbor_id, {_sql_cosine('a.v', 'b.v')} AS cos_sim
+  FROM e a JOIN e b ON a.bkt = b.bkt AND a.id <> b.id),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM p)
+SELECT id, neighbor_id, cos_sim FROM r WHERE rn <= 5
+"""
+
+
+@register(
+    "q118_knn_graph_bucketed",
+    "similarity search: sign-LSH-sharded approximate k-NN graph (the "
+    "corpus-doesn't-fit scale path for q114; per-task memory = bucket size)",
+    _q118_oracle(),
+)
+def q118(spark, sf):
+    return knn_graph_bucketed(
+        t(spark, sf, "embeddings"), "vec_id", "embedding", k=5
+    )
 
 
 # --------------------------------------------------------------- text analysis

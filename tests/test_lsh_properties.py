@@ -86,3 +86,27 @@ def test_knn_graph_k_larger_than_corpus(spark):
     )
     out = knn_graph(df, "vec_id", "embedding", k=10).collect()
     assert len(out) == 2  # only one possible neighbor each
+
+
+def test_bucketed_knn_recall_vs_exact(spark):
+    """The sharded graph's neighbors are a subset-quality check: measure
+    recall@5 against the exact graph on real testdata. Sign-LSH on 4
+    axes is deliberately coarse — the floor just guards against the
+    bucketing being broken (e.g. everything in one bucket => recall 1
+    but a degenerate shuffle; nothing shared => recall 0)."""
+    from ipes_data_pipeline_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id"], r["neighbor_id"])
+        for r in knn_graph(emb, "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r["id"], r["neighbor_id"])
+        for r in knn_graph_bucketed(emb, "vec_id", "embedding", k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert 0.05 < recall < 1.0, recall
