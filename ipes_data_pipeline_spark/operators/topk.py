@@ -1,0 +1,58 @@
+"""Grouped top-k with map-side pre-reduction.
+
+The window-function form (`row_number() OVER (PARTITION BY g ORDER BY v)
+<= k`) is exact but shuffles EVERY row to its group's partition before
+any row is discarded — at 100 TB the exchange carries the full table to
+throw almost all of it away. `grouped_topk` bounds the exchange first:
+each input partition locally keeps at most k rows per group (an
+Arrow-batched pandas reduction — the combiner step Spark's window
+operator doesn't have), then the exact window runs on the survivors.
+Correctness: a group's global top-k rows are each in SOME partition's
+local top-k, so the pre-reduce never drops a winner. Shuffle volume
+drops from |rows| to ≤ k·|groups|·|partitions| — in the common skewed
+case (few giant groups) orders of magnitude less.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Exact top-k rows per group, ordered by ``order_col`` (desc by
+    default) with ties broken by ascending ``tiebreak_col``."""
+    cols = list(df.columns)
+    by = [order_col, tiebreak_col]
+    asc = [not descending, True]
+
+    def local_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield (
+                pdf.sort_values(by, ascending=asc)
+                .groupby(group_cols, sort=False)
+                .head(k)
+            )
+
+    pre = df.mapInPandas(local_topk, df.schema)
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(tiebreak_col).asc(),
+    ]
+    w = W.partitionBy(*group_cols).orderBy(*order)
+    return (
+        pre.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+        .select(*cols)
+    )

@@ -959,3 +959,29 @@ def q117(spark, sf):
             "n_changes",
         )
     )
+
+
+@register(
+    "q119_grouped_topk",
+    "G3-family: grouped top-k with map-side pre-reduction (combiner "
+    "before the window shuffle; exchange carries <= k rows/group/partition)",
+    """WITH r AS (
+         SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders)
+       SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice
+       FROM r WHERE rn <= 5""",
+)
+def q119(spark, sf):
+    from ipes_data_pipeline_spark.operators.topk import grouped_topk
+
+    return grouped_topk(
+        t(spark, sf, "orders").select(
+            "o_orderpriority", "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        group_cols=["o_orderpriority"],
+        order_col="o_totalprice",
+        k=5,
+        tiebreak_col="o_orderkey",
+    )

@@ -71,3 +71,26 @@ def test_range_count_prefix_sum_edges(spark):
         "empty_gap": 0,
         "all": 5,
     }
+
+
+def test_grouped_topk_winners_across_partitions(spark):
+    """Operator unit: every group's global winners survive the per-
+    partition pre-reduce no matter how rows are scattered, and boundary
+    ties break by the tiebreak column."""
+    from ipes_data_pipeline_spark.operators.topk import grouped_topk
+
+    rows = [("g", i, float(v)) for i, v in enumerate([5, 9, 9, 1, 8, 9, 2, 7])]
+    rows += [("h", 100 + i, float(i)) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "grp string, id long, v double"
+    ).repartition(8)  # scatter so winners sit in different partitions
+    out = grouped_topk(
+        df, group_cols=["grp"], order_col="v", k=3, tiebreak_col="id"
+    ).collect()
+    got = {(r["grp"], r["id"]) for r in out}
+    # g: three 9s (ids 1,2,5) — the tied trio beats the lone 8
+    assert {(g, i) for g, i in got if g == "g"} == {("g", 1), ("g", 2), ("g", 5)}
+    # h: top-3 of 0..3 by value desc = ids 103,102,101
+    assert {(g, i) for g, i in got if g == "h"} == {
+        ("h", 103), ("h", 102), ("h", 101)
+    }
