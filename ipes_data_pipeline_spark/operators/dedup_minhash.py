@@ -109,6 +109,55 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_delta(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental dedup: candidate pairs of a NEW batch against an
+    existing corpus plus the batch itself — without ever re-pairing the
+    corpus against the corpus.
+
+    The production shape for continuously-ingested corpora: the corpus
+    band index is a stored artifact (pass ``corpus_bands`` to reuse a
+    previously materialized/banded table — then only the new batch pays
+    tokenize+md5), the join probes it with the new batch's bands, and
+    the candidate count scales with |new|, not |corpus|. Pairs:
+    (new_id, other_id) where other is any corpus doc sharing a band, or
+    a LATER new doc (new-new pairs ordered once, corpus-new pairs in
+    new→corpus direction only).
+    """
+    new_bands = minhash_bands(
+        new_df, id_col, text_col, n_hashes, band_size, shingle_n
+    ).localCheckpoint(eager=True)
+    if corpus_bands is None:
+        corpus_bands = minhash_bands(
+            corpus_df, id_col, text_col, n_hashes, band_size, shingle_n
+        )
+    others = corpus_bands.withColumn("is_new", F.lit(False)).unionByName(
+        new_bands.withColumn("is_new", F.lit(True))
+    )
+    n, o = new_bands.alias("n"), others.alias("o")
+    return (
+        n.join(
+            o,
+            on=[
+                F.col("n.band_idx") == F.col("o.band_idx"),
+                F.col("n.band_key") == F.col("o.band_key"),
+                F.col("n.id") != F.col("o.id"),
+            ],
+        )
+        .where(~F.col("o.is_new") | (F.col("o.id") > F.col("n.id")))
+        .select(F.col("n.id").alias("new_id"), F.col("o.id").alias("other_id"))
+        .distinct()
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_bits: int = 32
 ) -> DataFrame:

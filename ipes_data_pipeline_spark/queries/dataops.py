@@ -24,6 +24,7 @@ from ipes_data_pipeline_spark.functions.vectors import cosine
 from ipes_data_pipeline_spark.operators.dedup_minhash import (
     dedupe_exact_text,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_delta,
     ngram_jaccard_pairs,
     simhash_signatures,
 )
@@ -170,6 +171,34 @@ def _q43_oracle() -> str:
 WITH toks AS (SELECT doc_id AS id, {toks} AS w FROM documents)
 SELECT id, {bits} AS simhash FROM toks
 """
+
+
+def _q120_oracle() -> str:
+    # reuse q42's band CTEs verbatim; only the pairing rule changes
+    base = _q42_oracle().strip().rsplit("SELECT DISTINCT", 1)[0]
+    return f"""{base}
+SELECT DISTINCT n.id AS new_id, o.id AS other_id
+FROM bands n JOIN bands o
+  ON n.band_idx = o.band_idx AND n.band_key = o.band_key AND n.id <> o.id
+WHERE n.id % 10 = 0
+  AND (o.id % 10 <> 0 OR o.id > n.id)
+"""
+
+
+@register(
+    "q120_dedup_incremental",
+    "dedup: incremental MinHash-LSH — new batch probed against the stored "
+    "corpus band index (candidates scale with |new|, corpus never self-pairs)",
+    _q120_oracle(),
+)
+def q120(spark, sf):
+    docs = t(spark, sf, "documents")
+    return minhash_lsh_pairs_delta(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        "doc_id",
+        "text",
+    )
 
 
 @register(

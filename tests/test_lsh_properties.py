@@ -110,3 +110,40 @@ def test_bucketed_knn_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert 0.05 < recall < 1.0, recall
+
+
+def test_delta_dedup_matches_full_pairing_and_reuses_stored_bands(spark, docs):
+    """minhash_lsh_pairs_delta: (a) pairs touching the new batch equal
+    the full self-join's pairs restricted to the batch; (b) passing a
+    precomputed corpus band index gives identical results (the stored-
+    artifact path pays no corpus re-hash)."""
+    from ipes_data_pipeline_spark.operators.dedup_minhash import (
+        minhash_bands,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_delta,
+    )
+
+    new = docs.where("doc_id % 2 = 0")
+    corpus = docs.where("doc_id % 2 = 1")
+    full = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    expect = {p for p in full if any(i % 2 == 0 for i in p)}
+
+    got = {
+        frozenset((r["new_id"], r["other_id"]))
+        for r in minhash_lsh_pairs_delta(
+            new, corpus, "doc_id", "text"
+        ).collect()
+    }
+    assert got == expect
+
+    stored = minhash_bands(corpus, "doc_id", "text").localCheckpoint(eager=True)
+    got2 = {
+        frozenset((r["new_id"], r["other_id"]))
+        for r in minhash_lsh_pairs_delta(
+            new, None, "doc_id", "text", corpus_bands=stored
+        ).collect()
+    }
+    assert got2 == expect
