@@ -85,3 +85,36 @@ def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
     about — evolution here means columns appear, never change type.
     """
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def write_sized_shards(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Write parquet with BOUNDED, roughly-equal file sizes; returns the
+    shard count.
+
+    The two failure modes this controls at lake scale are both file-count
+    pathologies: a shuffle-partitioned write emits |partitions| files per
+    write (the small-files problem — footer/listing overhead dominates
+    reads), while a coalesced write emits multi-GB files a single task
+    must produce and a single reader must split. Round-robin
+    `repartition(n)` with n derived from the actual row count gives
+    near-equal shards; `maxRecordsPerFile` is the hard upper bound when
+    the estimate is stale. `sort_within_by` sorts WITHIN each shard
+    (sortWithinPartitions — no extra exchange) so min/max column stats
+    stay tight for data-skipping readers.
+    """
+    n_rows = df.count()
+    n_shards = max(1, -(-n_rows // max(1, target_rows_per_file)))
+    out = df.repartition(n_shards)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(path)
+    )
+    return n_shards

@@ -87,3 +87,24 @@ def test_parquet_schema_evolution_union_and_backfill(spark, tmp_path):
     assert set(out.columns) == {"id", "name", "quality"}
     rows = {r["id"]: r for r in out.collect()}
     assert rows[1]["quality"] is None and rows[3]["quality"] == 0.9
+
+
+def test_write_sized_shards_balanced(spark, tmp_path):
+    """write_sized_shards: file count tracks rows/target, shards are
+    near-equal, and no file exceeds the record cap."""
+    import glob
+
+    from ipes_data_pipeline_spark.sources.io import write_sized_shards
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    out = str(tmp_path / "shards")
+    n = write_sized_shards(df, out, target_rows_per_file=1_000, sort_within_by=["k"])
+    assert n == 10
+    files = glob.glob(f"{out}/part-*.parquet")
+    # round-robin is near-equal, not exact: a shard that lands a few
+    # rows over the target is split by maxRecordsPerFile (the hard cap),
+    # so the file count may slightly exceed the shard count.
+    assert 10 <= len(files) <= 20
+    sizes = [spark.read.parquet(f).count() for f in files]
+    assert sum(sizes) == 10_000
+    assert max(sizes) <= 1_000  # the hard bound always holds
