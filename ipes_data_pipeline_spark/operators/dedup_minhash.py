@@ -176,6 +176,72 @@ def simhash_signatures(
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by banded SimHash + hamming refine.
+
+    The pigeonhole block: two signatures within ``max_hamming`` bits of
+    each other agree exactly on at least one of ``n_bands`` bands
+    whenever ``max_hamming < n_bands`` — so banding is a LOSSLESS
+    blocking key at that radius, unlike MinHash bands (probabilistic).
+    Candidates join on (band_idx, band_bits); the refine counts
+    differing bits. Shuffle key = band value; no cross join.
+    """
+    band_w = n_bits // n_bands
+    sigs = simhash_signatures(df, id_col, text_col, n_bits).localCheckpoint(
+        eager=True
+    )
+    bands = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.substring("simhash", b * band_w + 1, band_w).alias(
+                            "band_bits"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.band_idx"), F.col("b.band_bits"))
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = sum(
+        F.when(
+            F.substring(F.col("a.simhash"), i + 1, 1)
+            != F.substring(F.col("b.simhash"), i + 1, 1),
+            1,
+        ).otherwise(0)
+        for i in range(n_bits)
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_bits") == F.col("b.band_bits"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -26,6 +26,7 @@ from ipes_data_pipeline_spark.operators.dedup_minhash import (
     minhash_lsh_pairs,
     minhash_lsh_pairs_delta,
     ngram_jaccard_pairs,
+    simhash_neardup_pairs,
     simhash_signatures,
 )
 from ipes_data_pipeline_spark.operators.sessionize import asof_join_latest, sessionize
@@ -198,6 +199,47 @@ def q120(spark, sf):
         docs.where(F.col("doc_id") % 10 != 0),
         "doc_id",
         "text",
+    )
+
+
+def _q121_oracle() -> str:
+    # reuse q43's signature construction; band + refine on top
+    base = _q43_oracle().strip()
+    head, tail = base.rsplit("SELECT id,", 1)
+    bands = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band_idx, "
+        f"substr(simhash, {b * 8 + 1}, 8) AS band_bits FROM sigs"
+        for b in range(4)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1) "
+        "THEN 1 ELSE 0 END"
+        for i in range(32)
+    )
+    return f"""{head.rstrip().removesuffix(')')}),
+sigs AS (SELECT id,{tail.strip()}),
+bands AS ({bands}),
+p AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, CAST({ham} AS INT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.id < b.id)
+SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+"""
+
+
+@register(
+    "q121_simhash_neardup",
+    "dedup: banded SimHash near-dup pairs (pigeonhole-lossless blocking: "
+    "hamming <= 3 < 4 bands guarantees a shared band; shuffle key = band)",
+    _q121_oracle(),
+)
+def q121(spark, sf):
+    # max_hamming=3 with 4 bands: any pair within radius 3 shares at
+    # least one untouched band (pigeonhole), so the blocking drops
+    # NOTHING — unlike MinHash bands, recall here is exactly 1.
+    return simhash_neardup_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", n_bits=32, n_bands=4,
+        max_hamming=3,
     )
 
 

@@ -147,3 +147,33 @@ def test_delta_dedup_matches_full_pairing_and_reuses_stored_bands(spark, docs):
         ).collect()
     }
     assert got2 == expect
+
+
+def test_simhash_banding_is_lossless_at_radius(spark):
+    """Pigeonhole: with 4 bands and radius 4... wait, 4 differing bits
+    CAN touch all 4 bands — losslessness needs max_hamming < n_bands.
+    Verify the exact guarantee at radius 3 against brute force."""
+    from itertools import combinations
+
+    from ipes_data_pipeline_spark.operators.dedup_minhash import (
+        simhash_neardup_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = {
+        r["id"]: r["simhash"]
+        for r in simhash_signatures(docs, "doc_id", "text").collect()
+    }
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if sum(x != y for x, y in zip(sigs[a], sigs[b])) <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(
+            docs, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    assert got == brute
