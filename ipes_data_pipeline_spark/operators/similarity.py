@@ -119,6 +119,7 @@ def knn_graph_bucketed(
     vec_col: str,
     k: int = 5,
     dims: tuple[int, ...] = (1, 9, 17, 25),
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate k-NN graph with a sign-LSH-sharded corpus — the
     scale path for :func:`knn_graph` when the corpus does NOT fit
@@ -127,10 +128,15 @@ def knn_graph_bucketed(
     Candidates form only inside a bucket, so the shuffle key is the
     bucket id and each task scores one bucket's candidates — corpus
     memory per task is |bucket|, not |corpus|. Recall is traded for
-    that bound (neighbors straddling a sign plane are missed; raise
-    recall with multi-probe or more balanced learned cells, see
-    :func:`ann_topk_ivf_kmeans`). Deterministic: same bucketing + fold
-    order in any engine, so unlike most ANN indexes this one carries a
+    that bound (neighbors straddling a sign plane are missed).
+    ``multi_probe=True`` is the recall lever: the QUERY side also
+    probes every bucket at hamming distance 1 (one sign flipped), so a
+    neighbor straddling a single plane is found — candidates grow
+    ~(1+len(dims))×, per-task memory is still one bucket. The corpus
+    index itself is untouched (flips happen probe-side only), matching
+    how multi-probe LSH avoids replicating the stored index.
+    Deterministic either way: same bucketing + fold order in any
+    engine, so unlike most ANN indexes the single-probe form carries a
     value-level SQL oracle (q118).
     """
     keyed = df.select(
@@ -139,7 +145,24 @@ def knn_graph_bucketed(
         sign_bucket(F.col(vec_col), dims).alias("bkt"),
         norm(F.col(vec_col)).alias("nrm"),
     ).localCheckpoint(eager=True)
-    a, b = keyed.alias("a"), keyed.alias("b")
+    if multi_probe:
+        nbits = len(dims)
+        flips = [F.col("bkt")] + [
+            F.concat(
+                F.substring("bkt", 1, i),
+                F.when(
+                    F.substring("bkt", i + 1, 1) == "1", F.lit("0")
+                ).otherwise(F.lit("1")),
+                F.substring("bkt", i + 2, nbits - i - 1),
+            )
+            for i in range(nbits)
+        ]
+        probe = keyed.select(
+            "id", "v", "nrm", F.explode(F.array(*flips)).alias("bkt")
+        )
+    else:
+        probe = keyed
+    a, b = probe.alias("a"), keyed.alias("b")
     pairs = a.join(
         b, on=[F.col("a.bkt") == F.col("b.bkt"), F.col("a.id") != F.col("b.id")]
     ).select(

@@ -177,3 +177,32 @@ def test_simhash_banding_is_lossless_at_radius(spark):
         ).collect()
     }
     assert got == brute
+
+
+def test_multi_probe_strictly_improves_recall(spark):
+    """Probing hamming-1 buckets sees a strict superset of candidates,
+    so the graph must recover strictly more of the exact graph than
+    single-probe does on this data."""
+    from ipes_data_pipeline_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id"], r["neighbor_id"])
+        for r in knn_graph(emb, "vec_id", "embedding", k=5).collect()
+    }
+    single = {
+        (r["id"], r["neighbor_id"])
+        for r in knn_graph_bucketed(emb, "vec_id", "embedding", k=5).collect()
+    }
+    multi = {
+        (r["id"], r["neighbor_id"])
+        for r in knn_graph_bucketed(
+            emb, "vec_id", "embedding", k=5, multi_probe=True
+        ).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi > r_single, (r_single, r_multi)
