@@ -119,3 +119,44 @@ def test_zscore_no_flags_on_constant_series(spark):
     )
     out = ev.withColumn("f", flagged & (c >= 30)).where("f")
     assert out.count() == 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=12, deadline=None)
+def test_grouped_topk_equals_window_reference(spark, rows, nparts):
+    """grouped_topk == the plain window formulation for arbitrary data
+    and ANY physical partitioning (the pre-reduce must never change the
+    answer, only the shuffle volume). Values are drawn with heavy
+    collisions so boundary ties exercise the tiebreak path."""
+    from pyspark.sql.window import Window as W
+
+    from ipes_data_pipeline_spark.operators.topk import grouped_topk
+
+    data = [(g, i, float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "grp string, id long, v double").repartition(
+        nparts
+    )
+    got = {
+        (r["grp"], r["id"])
+        for r in grouped_topk(
+            df, group_cols=["grp"], order_col="v", k=3, tiebreak_col="id"
+        ).collect()
+    }
+    w = W.partitionBy("grp").orderBy(F.col("v").desc(), F.col("id").asc())
+    expect = {
+        (r["grp"], r["id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 3")
+        .collect()
+    }
+    assert got == expect
