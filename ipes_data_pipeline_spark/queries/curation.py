@@ -513,3 +513,52 @@ def q99(spark, sf):
             ),
         )
     )
+
+
+@register(
+    "q122_substring_dedup",
+    "dedup/contamination: exact-substring overlap — docs sharing any "
+    "sampled 40-char window verbatim (char-level complement of the "
+    "token-shingle checks q83/q99; the Lee-et-al substring-dedup shape)",
+    """WITH w AS (
+         SELECT DISTINCT doc_id AS id,
+                md5(substr(text, 1 + i * 10, 40)) AS h
+         FROM documents,
+              UNNEST(range(0, CAST(floor((length(text) - 40) / 10) AS BIGINT) + 1)) AS t(i)
+         WHERE length(text) >= 40)
+       SELECT a.id AS id_a, b.id AS id_b,
+              CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+       FROM w a JOIN w b ON a.h = b.h AND a.id < b.id
+       GROUP BY a.id, b.id""",
+)
+def q122(spark, sf):
+    # Verbatim-copy detection at character level: hash every 40-char
+    # window at stride 10 (stride trades exhaustiveness for 10× less
+    # hashing — any shared run >= 49 chars is still guaranteed to hit a
+    # sampled window in both docs), then pair docs on equal hashes. The
+    # shuffle key is the window hash, so candidate formation is
+    # bucket-local exactly like the MinHash band join; the pair count
+    # per window is bounded by the docs actually sharing that text.
+    d = spread(t(spark, sf, "documents")).where(F.length("text") >= 40)
+    w = (
+        d.select(
+            F.col("doc_id").alias("id"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.floor((F.length("text") - 40) / 10).cast("long")
+                )
+            ).alias("i"),
+            F.col("text"),
+        )
+        .select(
+            "id",
+            F.md5(F.expr("substring(text, 1 + i * 10, 40)")).alias("h"),
+        )
+        .distinct()
+    )
+    a, b = w.alias("a"), w.alias("b")
+    return (
+        a.join(b, on=[F.col("a.h") == F.col("b.h"), F.col("a.id") < F.col("b.id")])
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
