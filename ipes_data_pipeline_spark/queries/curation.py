@@ -521,10 +521,9 @@ def q99(spark, sf):
     "sampled 40-char window verbatim (char-level complement of the "
     "token-shingle checks q83/q99; the Lee-et-al substring-dedup shape)",
     """WITH w AS (
-         SELECT DISTINCT doc_id AS id,
-                md5(substr(text, 1 + i * 10, 40)) AS h
+         SELECT DISTINCT doc_id AS id, md5(substr(text, 1 + i, 40)) AS h
          FROM documents,
-              UNNEST(range(0, CAST(floor((length(text) - 40) / 10) AS BIGINT) + 1)) AS t(i)
+              UNNEST(range(0, length(text) - 39)) AS t(i)
          WHERE length(text) >= 40)
        SELECT a.id AS id_a, b.id AS id_b,
               CAST(COUNT(*) AS BIGINT) AS n_shared_windows
@@ -532,27 +531,28 @@ def q99(spark, sf):
        GROUP BY a.id, b.id""",
 )
 def q122(spark, sf):
-    # Verbatim-copy detection at character level: hash every 40-char
-    # window at stride 10 (stride trades exhaustiveness for 10× less
-    # hashing — any shared run >= 49 chars is still guaranteed to hit a
-    # sampled window in both docs), then pair docs on equal hashes. The
-    # shuffle key is the window hash, so candidate formation is
-    # bucket-local exactly like the MinHash band join; the pair count
-    # per window is bounded by the docs actually sharing that text.
+    # Verbatim-copy detection at character level: hash EVERY 40-char
+    # window (stride 1 — a strided variant misses copies whose start
+    # offsets differ mod the stride, so exhaustive windows are the only
+    # form with a real guarantee: any shared run >= 40 chars IS caught).
+    # Pair docs on equal window hashes; the shuffle key is the window
+    # hash, so candidate formation is bucket-local exactly like the
+    # MinHash band join. At corpus scale the window table is ~|chars|
+    # rows — the md5 work is embarrassingly parallel, and distinct-per-
+    # doc bounds the join fan-out per hash by the docs actually sharing
+    # that text.
     d = spread(t(spark, sf, "documents")).where(F.length("text") >= 40)
     w = (
         d.select(
             F.col("doc_id").alias("id"),
             F.explode(
-                F.sequence(
-                    F.lit(0), F.floor((F.length("text") - 40) / 10).cast("long")
-                )
+                F.sequence(F.lit(0), (F.length("text") - 40).cast("long"))
             ).alias("i"),
             F.col("text"),
         )
         .select(
             "id",
-            F.md5(F.expr("substring(text, 1 + i * 10, 40)")).alias("h"),
+            F.md5(F.expr("substring(text, 1 + i, 40)")).alias("h"),
         )
         .distinct()
     )
