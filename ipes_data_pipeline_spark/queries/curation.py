@@ -562,3 +562,94 @@ def q122(spark, sf):
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )
+
+
+def _q123_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+tk AS (SELECT doc_id, unnest(w) AS tok FROM d),
+tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, tok),
+dfs AS (SELECT tok, COUNT(*) AS df FROM tfc GROUP BY tok),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+post AS (
+  SELECT tfc.doc_id, tfc.tok,
+         CAST(ROUND(CAST(tf AS DOUBLE)
+                    * LN(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS w
+  FROM tfc JOIN dfs USING (tok), nd
+  WHERE df BETWEEN 2 AND 20),
+nrm AS (SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+        FROM post GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.w * b.w) AS DOUBLE) AS num,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT p.id_a, p.id_b, p.num / (na.nrm * nb.nrm) AS sim, p.n_shared
+FROM pairs p JOIN nrm na ON na.doc_id = p.id_a
+             JOIN nrm nb ON nb.doc_id = p.id_b
+WHERE p.num / (na.nrm * nb.nrm) >= 0.2
+"""
+
+
+@register(
+    "q123_tfidf_simjoin",
+    "similarity: sparse TF-IDF cosine join over an inverted index — the "
+    "lexical complement of the dense kNN graph (q114); df-pruned postings "
+    "bound the per-token fan-out",
+    _q123_oracle(),
+)
+def q123(spark, sf):
+    # The inverted-index similarity join: pairs form only through a
+    # SHARED TOKEN (the posting list is the blocking key — exactly the
+    # band-join shape, with df pruning playing the stop-word role: a
+    # token in more than 20 docs contributes C(df,2) pairs and ~zero
+    # idf weight, so it is dropped before the join, bounding fan-out
+    # per token). Weights are ln-idf quantized to 6 dp then fixed to
+    # DECIMAL — dot products and norms are exact decimal sums (q98's
+    # cross-engine float rule), so the cosine is bit-identical in any
+    # engine. One token-stream scan feeds tf, df, postings and norms.
+    tok_stream = (
+        spread(t(spark, sf, "documents"))
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    ).localCheckpoint(eager=True)
+    tfc = tok_stream.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfs = tfc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = t(spark, sf, "documents").agg(F.count(F.lit(1)).alias("n"))
+    w = F.round(
+        F.col("tf").cast("double")
+        * F.ln(F.col("n").cast("double") / F.col("df").cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    post = (
+        tfc.join(F.broadcast(dfs.where(F.col("df").between(2, 20))), "tok")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "tok", w.alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nrm = post.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a, b = post.alias("a"), post.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.tok") == F.col("b.tok"),
+                      F.col("a.doc_id") < F.col("b.doc_id")])
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).cast("double").alias("num"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("nrm_a"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nrm_b"))
+    sim = F.col("num") / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        pairs.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .where(sim >= 0.2)
+        .select("id_a", "id_b", sim.alias("sim"), "n_shared")
+    )
