@@ -14,8 +14,11 @@ from ipes_data_pipeline_spark.operators.dedup_fuzzy import (  # noqa: F401
 )
 from ipes_data_pipeline_spark.operators.dedup_minhash import (  # noqa: F401
     dedupe_exact_text,
+    minhash_bands,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_delta,
     ngram_jaccard_pairs,
+    simhash_neardup_pairs,
     simhash_signatures,
 )
 from ipes_data_pipeline_spark.operators.enrich import (  # noqa: F401
@@ -40,8 +43,18 @@ from ipes_data_pipeline_spark.operators.sessionize import (  # noqa: F401
 from ipes_data_pipeline_spark.operators.similarity import (  # noqa: F401
     ann_topk_bruteforce,
     ann_topk_ivf,
+    ann_topk_ivf_kmeans,
     cosine_topk_pairs_lsh,
     knn_graph,
+    knn_graph_bucketed,
+)
+from ipes_data_pipeline_spark.operators.rangejoin import (  # noqa: F401
+    bucketed_range_join,
+    range_count,
+)
+from ipes_data_pipeline_spark.operators.topk import grouped_topk  # noqa: F401
+from ipes_data_pipeline_spark.operators.upsert import (  # noqa: F401
+    upsert_partitioned,
 )
 from ipes_data_pipeline_spark.operators.skew import (  # noqa: F401
     salted_broadcast_join,
