@@ -63,6 +63,9 @@ def knn_graph(
         F.col(id_col), F.col(vec_col)
     )
     rows = corpus.collect()
+    out_schema = "id bigint, neighbor_id bigint, cos_sim double"
+    if not rows:
+        return df.sparkSession.createDataFrame([], out_schema)
     c_ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     nrm = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -109,7 +112,7 @@ def knn_graph(
             )
 
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        score, "id bigint, neighbor_id bigint, cos_sim double"
+        score, out_schema
     )
 
 

@@ -94,3 +94,40 @@ def test_grouped_topk_winners_across_partitions(spark):
     assert {(g, i) for g, i in got if g == "h"} == {
         ("h", 103), ("h", 102), ("h", 101)
     }
+
+
+def test_new_operators_tolerate_empty_input(spark):
+    """Empty-frame sweep: the batch similarity/topk/dedup operators must
+    plan and return empty results, not crash, when a filter upstream
+    leaves nothing (routine at partition boundaries of a real lake)."""
+    from ipes_data_pipeline_spark.operators.dedup_minhash import (
+        minhash_lsh_pairs_delta,
+        simhash_neardup_pairs,
+    )
+    from ipes_data_pipeline_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_bucketed,
+    )
+    from ipes_data_pipeline_spark.operators.topk import grouped_topk
+
+    no_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert knn_graph(no_vecs, "vec_id", "embedding", k=3).count() == 0
+    assert knn_graph_bucketed(no_vecs, "vec_id", "embedding", k=3).count() == 0
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    some_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    assert simhash_neardup_pairs(no_docs, "doc_id", "text").count() == 0
+    # empty new batch vs non-empty corpus AND vice versa
+    assert (
+        minhash_lsh_pairs_delta(no_docs, some_docs, "doc_id", "text").count() == 0
+    )
+    assert (
+        minhash_lsh_pairs_delta(some_docs, no_docs, "doc_id", "text").count() == 0
+    )
+
+    no_rows = spark.createDataFrame([], "grp string, id long, v double")
+    assert (
+        grouped_topk(no_rows, ["grp"], "v", k=3, tiebreak_col="id").count() == 0
+    )
