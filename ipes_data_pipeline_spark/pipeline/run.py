@@ -137,3 +137,41 @@ def run_pipeline(
                 None,
             )
         raise
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI twin of the reference's ``python3 run_pipeline.py``
+    (``run_pipeline.py:49-66``): same stage-skipping surface, one Spark
+    session instead of one subprocess per stage."""
+    import argparse
+
+    from ipes_data_pipeline_spark.session import get_session
+
+    p = argparse.ArgumentParser(description="Run the medallion pipeline.")
+    p.add_argument("--raw-dir", required=True, help="raw JSON landing dir")
+    p.add_argument("--out", required=True, help="lake root for all layers")
+    p.add_argument("--skip-bronze", action="store_true",
+                   help="reuse the existing bronze layer (ref --skip-fetch)")
+    p.add_argument("--skip-gold", action="store_true",
+                   help="stop after silver (ref --skip-download analogue)")
+    p.add_argument("--no-stats", action="store_true",
+                   help="don't append to the monitoring sink")
+    args = p.parse_args(argv)
+
+    spark = get_session("ipes-pipeline")
+    res = run_pipeline(
+        spark,
+        args.raw_dir,
+        args.out,
+        skip_bronze=args.skip_bronze,
+        skip_gold=args.skip_gold,
+        stats=not args.no_stats,
+    )
+    for step, dur in res.step_durations.items():
+        print(f"{step}: {dur:.2f}s")
+    print(f"companies={res.companies.count()} filings={res.filings.count()}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
