@@ -103,3 +103,39 @@ def run_with_config(
     finally:
         query.stop()
     return restarts
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI twin of ``python3 dashboard/run_scheduler.py``
+    (``run_scheduler.py:53-93``): scheduled ingestion with config
+    hot-reload. ``--max-runtime`` bounds the run for smoke tests;
+    production omits it and runs until interrupted."""
+    import argparse
+
+    from ipes_data_pipeline_spark.session import get_session
+
+    p = argparse.ArgumentParser(description="Scheduled bronze ingestion.")
+    p.add_argument("--raw-dir", required=True)
+    p.add_argument("--bronze", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--config", required=True,
+                   help='JSON file: {"interval_seconds": N}; edits hot-reload')
+    p.add_argument("--max-runtime", type=float, default=None,
+                   help="seconds to run before exiting (default: forever)")
+    args = p.parse_args(argv)
+
+    spark = get_session("ipes-scheduler")
+    restarts = run_with_config(
+        spark,
+        args.raw_dir,
+        args.bronze,
+        args.checkpoint,
+        args.config,
+        max_runtime_seconds=args.max_runtime,
+    )
+    print(f"restarts={restarts}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
