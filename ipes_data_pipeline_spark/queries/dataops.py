@@ -1170,3 +1170,73 @@ def q112(spark, sf):
             F.col("z.o").alias("frame_offset"),
         )
     )
+
+
+def _q124_oracle() -> str:
+    # q42's band CTEs + q77's split rule, composed into the leakage audit
+    base = _q42_oracle().strip().rsplit("SELECT DISTINCT", 1)[0]
+    split = (
+        "CASE WHEN ('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 15))::BIGINT"
+        " % 100 < 80 THEN 'train'"
+        " WHEN ('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 15))::BIGINT"
+        " % 100 < 90 THEN 'val' ELSE 'test' END"
+    )
+    return f"""{base}
+, pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id)
+SELECT {split.format(id='id_a')} AS split_a,
+       {split.format(id='id_b')} AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs
+FROM pairs
+WHERE {split.format(id='id_a')} <> {split.format(id='id_b')}
+GROUP BY split_a, split_b
+"""
+
+
+@register(
+    "q124_split_leakage",
+    "curation: train/test leakage audit — near-dup pairs (MinHash-LSH) "
+    "straddling the hash split; nonzero rows mean the held-out splits "
+    "are contaminated and need near-dup-aware splitting",
+    _q124_oracle(),
+)
+def q124(spark, sf):
+    # Composition of q42 (near-dup candidate pairs) and q77 (content-
+    # addressed split): a pair in different splits leaks training text
+    # into eval. The fix in a real pipeline is splitting by CLUSTER
+    # (q42c's component id) instead of by doc — this query is the audit
+    # that proves whether that is needed. Pair generation is the band
+    # join (bucket-local); the split tag is pure column math on top.
+    split_of = lambda c: (  # noqa: E731
+        F.when(
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % 100
+            < 80,
+            "train",
+        )
+        .when(
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % 100
+            < 90,
+            "val",
+        )
+        .otherwise("test")
+    )
+    pairs = minhash_lsh_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", n_hashes=8, band_size=2
+    )
+    tagged = pairs.select(
+        split_of(F.col("id_a")).alias("split_a"),
+        split_of(F.col("id_b")).alias("split_b"),
+    )
+    return (
+        tagged.where(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_leaky_pairs"))
+    )
