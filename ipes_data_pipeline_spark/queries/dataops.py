@@ -1240,3 +1240,71 @@ def q124(spark, sf):
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).alias("n_leaky_pairs"))
     )
+
+
+def _q125_oracle() -> str:
+    # q42c's component resolution + q77's split rule applied to the
+    # component KEEPER rather than the doc: whole clusters move together.
+    comp = _q42c_oracle().strip().rsplit("SELECT node", 1)[0]
+    split = (
+        "CASE WHEN ('0x' || substr(md5(CAST(lab AS VARCHAR)), 1, 15))::BIGINT"
+        " % 100 < 80 THEN 'train'"
+        " WHEN ('0x' || substr(md5(CAST(lab AS VARCHAR)), 1, 15))::BIGINT"
+        " % 100 < 90 THEN 'val' ELSE 'test' END"
+    )
+    return f"""{comp}
+SELECT {split} AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lab) AS BIGINT) AS n_clusters
+FROM l3 GROUP BY split
+"""
+
+
+@register(
+    "q125_clusterwise_split",
+    "curation: near-dup-aware train/val/test split — the q124 remedy: "
+    "hash the component KEEPER so whole near-dup clusters land in one "
+    "split (leakage across splits is structurally zero)",
+    _q125_oracle(),
+)
+def q125(spark, sf):
+    from ipes_data_pipeline_spark.operators.dedup_fuzzy import (
+        min_label_components,
+    )
+
+    docs = t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comp = min_label_components(nodes, edges, iterations=3)
+    split = (
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < 80,
+            "train",
+        )
+        .when(
+            F.conv(
+                F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < 90,
+            "val",
+        )
+        .otherwise("test")
+    )
+    return comp.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("canonical_id").alias("n_clusters"),
+    )

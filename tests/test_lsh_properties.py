@@ -150,9 +150,10 @@ def test_delta_dedup_matches_full_pairing_and_reuses_stored_bands(spark, docs):
 
 
 def test_simhash_banding_is_lossless_at_radius(spark):
-    """Pigeonhole: with 4 bands and radius 4... wait, 4 differing bits
-    CAN touch all 4 bands — losslessness needs max_hamming < n_bands.
-    Verify the exact guarantee at radius 3 against brute force."""
+    """Pigeonhole guarantee: losslessness needs max_hamming < n_bands
+    (4 differing bits CAN touch all 4 bands, so radius 4 has no
+    guarantee). Verify the exact radius-3 guarantee against brute
+    force."""
     from itertools import combinations
 
     from ipes_data_pipeline_spark.operators.dedup_minhash import (
@@ -206,3 +207,42 @@ def test_multi_probe_strictly_improves_recall(spark):
     r_single = len(exact & single) / len(exact)
     r_multi = len(exact & multi) / len(exact)
     assert r_multi > r_single, (r_single, r_multi)
+
+
+def test_clusterwise_split_has_zero_leakage(spark):
+    """The q125 invariant: when docs are split by their near-dup
+    component keeper, NO candidate pair straddles two splits — the
+    leakage q124 audits is structurally impossible."""
+    from pyspark.sql import functions as F
+
+    from ipes_data_pipeline_spark.operators.dedup_fuzzy import (
+        min_label_components,
+    )
+    from ipes_data_pipeline_spark.operators.dedup_minhash import (
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    comp = min_label_components(
+        docs.select(F.col("doc_id").alias("node")), edges, iterations=3
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    split = {
+        r["node"]: min(r["b"] // 80, 1) + min(r["b"] // 90, 1)
+        for r in comp.select("node", bucket.alias("b"), "canonical_id").collect()
+    }
+    leaky = [
+        (r["id_a"], r["id_b"])
+        for r in pairs.collect()
+        if split[r["id_a"]] != split[r["id_b"]]
+    ]
+    assert leaky == []
