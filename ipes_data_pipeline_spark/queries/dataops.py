@@ -1308,3 +1308,46 @@ def q125(spark, sf):
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("canonical_id").alias("n_clusters"),
     )
+
+
+def _q126_oracle() -> str:
+    comp = _q42c_oracle().strip().rsplit("SELECT node", 1)[0]
+    return f"""{comp}
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_raw,
+       CAST((SELECT COUNT(DISTINCT md5(text)) FROM documents) AS BIGINT)
+         AS n_exact_unique,
+       CAST(COUNT(DISTINCT lab) AS BIGINT) AS n_neardup_clusters
+FROM l3
+"""
+
+
+@register(
+    "q126_reduction_funnel",
+    "curation: data-reduction funnel — raw -> exact-unique -> near-dup "
+    "clusters (the reference's published 848->297->294->178 funnel shape, "
+    "README.md:154-160, re-expressed over the document corpus)",
+    _q126_oracle(),
+)
+def q126(spark, sf):
+    from ipes_data_pipeline_spark.operators.dedup_fuzzy import (
+        min_label_components,
+    )
+
+    docs = t(spark, sf, "documents").localCheckpoint(eager=True)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    comp = min_label_components(
+        docs.select(F.col("doc_id").alias("node")), edges, iterations=3
+    )
+    counts = docs.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.countDistinct(F.md5("text")).alias("n_exact_unique"),
+    )
+    clusters = comp.agg(
+        F.countDistinct("canonical_id").alias("n_neardup_clusters")
+    )
+    return counts.crossJoin(clusters)
