@@ -5,12 +5,13 @@ The TPC-H shapes exercise the multi-join + filtered-aggregate + top-k
 compositions a warehouse engine lives on; each has a DuckDB oracle with
 decimal-exact revenue sums.
 
-The streaming queries (q70+) register WITHOUT oracle SQL — the driver
-records a rows-only check for them (SURVEY §2.2: streaming semantics
-are not SQL-expressible in DuckDB). Each runs a bounded
-Structured-Streaming query (AvailableNow over the parquet file) and
-returns the materialized result; the batch twins (q40/q55/q56) carry
-the value-hash gate for the same transformations.
+The streaming queries (q70+) each run a bounded Structured-Streaming
+query (AvailableNow over the parquet file) and return the materialized
+result. Under AvailableNow the whole file arrives in one micro-batch,
+so no row is late relative to the watermark and the result equals the
+batch semantics — which makes most of them VALUE-checkable against the
+same DuckDB SQL as their batch twins (q40/q55/q56). Only genuinely
+nondeterministic streaming ops stay rows-only.
 """
 
 from __future__ import annotations
@@ -191,8 +192,14 @@ def _events_stream(spark, sf):
 @register(
     "q70_streaming_tumbling",
     "STREAMING: watermarked tumbling counts over the events file stream "
-    "(rows-only check; value gate = batch twin q40)",
-    None,
+    "(value-checked - AvailableNow sees all events, decimal-exact sums)",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+              date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+                AS window_end,
+              event_type,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2, 3""",
 )
 def q70(spark, sf):
     from ipes_data_pipeline_spark.streaming.windows import tumbling_counts
@@ -215,11 +222,21 @@ def q72(spark, sf):
     )
 
 
+def _q71_oracle() -> str:
+    # Identical gap (30 min) to the batch twin q55, so the streaming
+    # result under AvailableNow is value-checkable against the same
+    # gaps-and-islands SQL: one micro-batch sees all events, and
+    # session_window start/end semantics (last event + gap) match.
+    from ipes_data_pipeline_spark.queries.windows_batch import _q55_oracle
+
+    return _q55_oracle()
+
+
 @register(
     "q71_streaming_session_window",
-    "STREAMING: watermarked session windows per user "
-    "(rows-only check; value gate = batch twin q55)",
-    None,
+    "STREAMING: watermarked session windows per user (value-checked — "
+    "same 30 min gap as batch twin q55, AvailableNow sees all events)",
+    _q71_oracle(),
 )
 def q71(spark, sf):
     from ipes_data_pipeline_spark.streaming.windows import session_counts
