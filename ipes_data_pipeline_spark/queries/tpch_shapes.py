@@ -20,8 +20,8 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from ipes_data_pipeline_spark.queries import register, sql_dsum, t
-from ipes_data_pipeline_spark.queries import dsum
+from ipes_data_pipeline_spark.queries import register, sql_davg, sql_dsum, t
+from ipes_data_pipeline_spark.queries import davg, dsum
 
 
 @register(
@@ -349,3 +349,98 @@ def q115(spark, sf):
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
     )
     return _run_available_now(joined, mode="append")
+
+
+@register(
+    "q127_tpch_q21_shape",
+    "TPC-H Q21 shape: multi-EXISTS decorrelation - suppliers solely "
+    "responsible for a returned item in multi-supplier orders",
+    """WITH r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                  WHERE l_returnflag = 'R'),
+        multi AS (SELECT l_orderkey FROM lineitem
+                  GROUP BY l_orderkey
+                  HAVING COUNT(DISTINCT l_suppkey) > 1),
+        sole AS (
+          SELECT r.l_orderkey, r.l_suppkey FROM r
+          JOIN multi ON multi.l_orderkey = r.l_orderkey
+          WHERE NOT EXISTS (
+            SELECT 1 FROM r r2
+            WHERE r2.l_orderkey = r.l_orderkey
+              AND r2.l_suppkey <> r.l_suppkey))
+       SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+       FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+       GROUP BY s.s_name
+       ORDER BY numwait DESC, s_name LIMIT 20""",
+)
+def q127(spark, sf):
+    # Q21's plan problem is decorrelating EXISTS + NOT EXISTS on the
+    # same table: both collapse to one aggregate over the returned-item
+    # set - an order qualifies when it is multi-supplier overall and
+    # single-supplier among returns. No correlated re-scan survives:
+    # lineitem is read twice (full + returns), each aggregated once.
+    li = t(spark, sf, "lineitem")
+    returns = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .where(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    sole = (
+        returns.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("nrs"),
+            # nrs == 1 below => every row carries the same supplier;
+            # max() is the deterministic way to pick it
+            F.max("l_suppkey").alias("the_supp"),
+        )
+        .where(F.col("nrs") == 1)
+        .join(multi, "l_orderkey", "left_semi")
+    )
+    s = t(spark, sf, "supplier")
+    return (
+        sole.join(F.broadcast(s), sole.the_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "q128_tpch_q22_shape",
+    "TPC-H Q22 shape: scalar-avg subquery + anti join - wealthy "
+    "order-less customers per nation",
+    f"""WITH cutoff AS (
+          SELECT {sql_davg('c_acctbal')} AS m FROM customer
+          WHERE c_acctbal > 0.0)
+        SELECT c.c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               {sql_dsum('c.c_acctbal')} AS totacctbal
+        FROM customer c, cutoff
+        WHERE c.c_acctbal > cutoff.m
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c.c_nationkey""",
+)
+def q128(spark, sf):
+    # Q22's two decorrelations: the scalar average becomes a 1-row
+    # broadcast cross join (no per-row re-evaluation), and NOT EXISTS
+    # becomes a left-anti hash join on the customer key.
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    cutoff = c.where(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal", "m")
+    )
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .where(F.col("c_acctbal") > F.col("m"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )
