@@ -102,12 +102,19 @@ def run_pipeline(
 
         if not skip_gold:
             with timed("gold"):
-                try:
+                # Probe the cache dir through Hadoop's FileSystem (works
+                # on any supported store, not just local paths) instead
+                # of read-and-catch: the failed read otherwise dumps a
+                # PATH_NOT_FOUND stack into the driver log on every
+                # cold start AND fires the ExecutionListener error path.
+                jvm = spark.sparkContext._jvm
+                hconf = spark.sparkContext._jsc.hadoopConfiguration()
+                jpath = jvm.org.apache.hadoop.fs.Path(paths["enrichment_cache"])
+                if jpath.getFileSystem(hconf).exists(jpath):
                     cache = spark.read.schema(ENRICHMENT_CACHE).parquet(
                         paths["enrichment_cache"]
                     )
-                    cache.head(1)
-                except Exception:
+                else:
                     cache = spark.createDataFrame([], ENRICHMENT_CACHE)
                 out = build_gold(companies, filings, cache, backend=backend)
                 out.enriched.write.mode("overwrite").parquet(paths["gold"])
