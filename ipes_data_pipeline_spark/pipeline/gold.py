@@ -23,6 +23,21 @@ def empty_cache(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], ENRICHMENT_CACHE)
 
 
+def read_cache(spark: SparkSession, cache_dir: str) -> DataFrame:
+    """The enrichment cache table, or an empty frame before first write.
+
+    Existence is probed through Hadoop's FileSystem (valid on any
+    supported store) rather than read-and-catch — a failed read dumps a
+    PATH_NOT_FOUND stack into the driver log and trips the execution
+    listener on every cold start."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(cache_dir)
+    if jpath.getFileSystem(hconf).exists(jpath):
+        return spark.read.schema(ENRICHMENT_CACHE).parquet(cache_dir)
+    return empty_cache(spark)
+
+
 def build_gold(
     companies: DataFrame,
     filings: DataFrame,

@@ -29,9 +29,9 @@ from ipes_data_pipeline_spark.operators.validate import (
     validation_report,
 )
 from ipes_data_pipeline_spark.pipeline.bronze import flatten_filings
-from ipes_data_pipeline_spark.pipeline.gold import build_gold
+from ipes_data_pipeline_spark.pipeline.gold import build_gold, read_cache
 from ipes_data_pipeline_spark.pipeline.silver import structure
-from ipes_data_pipeline_spark.schemas import ENRICHMENT_CACHE, RAW_FILING_NESTED
+from ipes_data_pipeline_spark.schemas import RAW_FILING_NESTED
 from ipes_data_pipeline_spark.sources.metrics import record_run
 
 
@@ -102,20 +102,7 @@ def run_pipeline(
 
         if not skip_gold:
             with timed("gold"):
-                # Probe the cache dir through Hadoop's FileSystem (works
-                # on any supported store, not just local paths) instead
-                # of read-and-catch: the failed read otherwise dumps a
-                # PATH_NOT_FOUND stack into the driver log on every
-                # cold start AND fires the ExecutionListener error path.
-                jvm = spark.sparkContext._jvm
-                hconf = spark.sparkContext._jsc.hadoopConfiguration()
-                jpath = jvm.org.apache.hadoop.fs.Path(paths["enrichment_cache"])
-                if jpath.getFileSystem(hconf).exists(jpath):
-                    cache = spark.read.schema(ENRICHMENT_CACHE).parquet(
-                        paths["enrichment_cache"]
-                    )
-                else:
-                    cache = spark.createDataFrame([], ENRICHMENT_CACHE)
+                cache = read_cache(spark, paths["enrichment_cache"])
                 out = build_gold(companies, filings, cache, backend=backend)
                 out.enriched.write.mode("overwrite").parquet(paths["gold"])
                 out.new_cache_rows.coalesce(1).write.mode("append").parquet(

@@ -25,9 +25,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ipes_data_pipeline_spark.pipeline.bronze import flatten_filings
-from ipes_data_pipeline_spark.pipeline.gold import build_gold
+from ipes_data_pipeline_spark.pipeline.gold import build_gold, read_cache
 from ipes_data_pipeline_spark.pipeline.silver import structure
-from ipes_data_pipeline_spark.schemas import ENRICHMENT_CACHE, RAW_FILING_NESTED
+from ipes_data_pipeline_spark.schemas import RAW_FILING_NESTED
 
 
 def stream_bronze(
@@ -97,10 +97,7 @@ def stream_gold_enrichment(
 
     def enrich_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        try:
-            cache = s.read.schema(ENRICHMENT_CACHE).parquet(cache_dir)
-        except Exception:
-            cache = s.createDataFrame([], ENRICHMENT_CACHE)
+        cache = read_cache(s, cache_dir)
         out = build_gold(batch_df, filings, cache, backend=backend)
         out.new_cache_rows.coalesce(1).write.mode("append").parquet(cache_dir)
         out.enriched.write.mode("append").parquet(gold_dir)
@@ -142,10 +139,7 @@ def stream_gold_upsert(
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        try:
-            cache = s.read.schema(ENRICHMENT_CACHE).parquet(cache_dir)
-        except Exception:
-            cache = s.createDataFrame([], ENRICHMENT_CACHE)
+        cache = read_cache(s, cache_dir)
         out = build_gold(batch_df, filings, cache, backend=backend)
         out.new_cache_rows.coalesce(1).write.mode("append").parquet(cache_dir)
         enriched = out.enriched.withColumn(
