@@ -151,7 +151,7 @@ def q69(spark, sf):
     )
 
 
-# ------------------------------------------------------- streaming (rows-only)
+# ------------------------------------------------- streaming (value-checked)
 
 
 def _run_available_now(stream_df, mode: str = "complete"):
@@ -444,3 +444,22 @@ def q128(spark, sf):
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+def _q129_oracle() -> str:
+    from ipes_data_pipeline_spark.queries.windows_batch import _q56_oracle
+
+    return _q56_oracle()
+
+
+@register(
+    "q129_streaming_sliding",
+    "STREAMING: watermarked sliding windows (1 h / 30 min) over the "
+    "events file stream (value-checked - same grid-expansion oracle as "
+    "batch twin q56; AvailableNow sees all events)",
+    _q129_oracle(),
+)
+def q129(spark, sf):
+    from ipes_data_pipeline_spark.streaming.windows import sliding_counts
+
+    return _run_available_now(sliding_counts(_events_stream(spark, sf)))
