@@ -183,6 +183,7 @@ def simhash_neardup_pairs(
     n_bits: int = 32,
     n_bands: int = 4,
     max_hamming: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by banded SimHash + hamming refine.
 
@@ -192,7 +193,20 @@ def simhash_neardup_pairs(
     blocking key at that radius, unlike MinHash bands (probabilistic).
     Candidates join on (band_idx, band_bits); the refine counts
     differing bits. Shuffle key = band value; no cross join.
+
+    ``bucket_cap`` is the skew valve: on a near-homogeneous corpus the
+    signatures concentrate into few band values and candidate pairs
+    grow quadratically in bucket size (measured 4.4× superlinear at
+    sf0.1 — SCALING.md). With a cap, any bucket larger than it is
+    deterministically sub-partitioned by a hash of the id so each
+    sub-bucket holds ≤ ~cap rows; pairs then only form within a
+    sub-bucket. This bounds per-task work at the price of recall
+    (cross-sub-bucket pairs are lost — only in the giant buckets the
+    cap touched; unskewed buckets are unaffected). Same trade as the
+    salted skew join in ``operators.skew``.
     """
+    from pyspark.sql.window import Window as W
+
     band_w = n_bits // n_bands
     sigs = simhash_signatures(df, id_col, text_col, n_bits).localCheckpoint(
         eager=True
@@ -214,6 +228,33 @@ def simhash_neardup_pairs(
             )
         ).alias("b"),
     ).select("id", "simhash", F.col("b.band_idx"), F.col("b.band_bits"))
+    if bucket_cap is not None:
+        # Bucket sizes via groupBy, NOT a window: a window partitioned
+        # by the band value inherits the very skew being mitigated (the
+        # giant bucket's window computes on one task), while groupBy's
+        # map-side combine reduces per-partition before the exchange —
+        # the shuffle carries one row per distinct band value. The tiny
+        # size table broadcasts back; bands themselves never shuffle
+        # before the (salted, now-balanced) pair join.
+        sizes = bands.groupBy("band_idx", "band_bits").agg(
+            F.count(F.lit(1)).alias("bsz")
+        )
+        n_sub = F.greatest(F.lit(1), F.ceil(F.col("bsz") / bucket_cap))
+        salt = (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % n_sub
+        )
+        bands = (
+            bands.join(F.broadcast(sizes), ["band_idx", "band_bits"])
+            .withColumn("sub", salt)
+            .drop("bsz")
+            # pin: the salted band table sits on BOTH sides of the
+            # self-join — materialize once instead of per alias.
+            .localCheckpoint(eager=True)
+        )
+    else:
+        bands = bands.withColumn("sub", F.lit(0))
     a, b = bands.alias("a"), bands.alias("b")
     hamming = sum(
         F.when(
@@ -229,6 +270,7 @@ def simhash_neardup_pairs(
             on=[
                 F.col("a.band_idx") == F.col("b.band_idx"),
                 F.col("a.band_bits") == F.col("b.band_bits"),
+                F.col("a.sub") == F.col("b.sub"),
                 F.col("a.id") < F.col("b.id"),
             ],
         )

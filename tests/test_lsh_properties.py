@@ -246,3 +246,33 @@ def test_clusterwise_split_has_zero_leakage(spark):
         if split[r["id_a"]] != split[r["id_b"]]
     ]
     assert leaky == []
+
+
+def test_simhash_bucket_cap_is_subset_and_leaves_small_buckets_alone(spark):
+    """The skew valve: capped pairs are a subset of uncapped; a cap
+    larger than every bucket changes nothing; and on the skewed sf0.01
+    corpus a tight cap meaningfully shrinks the pair set."""
+    from ipes_data_pipeline_spark.operators.dedup_minhash import (
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(docs, "doc_id", "text").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(
+            docs, "doc_id", "text", bucket_cap=8
+        ).collect()
+    }
+    assert capped <= full
+    assert len(capped) < len(full)  # the corpus IS skewed; cap must bite
+    huge_cap = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(
+            docs, "doc_id", "text", bucket_cap=10_000
+        ).collect()
+    }
+    assert huge_cap == full
