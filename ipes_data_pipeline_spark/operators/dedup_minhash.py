@@ -205,7 +205,6 @@ def simhash_neardup_pairs(
     cap touched; unskewed buckets are unaffected). Same trade as the
     salted skew join in ``operators.skew``.
     """
-    from pyspark.sql.window import Window as W
 
     band_w = n_bits // n_bands
     sigs = simhash_signatures(df, id_col, text_col, n_bits).localCheckpoint(
