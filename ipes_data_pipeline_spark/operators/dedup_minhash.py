@@ -182,7 +182,7 @@ def simhash_neardup_pairs(
     text_col: str,
     n_bits: int = 32,
     n_bands: int = 4,
-    max_hamming: int = 4,
+    max_hamming: int = 3,
     bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by banded SimHash + hamming refine.
@@ -191,6 +191,10 @@ def simhash_neardup_pairs(
     each other agree exactly on at least one of ``n_bands`` bands
     whenever ``max_hamming < n_bands`` — so banding is a LOSSLESS
     blocking key at that radius, unlike MinHash bands (probabilistic).
+    The default (3, 4) satisfies that bound; passing
+    ``max_hamming >= n_bands`` still runs but the blocking becomes
+    probabilistic (a pair differing in one bit per band shares no band)
+    — a warning is emitted rather than silently advertising losslessness.
     Candidates join on (band_idx, band_bits); the refine counts
     differing bits. Shuffle key = band value; no cross join.
 
@@ -206,6 +210,16 @@ def simhash_neardup_pairs(
     salted skew join in ``operators.skew``.
     """
 
+    if max_hamming >= n_bands:
+        import warnings
+
+        warnings.warn(
+            f"simhash_neardup_pairs: max_hamming={max_hamming} >= "
+            f"n_bands={n_bands}; the pigeonhole losslessness guarantee "
+            "requires max_hamming < n_bands — blocking is probabilistic "
+            "at these parameters.",
+            stacklevel=2,
+        )
     band_w = n_bits // n_bands
     sigs = simhash_signatures(df, id_col, text_col, n_bits).localCheckpoint(
         eager=True

@@ -95,11 +95,15 @@ def knn_graph(
             # kept (so exact-tie groups at the boundary survive), then
             # lexsort breaks ties by ascending neighbor id — matching
             # the oracle's ORDER BY cos_sim DESC, neighbor_id.
-            kk = min(k, sims.shape[1] - 1)
-            if kk <= 0:
-                continue
+            # The self slot is subtracted per row: only a query id that
+            # actually appears in the corpus loses one candidate (its
+            # masked self-pair); disjoint query/corpus keeps all columns.
             out_id, out_nb, out_cs = [], [], []
             for r in range(sims.shape[0]):
+                self_slot = 1 if idx.get(int(q_ids[r])) is not None else 0
+                kk = min(k, sims.shape[1] - self_slot)
+                if kk <= 0:
+                    continue
                 kth = np.partition(-sims[r], kk - 1)[kk - 1]
                 cand = np.nonzero(-sims[r] <= kth)[0]
                 order = np.lexsort((ids_c[cand], -sims[r, cand]))[:kk]

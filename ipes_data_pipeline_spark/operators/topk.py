@@ -38,9 +38,12 @@ def grouped_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
+            # dropna=False: a NULL group key is a group like any other in
+            # the exact window pass below; the pre-reduce must keep its
+            # local top-k too or the combiner drops winners.
             yield (
                 pdf.sort_values(by, ascending=asc)
-                .groupby(group_cols, sort=False)
+                .groupby(group_cols, sort=False, dropna=False)
                 .head(k)
             )
 

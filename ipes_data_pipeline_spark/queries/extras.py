@@ -465,8 +465,11 @@ def q110(spark, sf):
     # parse per row and one parse per extracted field that repeated
     # get_json_object calls would cost (q51 declares that legacy form).
     # Integer-only aggregates: no float determinism concerns.
+    # try_parse_json (not parse_json): malformed payloads yield NULL —
+    # matching the oracle's json_extract null semantics instead of
+    # failing the whole scan on one bad row.
     ev = t(spark, sf, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

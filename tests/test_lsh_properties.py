@@ -88,6 +88,40 @@ def test_knn_graph_k_larger_than_corpus(spark):
     assert len(out) == 2  # only one possible neighbor each
 
 
+def test_knn_graph_disjoint_corpus_keeps_all_slots(spark):
+    """Query-vs-corpus mode with DISJOINT ids: no query row occupies a
+    corpus column, so no self slot is subtracted — a 1-row corpus yields
+    one neighbor per query (not zero), and a 2-row corpus yields both.
+    Mixed membership subtracts the slot only for the overlapping id."""
+    from ipes_data_pipeline_spark.operators.similarity import knn_graph
+
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus1 = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = knn_graph(queries, "vec_id", "embedding", k=3, corpus_df=corpus1)
+    got = {(r["id"], r["neighbor_id"]) for r in out.collect()}
+    assert got == {(10, 1), (11, 1)}
+
+    # one query id (1) also lives in the corpus: it loses exactly its
+    # own slot; the disjoint query (11) sees the full corpus.
+    corpus2 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (11, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out2 = knn_graph(mixed, "vec_id", "embedding", k=3, corpus_df=corpus2)
+    by_id = {}
+    for r in out2.collect():
+        by_id.setdefault(r["id"], set()).add(r["neighbor_id"])
+    assert by_id[1] == {2}        # self slot masked
+    assert by_id[11] == {1, 2}    # disjoint: sees everything
+
+
 def test_bucketed_knn_recall_vs_exact(spark):
     """The sharded graph's neighbors are a subset-quality check: measure
     recall@5 against the exact graph on real testdata. Sign-LSH on 4

@@ -124,7 +124,7 @@ def test_zscore_no_flags_on_constant_series(spark):
 @given(
     rows=st.lists(
         st.tuples(
-            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from(["a", "b", "c", None]),
             st.integers(min_value=0, max_value=50),
         ),
         min_size=1,
@@ -137,7 +137,9 @@ def test_grouped_topk_equals_window_reference(spark, rows, nparts):
     """grouped_topk == the plain window formulation for arbitrary data
     and ANY physical partitioning (the pre-reduce must never change the
     answer, only the shuffle volume). Values are drawn with heavy
-    collisions so boundary ties exercise the tiebreak path."""
+    collisions so boundary ties exercise the tiebreak path, and the key
+    domain includes NULL: the window form keeps the NULL group's top-k,
+    so the pandas pre-reduce must too (dropna=False)."""
     from pyspark.sql.window import Window as W
 
     from ipes_data_pipeline_spark.operators.topk import grouped_topk
