@@ -34,6 +34,7 @@ HEADLINE = [
     "q40_tumbling_window_batch",
     "q41_dedup_exact",
     "q42_dedup_minhash_lsh",
+    "q42f_dedup_minhash_fast",
     "q43_dedup_simhash",
     "q45_embedding_neardup_lsh",
     "q46_ann_topk",
@@ -83,22 +84,36 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
     import gc
+    import statistics
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        df = spec.spark(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Release checkpoint/persist blocks before the next query: the
-        # ContextCleaner only frees them after the Python refs drop AND a
-        # JVM GC runs; stale blocks from a heavy query (fuzzy-dedup edge
-        # sets) otherwise squeeze the next query's execution memory.
-        del df
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(0.3)
+    # Medians of n>=3: the box shows ±10-15% run-to-run variance, so a
+    # single sample can't distinguish a regression from noise. Runs
+    # interleave whole passes (pass 0 = all queries, then pass 1, ...)
+    # so a transient slowdown hits one PASS, not one query's every
+    # sample. Reported value = per-query median; "spread" = max-min.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            spec = REGISTRY[name]
+            t0 = time.perf_counter()
+            df = spec.spark(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            samples[name].append(time.perf_counter() - t0)
+            # Release checkpoint/persist blocks before the next query: the
+            # ContextCleaner only frees them after the Python refs drop AND a
+            # JVM GC runs; stale blocks from a heavy query (fuzzy-dedup edge
+            # sets) otherwise squeeze the next query's execution memory.
+            del df
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.3)
+    timings: dict[str, float] = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
+    spread: dict[str, float] = {
+        name: round(max(ts) - min(ts), 3) for name, ts in samples.items()
+    }
 
     # End-to-end medallion pipeline on reference-shaped fixtures (the
     # reference's only published perf number is this stage: ~1 s for 848
@@ -137,6 +152,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs": n_runs,
                 "sf": sf,
             }
         )

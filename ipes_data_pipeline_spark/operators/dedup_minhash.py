@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 from ipes_data_pipeline_spark.functions.text import (
     distinct_tokens,
     minhash_slice,
+    minhash_slice_xx,
     shingle_hashes,
+    shingle_hashes_xx,
     shingles,
     simhash_bits_from_hashes,
     token_hashes,
@@ -31,29 +33,46 @@ def minhash_bands(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, band_idx, band_key) — one row per LSH band per document.
 
-    Tokens → shingles → salted shingle md5s → signatures are *staged
-    projections* so each array computes once per row. One md5 pass
-    yields FOUR 32-bit MinHash components (8-hex slices of the digest),
-    so ``n_hashes`` components cost ``ceil(n_hashes/4)`` md5 passes
-    instead of one md5 pass per component — md5 dominates this operator.
+    Tokens → shingles → salted shingle hashes → signatures are *staged
+    projections* so each array computes once per row.
+
+    ``hash_fn`` picks the MinHash family:
+
+    - ``"xxhash64"`` (default — the production path): one JVM xxHash64
+      pass per salt, sliced into TWO 32-bit components per pass. ~10×
+      cheaper per shingle than md5, which dominates this operator.
+    - ``"md5"`` (the oracle-portable path): md5 digests sliced into FOUR
+      8-hex-char components per pass — the only hash both Spark and
+      DuckDB compute identically, so every value-checked query pins it.
+
+    Both families are uniform 32-bit MinHashes; candidate QUALITY is
+    statistically identical (same S-curve), only the per-shingle hash
+    cost and the engine-portability differ.
     """
     toks_df = spread(df).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
     sh_df = toks_df.select("id", shingles(F.col("toks"), shingle_n).alias("sh"))
-    n_salts = -(-n_hashes // 4)  # ceil: 4 components per md5 pass
+    if hash_fn == "md5":
+        per_pass, stage, comp = 4, shingle_hashes, minhash_slice
+    elif hash_fn == "xxhash64":
+        per_pass, stage, comp = 2, shingle_hashes_xx, minhash_slice_xx
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    n_salts = -(-n_hashes // per_pass)  # ceil: components per hash pass
     hashed = sh_df.select(
         "id",
         *[
-            shingle_hashes(F.col("sh"), str(salt)).alias(f"h{salt}")
+            stage(F.col("sh"), str(salt)).alias(f"h{salt}")
             for salt in range(n_salts)
         ],
     )
     sigs = [
-        minhash_slice(F.col(f"h{i // 4}"), i % 4).alias(f"mh{i}")
+        comp(F.col(f"h{i // per_pass}"), i % per_pass).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
     with_sig = hashed.select("id", *sigs)
@@ -63,7 +82,11 @@ def minhash_bands(
             F.struct(
                 F.lit(b).alias("band_idx"),
                 F.concat_ws(
-                    "|", *[F.col(f"mh{b * band_size + k}") for k in range(band_size)]
+                    "|",
+                    *[
+                        F.col(f"mh{b * band_size + k}").cast("string")
+                        for k in range(band_size)
+                    ],
                 ).alias("band_key"),
             )
             for b in range(n_bands)
@@ -74,6 +97,40 @@ def minhash_bands(
     )
 
 
+def _cap_band_buckets(bands: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Attach a ``sub`` column sub-partitioning oversized band buckets.
+
+    The MinHash twin of the simhash skew valve: on boilerplate-heavy
+    corpora many documents share identical band keys and candidate
+    pairs grow quadratically in bucket size. Any bucket larger than
+    ``bucket_cap`` is deterministically sub-salted by a hash of the id
+    (≤ ~cap rows per sub-bucket); pairs later form only within a
+    sub-bucket, bounding per-task work at the price of recall in
+    exactly the capped buckets. ``bucket_cap=None`` ⇒ ``sub`` is a
+    constant and behavior is unchanged.
+
+    Bucket sizes come from a map-side-combined groupBy (NOT a window
+    partitioned by the band value, which would inherit the skew), and
+    the tiny size table broadcasts back.
+    """
+    if bucket_cap is None:
+        return bands.withColumn("sub", F.lit(0))
+    sizes = bands.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    n_sub = F.greatest(F.lit(1), F.ceil(F.col("bsz") / bucket_cap))
+    salt = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_sub
+    )
+    return (
+        bands.join(F.broadcast(sizes), ["band_idx", "band_key"])
+        .withColumn("sub", salt)
+        .drop("bsz")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -81,18 +138,25 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing any LSH band.
 
     The band join shuffles on (band_idx, band_key) — bucket-local work
     only. Callers typically refine with exact Jaccard on the candidates.
+    ``hash_fn`` / ``bucket_cap``: see :func:`minhash_bands` /
+    :func:`_cap_band_buckets` (production default xxhash64; oracle
+    queries pin md5; cap bounds quadratic buckets on boilerplate-heavy
+    corpora).
     """
     # Eager checkpoint: `bands` sits on BOTH sides of the self-join, and
-    # without materialization the md5-heavy signature pipeline executes
+    # without materialization the hash-heavy signature pipeline executes
     # twice (once per alias). The band table is tiny (n_docs × n_bands
     # short rows) — always worth pinning.
-    bands = minhash_bands(
-        df, id_col, text_col, n_hashes, band_size, shingle_n
+    bands = _cap_band_buckets(
+        minhash_bands(df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn),
+        bucket_cap,
     ).localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -101,6 +165,7 @@ def minhash_lsh_pairs(
             on=[
                 F.col("a.band_idx") == F.col("b.band_idx"),
                 F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.sub") == F.col("b.sub"),
                 F.col("a.id") < F.col("b.id"),
             ],
         )
@@ -118,6 +183,8 @@ def minhash_lsh_pairs_delta(
     band_size: int = 2,
     shingle_n: int = 3,
     corpus_bands: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Incremental dedup: candidate pairs of a NEW batch against an
     existing corpus plus the batch itself — without ever re-pairing the
@@ -125,36 +192,105 @@ def minhash_lsh_pairs_delta(
 
     The production shape for continuously-ingested corpora: the corpus
     band index is a stored artifact (pass ``corpus_bands`` to reuse a
-    previously materialized/banded table — then only the new batch pays
-    tokenize+md5), the join probes it with the new batch's bands, and
-    the candidate count scales with |new|, not |corpus|. Pairs:
-    (new_id, other_id) where other is any corpus doc sharing a band, or
-    a LATER new doc (new-new pairs ordered once, corpus-new pairs in
-    new→corpus direction only).
+    previously materialized/banded table — it MUST have been built with
+    the same ``hash_fn``; then only the new batch pays tokenize+hash),
+    the join probes it with the new batch's bands, and the candidate
+    count scales with |new|, not |corpus|. Pairs: (new_id, other_id)
+    where other is any corpus doc sharing a band, or a LATER new doc
+    (new-new pairs ordered once, corpus-new pairs in new→corpus
+    direction only).
+
+    ``bucket_cap`` caps the COMBINED (corpus ∪ new) band buckets: sizes
+    are counted over the union so a boilerplate band key that is huge in
+    the corpus gets sub-salted even when the new batch's share is small.
     """
     new_bands = minhash_bands(
-        new_df, id_col, text_col, n_hashes, band_size, shingle_n
+        new_df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn
     ).localCheckpoint(eager=True)
     if corpus_bands is None:
         corpus_bands = minhash_bands(
-            corpus_df, id_col, text_col, n_hashes, band_size, shingle_n
+            corpus_df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn
         )
-    others = corpus_bands.withColumn("is_new", F.lit(False)).unionByName(
-        new_bands.withColumn("is_new", F.lit(True))
+    others = _cap_band_buckets(
+        corpus_bands.withColumn("is_new", F.lit(False)).unionByName(
+            new_bands.withColumn("is_new", F.lit(True))
+        ),
+        bucket_cap,
     )
-    n, o = new_bands.alias("n"), others.alias("o")
+    if bucket_cap is None:
+        probe = new_bands.withColumn("sub", F.lit(0))
+    else:
+        # pin the salted union once; the probe side is its is_new slice,
+        # so both sides of the join carry the SAME sub-salt.
+        others = others.localCheckpoint(eager=True)
+        probe = others.where(F.col("is_new")).drop("is_new")
+    n, o = probe.alias("n"), others.alias("o")
     return (
         n.join(
             o,
             on=[
                 F.col("n.band_idx") == F.col("o.band_idx"),
                 F.col("n.band_key") == F.col("o.band_key"),
+                F.col("n.sub") == F.col("o.sub"),
                 F.col("n.id") != F.col("o.id"),
             ],
         )
         .where(~F.col("o.is_new") | (F.col("o.id") > F.col("n.id")))
         .select(F.col("n.id").alias("new_id"), F.col("o.id").alias("other_id"))
         .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates refined by EXACT shingle-set
+    Jaccard ≥ ``threshold``. Returns (id_a, id_b, jaccard).
+
+    This is the shipped dedup decision (candidates alone over-report):
+    the LSH stage bounds pair generation (bucket-keyed shuffle, no
+    O(n²)), the refine touches only candidates — two joins keyed on the
+    pair ids against the shingle projection. The refine granularity
+    deliberately MATCHES the blocking granularity (the same ``shingle_n``
+    sets MinHash sketches): a threshold on a different similarity (e.g.
+    token Jaccard) would admit pairs the sketch cannot see — scrambled-
+    word documents share ~all tokens but ~no 3-shingles — making output
+    depend on band-collision luck. On the same granularity the refine
+    verdict is hash-independent and both hash families converge on the
+    same output wherever both catch the ≥θ pairs (the property the
+    fast-path oracle q42f checks); family recall at θ follows the same
+    S-curve 1-(1-θ^band_size)^(n_hashes/band_size) either way — 16
+    hashes / 8 bands put a j=0.89 miss at ~4e-6.
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn, bucket_cap
+    )
+    toks_df = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    tokd = toks_df.select("id", shingles(F.col("toks"), shingle_n).alias("dt"))
+    a = tokd.select(F.col("id").alias("id_a"), F.col("dt").alias("dt_a"))
+    b = tokd.select(F.col("id").alias("id_b"), F.col("dt").alias("dt_b"))
+    inter = F.size(F.array_intersect(F.col("dt_a"), F.col("dt_b")))
+    union = F.size(F.col("dt_a")) + F.size(F.col("dt_b")) - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .where(union > 0)
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 

@@ -35,6 +35,7 @@ def knn_graph(
     vec_col: str,
     k: int = 5,
     corpus_df: DataFrame | None = None,
+    max_corpus_bytes: int = 2 << 30,
 ) -> DataFrame:
     """Exact cosine k-NN graph: for every vector, its top-k neighbors.
 
@@ -56,16 +57,38 @@ def knn_graph(
     shuffles, and the query side scales out linearly with executors.
 
     Self-pairs (same id on both sides) are excluded.
+
+    GUARD: the broadcast regime collects the corpus to the driver, so
+    the corpus size is bounded BEFORE any row moves — one distributed
+    ``count`` plus a 1-row ``head`` estimate the matrix at
+    ``rows × dim × 8`` bytes (float64), and anything above
+    ``max_corpus_bytes`` (default 2 GiB) raises with a pointer to
+    :func:`knn_graph_bucketed` instead of OOM-ing the driver. The
+    switch is NOT automatic because the bucketed form is approximate —
+    silently trading exactness for scale is the caller's call, not
+    this function's.
     """
     import numpy as np
 
+    out_schema = "id bigint, neighbor_id bigint, cos_sim double"
     corpus = (corpus_df if corpus_df is not None else df).select(
         F.col(id_col), F.col(vec_col)
     )
-    rows = corpus.collect()
-    out_schema = "id bigint, neighbor_id bigint, cos_sim double"
-    if not rows:
+    n_corpus = corpus.count()
+    if n_corpus == 0:
         return df.sparkSession.createDataFrame([], out_schema)
+    dim = len(corpus.select(vec_col).head()[0] or [])
+    est_bytes = n_corpus * max(dim, 1) * 8
+    if est_bytes > max_corpus_bytes:
+        raise ValueError(
+            f"knn_graph broadcast-regime corpus is ~{est_bytes / 2**30:.1f} GiB "
+            f"({n_corpus} rows x {dim} dims x 8 B) > max_corpus_bytes="
+            f"{max_corpus_bytes / 2**30:.1f} GiB. The corpus no longer fits "
+            "the per-executor broadcast contract - use knn_graph_bucketed "
+            "(sign-LSH sharded, per-task memory = one bucket, approximate) "
+            "or raise max_corpus_bytes if executors have the headroom."
+        )
+    rows = corpus.collect()
     c_ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     nrm = np.linalg.norm(mat, axis=1, keepdims=True)

@@ -25,6 +25,7 @@ from ipes_data_pipeline_spark.operators.dedup_minhash import (
     dedupe_exact_text,
     minhash_lsh_pairs,
     minhash_lsh_pairs_delta,
+    minhash_neardup_pairs,
     ngram_jaccard_pairs,
     simhash_neardup_pairs,
     simhash_signatures,
@@ -110,8 +111,81 @@ FROM bands a JOIN bands b
 )
 def q42(spark, sf):
     return minhash_lsh_pairs(
-        t(spark, sf, "documents"), "doc_id", "text", n_hashes=8, band_size=2
+        t(spark, sf, "documents"), "doc_id", "text", n_hashes=8, band_size=2,
+        hash_fn="md5",
     )
+
+
+def _q42f_oracle(n_hashes: int = 16, band_size: int = 2) -> str:
+    """Fast-path oracle: md5-banded candidates + the SAME exact-Jaccard
+    refine the engine runs. The engine side hashes with xxhash64 (not
+    expressible in DuckDB), so the value check asserts the refined
+    OUTPUT is hash-family-independent on this corpus: every ≥θ pair is
+    caught by both families, and the refine verdict is exact either
+    way.
+
+    The refine granularity MATCHES the blocking granularity: exact
+    Jaccard over the SAME 3-shingle sets MinHash sketches. (A refine on
+    a different similarity — e.g. token Jaccard — would admit scrambled-
+    word pairs with 3-shingle-J ≈ 0.01 that the sketch catches only by
+    band-collision luck, i.e. hash-family-DEPENDENT output, exactly
+    what this oracle must exclude. Token-level blocking isn't viable
+    either: stopword overlap makes background token-J high enough that
+    candidates explode toward all-pairs.) Both sides run 16 hashes / 8
+    bands at θ=0.8; the gate corpora have NO pairs with shingle-J in
+    [0.55, 0.889), so every qualifying pair sits at j ≥ 0.889 where a
+    per-family miss costs (1-0.889²)⁸ ≈ 4e-6 — verified zero misses.
+    The fast path affords the doubled band set because 8 xxhash64
+    passes still cost less than md5's 2."""
+    toks = SQL_TOKENS.format(c="text")
+    n_salts = -(-n_hashes // 4)
+    hashes = ",\n         ".join(
+        f"list_transform(shingles, s -> md5('{salt}|' || s)) AS h{salt}"
+        for salt in range(n_salts)
+    )
+    mh = ", ".join(
+        f"list_aggregate(list_transform(h{i // 4}, x -> substr(x, {(i % 4) * 8 + 1}, 8)), 'min') AS mh{i}"
+        for i in range(n_hashes)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, {b} AS band_idx, mh{band_size * b} || '|' || mh{band_size * b + 1} AS band_key FROM sigs"
+        for b in range(n_hashes // band_size)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {toks} AS w FROM documents),
+sh AS (SELECT id, CASE WHEN len(w) >= 3
+         THEN list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+         ELSE [] END AS shingles FROM toks),
+hashed AS (SELECT id,
+         {hashes}
+         FROM sh),
+sigs AS (SELECT id, {mh} FROM hashed),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+         len(list_intersect(x.shingles, y.shingles)) AS inter,
+         len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles)) AS uni
+  FROM cand JOIN sh x ON x.id = cand.id_a JOIN sh y ON y.id = cand.id_b)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+FROM scored WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.8
+"""
+
+
+@register(
+    "q42f_dedup_minhash_fast",
+    "dedup: PRODUCTION MinHash path — xxhash64 LSH candidates + exact "
+    "Jaccard refine (md5 is only for oracle portability; xxhash64 is one "
+    "cheap JVM pass per salt)",
+    _q42f_oracle(),
+)
+def q42f(spark, sf):
+    return minhash_neardup_pairs(t(spark, sf, "documents"), "doc_id", "text")
 
 
 def _q42c_oracle() -> str:
@@ -149,7 +223,7 @@ def q42c(spark, sf):
     from ipes_data_pipeline_spark.operators.dedup_fuzzy import min_label_components
 
     docs = t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5")
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -199,6 +273,7 @@ def q120(spark, sf):
         docs.where(F.col("doc_id") % 10 != 0),
         "doc_id",
         "text",
+        hash_fn="md5",
     )
 
 
@@ -1229,7 +1304,8 @@ def q124(spark, sf):
         .otherwise("test")
     )
     pairs = minhash_lsh_pairs(
-        t(spark, sf, "documents"), "doc_id", "text", n_hashes=8, band_size=2
+        t(spark, sf, "documents"), "doc_id", "text", n_hashes=8, band_size=2,
+        hash_fn="md5",
     )
     tagged = pairs.select(
         split_of(F.col("id_a")).alias("split_a"),
@@ -1273,7 +1349,7 @@ def q125(spark, sf):
     )
 
     docs = t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5")
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(
@@ -1334,7 +1410,7 @@ def q126(spark, sf):
     )
 
     docs = t(spark, sf, "documents").localCheckpoint(eager=True)
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5")
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(

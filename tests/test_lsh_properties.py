@@ -88,6 +88,24 @@ def test_knn_graph_k_larger_than_corpus(spark):
     assert len(out) == 2  # only one possible neighbor each
 
 
+def test_knn_graph_guards_driver_memory(spark):
+    """The broadcast-regime guard: a corpus whose estimated matrix
+    exceeds max_corpus_bytes raises (pointing at knn_graph_bucketed)
+    BEFORE any collect; a fitting corpus is unaffected."""
+    import pytest
+
+    from ipes_data_pipeline_spark.operators.similarity import knn_graph
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    # 100 rows x 4 dims x 8 B = 3200 B > 1000 B cap
+    with pytest.raises(ValueError, match="knn_graph_bucketed"):
+        knn_graph(df, "vec_id", "embedding", k=3, max_corpus_bytes=1000)
+    assert knn_graph(df, "vec_id", "embedding", k=3).count() == 300
+
+
 def test_knn_graph_disjoint_corpus_keeps_all_slots(spark):
     """Query-vs-corpus mode with DISJOINT ids: no query row occupies a
     corpus column, so no self slot is subtracted — a 1-row corpus yields
@@ -310,3 +328,111 @@ def test_simhash_bucket_cap_is_subset_and_leaves_small_buckets_alone(spark):
         ).collect()
     }
     assert huge_cap == full
+
+
+def test_minhash_bucket_cap_is_subset_and_leaves_small_buckets_alone(spark):
+    """The MinHash twin of the simhash skew-valve contract: capped
+    pairs ⊆ uncapped; a cap above every bucket size is a no-op; a tight
+    cap on a boilerplate-heavy corpus (every doc sharing one band key)
+    shrinks the pair set."""
+    from ipes_data_pipeline_spark.operators.dedup_minhash import (
+        minhash_lsh_pairs,
+    )
+
+    # 30 copies of one boilerplate doc + a few distinct docs: the
+    # boilerplate band buckets hold 30 rows each — quadratic without a cap.
+    rows = [(i, "terms of service apply to all users of this site") for i in range(30)]
+    rows += [(100 + i, f"unique document number {i} about topic {i * 7}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", bucket_cap=5).collect()
+    }
+    assert capped <= full
+    assert len(capped) < len(full)  # 30-doc buckets: the cap must bite
+    assert capped  # sub-buckets still pair internally
+    huge = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", bucket_cap=10_000).collect()
+    }
+    assert huge == full
+
+
+def test_minhash_delta_bucket_cap_subset(spark):
+    """Delta form: capping the combined (corpus ∪ new) buckets yields a
+    subset of the uncapped delta pairs; a huge cap is a no-op."""
+    from ipes_data_pipeline_spark.operators.dedup_minhash import (
+        minhash_lsh_pairs_delta,
+    )
+
+    rows = [(i, "terms of service apply to all users of this site") for i in range(30)]
+    rows += [(100 + i, f"unique document number {i} about topic {i * 7}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new, corpus = docs.where("doc_id % 3 = 0"), docs.where("doc_id % 3 <> 0")
+    full = {
+        (r["new_id"], r["other_id"])
+        for r in minhash_lsh_pairs_delta(new, corpus, "doc_id", "text").collect()
+    }
+    capped = {
+        (r["new_id"], r["other_id"])
+        for r in minhash_lsh_pairs_delta(
+            new, corpus, "doc_id", "text", bucket_cap=5
+        ).collect()
+    }
+    assert capped <= full
+    assert len(capped) < len(full)
+    huge = {
+        (r["new_id"], r["other_id"])
+        for r in minhash_lsh_pairs_delta(
+            new, corpus, "doc_id", "text", bucket_cap=10_000
+        ).collect()
+    }
+    assert huge == full
+
+
+def test_minhash_hash_families_agree_after_refine(spark):
+    """The fast-path contract (q42f): xxhash64 and md5 MinHash families
+    produce IDENTICAL refined output on a corpus whose near-dups sit
+    well above threshold — the refine verdict is exact shingle Jaccard
+    (hash-free), and at 16 hashes / 8 bands a j≈0.9 pair is missed with
+    p ≈ 4e-6 per family. Exact-duplicate shingle sets collide with
+    probability 1 under ANY hash family (all components equal), so
+    those pairs are guaranteed, not lucky."""
+    from ipes_data_pipeline_spark.operators.dedup_minhash import (
+        minhash_neardup_pairs,
+    )
+
+    rows = []
+    for g in range(6):
+        words = [f"w{g}_{i}" for i in range(60)]
+        rows.append((g * 10, " ".join(words)))
+        rows.append((g * 10 + 1, " ".join(words)))  # exact dup: j = 1.0
+        # one substitution mid-doc kills 3 of 58 shingles: j = 55/61 ≈ 0.90
+        edited = words[:30] + ["edited"] + words[31:]
+        rows.append((g * 10 + 2, " ".join(edited)))
+    rows += [(900 + i, f"totally unrelated number {i} short doc {i * 3}") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_neardup_pairs(
+            docs, "doc_id", "text", hash_fn="xxhash64"
+        ).collect()
+    }
+    oracle_mode = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_neardup_pairs(
+            docs, "doc_id", "text", hash_fn="md5"
+        ).collect()
+    }
+    assert fast == oracle_mode
+    pair_ids = {(a, b) for a, b, _ in fast}
+    # exact dups (guaranteed collisions) and the j≈0.9 edits all present
+    for g in range(6):
+        assert (g * 10, g * 10 + 1) in pair_ids
+        assert (g * 10, g * 10 + 2) in pair_ids
+    # unrelated docs never qualify
+    assert not any(a >= 900 or b >= 900 for a, b in pair_ids)
