@@ -243,6 +243,130 @@ def cosine_topk_pairs_lsh(
     return pairs.orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")).limit(k)
 
 
+def kmeans_lloyd_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    n_iter: int = 3,
+) -> DataFrame:
+    """DETERMINISTIC DataFrame-native Lloyd k-means: (c_id, c_vec) after
+    ``n_iter`` assign+update rounds.
+
+    Every source of nondeterminism in library k-means is pinned so the
+    result is bit-stable in ANY engine (this is what lets q72 carry a
+    cross-engine value oracle, which `pyspark.ml`'s sampled init cannot):
+
+    - init = the ``n_cells`` smallest ids' vectors (content-fixed, no
+      sampling); centroid labels stay those seed ids across rounds;
+    - assignment = argmin squared-L2 with ties broken on ascending
+      centroid id; the fold over dimensions is sequential in double
+      (zip_with + aggregate), bit-identical to DuckDB's list_reduce
+      (the q91 pattern);
+    - update = element-wise mean via DECIMAL(18,6) sums — exact
+      arithmetic, so summation ORDER cannot change the centroid (the
+      repo-wide dsum rule applied per dimension);
+    - empty cells simply drop their centroid row (identically in both
+      engines — the group is absent).
+
+    Physical shape per round: centroids are a tiny broadcast (cells ×
+    dim), so assignment is a map-side nested loop over the fact table
+    (no shuffle of the vectors); the update shuffles (cell, dim) pairs
+    — bounded by cells × dim, not by |rows|. Rounds are cut with eager
+    localCheckpoints so the plan stays flat instead of nesting
+    ``n_iter`` crossJoin+window subtrees.
+    """
+    emb = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).localCheckpoint(eager=True)
+    cent = (
+        emb.orderBy("id")
+        .limit(n_cells)
+        .select(F.col("id").alias("c_id"), F.col("v").alias("c_vec"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        assigned = _assign_cells(emb, cent)
+        comp = assigned.join(emb, "id").select(
+            "c_id", F.posexplode("v").alias("pos", "val")
+        )
+        cent = (
+            comp.groupBy("c_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+                    / F.count("val")
+                ).alias("m")
+            )
+            .groupBy("c_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c_vec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, c_id): nearest centroid by squared L2, ties to lower c_id."""
+    from pyspark.sql.window import Window as W
+
+    diff2 = F.zip_with(
+        "v",
+        "c_vec",
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    d2 = F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+    w = W.partitionBy("id").orderBy(F.asc("d2"), F.asc("c_id"))
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select("id", "c_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "c_id")
+    )
+
+
+def ann_topk_ivf_kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """IVF ANN over :func:`kmeans_lloyd_centroids` cells — the
+    deterministic sibling of :func:`ann_topk_ivf_kmeans`, value-
+    checkable cross-engine (q72). Same scale shape: assignment is an
+    equi-join on the cell id, the probe touches one cell, no cross
+    join of the corpus."""
+    cent = kmeans_lloyd_centroids(df, id_col, vec_col, n_cells, n_iter)
+    emb = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cells = _assign_cells(emb, cent)
+    q = query_df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q_cell = F.broadcast(
+        _assign_cells(q, cent).select(F.col("c_id").alias("q_cell"))
+    )
+    q_vec = F.broadcast(q.select(F.col("v").alias("q_vec")))
+    return (
+        cells.join(emb, "id")
+        .join(q_cell, F.col("c_id") == F.col("q_cell"))
+        .crossJoin(q_vec)
+        .select(F.col("id"), cosine(F.col("v"), F.col("q_vec")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def ann_topk_ivf_kmeans(
     df: DataFrame,
     id_col: str,
@@ -260,9 +384,11 @@ def ann_topk_ivf_kmeans(
     cell id — no cross join); the cells are simply better balanced than
     coordinate sign planes. Training cost is one pass over a sample;
     assignment is a per-row argmin over ``n_cells`` centroids (JVM-side
-    via the fitted model's transform). Declared as a rows-only-checked
-    query: k-means results depend on init sampling, so no cross-engine
-    value oracle exists (the exactness baseline remains
+    via the fitted model's transform). `pyspark.ml` k-means depends on
+    init sampling, so THIS form has no cross-engine value oracle — the
+    declared query (q72) uses the deterministic
+    :func:`ann_topk_ivf_kmeans_lloyd` sibling instead; this one stays
+    as the library-integration variant (the exactness baseline remains
     :func:`ann_topk_bruteforce`).
     """
     from pyspark.ml.clustering import KMeans

@@ -207,17 +207,69 @@ def q70(spark, sf):
     return _run_available_now(tumbling_counts(_events_stream(spark, sf)))
 
 
+def _q72_oracle(n_cells: int = 8, n_iter: int = 3, k: int = 10) -> str:
+    """Unrolled deterministic Lloyd rounds (the q42c unroll trick applied
+    to k-means): init = n_cells smallest ids, assignment = argmin
+    squared-L2 with centroid-id tie-break (q91's proven fold), update =
+    per-dimension DECIMAL(18,6) means (order-independent), so every
+    round is bit-stable cross-engine and the learned-cell ANN admits a
+    value oracle — pyspark.ml's sampled init could not."""
+    from ipes_data_pipeline_spark.queries.dataops import _sql_cosine
+    from ipes_data_pipeline_spark.queries.prep import _SQL_L2
+
+    def assign(src: str, cent: str, alias: str) -> str:
+        d2 = _SQL_L2.format(a="e.v", b="c.c_vec")
+        return f"""{alias} AS (
+  SELECT id, c_id FROM (
+    SELECT e.id, c.c_id,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY {d2} ASC, c.c_id ASC) AS rn
+    FROM {src} e CROSS JOIN {cent} c) WHERE rn = 1)"""
+
+    rounds = []
+    for r in range(n_iter):
+        rounds.append(assign("emb", f"c{r}", f"a{r + 1}"))
+        rounds.append(f"""m{r + 1} AS (
+  SELECT a.c_id, t.i AS pos,
+         CAST(SUM(CAST(e.v[t.i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+  FROM a{r + 1} a JOIN emb e USING (id) CROSS JOIN range(1, 65) t(i)
+  GROUP BY a.c_id, t.i)""")
+        rounds.append(
+            f"c{r + 1} AS (SELECT c_id, list(m ORDER BY pos) AS c_vec "
+            f"FROM m{r + 1} GROUP BY c_id)"
+        )
+    chain = ",\n".join(rounds)
+    cos = _sql_cosine(a="e.v", b="q.v")
+    return f"""
+WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT id AS c_id, v AS c_vec FROM emb ORDER BY id LIMIT {n_cells}),
+{chain},
+{assign("emb", f"c{n_iter}", "cells")},
+qv AS (SELECT id, v FROM emb WHERE id = 7),
+{assign("qv", f"c{n_iter}", "qc")}
+SELECT e.id, {cos} AS cos_sim
+FROM cells s JOIN emb e USING (id)
+JOIN qc ON s.c_id = qc.c_id
+CROSS JOIN qv q
+ORDER BY cos_sim DESC, e.id ASC LIMIT {k}
+"""
+
+
 @register(
     "q72_ann_ivf_kmeans",
-    "similarity search: IVF ANN with learned k-means cells "
-    "(rows-only check; exactness baseline = q46 brute force)",
-    None,
+    "similarity search: IVF ANN with learned k-means cells — "
+    "deterministic DataFrame-native Lloyd (fixed min-id seeds, decimal-"
+    "stable centroid means), so the learned cells VALUE-CHECK cross-"
+    "engine; exactness baseline = q46 brute force",
+    _q72_oracle(),
 )
 def q72(spark, sf):
-    from ipes_data_pipeline_spark.operators.similarity import ann_topk_ivf_kmeans
+    from ipes_data_pipeline_spark.operators.similarity import (
+        ann_topk_ivf_kmeans_lloyd,
+    )
 
     emb = t(spark, sf, "embeddings")
-    return ann_topk_ivf_kmeans(
+    return ann_topk_ivf_kmeans_lloyd(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 7), k=10
     )
 
