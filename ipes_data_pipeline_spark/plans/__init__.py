@@ -4,5 +4,6 @@ from ipes_data_pipeline_spark.plans.inspect import (  # noqa: F401
     assert_pruned_columns,
     assert_pushed_filters,
     formatted_plan,
+    global_window_violations,
     has_operator,
 )

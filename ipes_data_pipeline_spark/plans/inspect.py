@@ -48,6 +48,50 @@ def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
         assert frag in p, f"filter {frag!r} not pushed:\n{p}"
 
 
+def global_window_violations(df: DataFrame) -> list[str]:
+    """WindowExec nodes with an EMPTY partition spec whose input is not
+    already reduced — the one window shape that cannot scale (a global
+    window serializes ALL input rows through one task).
+
+    A global window is fine over a bounded table: below it, every path
+    to a leaf must pass through a reducing node (an Aggregate, a
+    TakeOrderedAndProject, or a Limit) before reaching the scan. A
+    global window directly over raw fact rows has such a path and is
+    flagged. Returns the offending nodes' simpleStrings (empty = clean).
+
+    Walks the pre-AQE physical plan via the JVM handles — the partition
+    spec is read off ``WindowExec.partitionSpec()`` itself, not parsed
+    from explain text.
+    """
+    BOUNDED = ("Aggregate", "TakeOrderedAndProject", "Limit")
+
+    def children(n):
+        s = n.children()
+        return [s.apply(i) for i in range(s.size())]
+
+    def bounded(n) -> bool:
+        name = n.getClass().getSimpleName()
+        if any(b in name for b in BOUNDED):
+            return True
+        ch = children(n)
+        if not ch:
+            return False  # reached a leaf with no reduction on the path
+        return all(bounded(c) for c in ch)
+
+    violations: list[str] = []
+
+    def walk(n):
+        name = n.getClass().getSimpleName()
+        if name == "WindowExec" and n.partitionSpec().isEmpty():
+            if not all(bounded(c) for c in children(n)):
+                violations.append(str(n.simpleString(120)))
+        for c in children(n):
+            walk(c)
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return violations
+
+
 def assert_pruned_columns(
     df: DataFrame, expected: list[str], forbidden: list[str]
 ) -> None:

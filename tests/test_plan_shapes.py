@@ -11,6 +11,7 @@ from ipes_data_pipeline_spark.plans import (
     assert_pruned_columns,
     assert_pushed_filters,
     formatted_plan,
+    global_window_violations,
     has_operator,
 )
 from ipes_data_pipeline_spark.queries import REGISTRY, load_all
@@ -209,6 +210,41 @@ def test_knn_graph_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_no_global_window_over_raw_rows_anywhere(spark, sf_dir):
+    """Sweep EVERY registered query's physical plan: no WindowExec with
+    an empty partition spec may sit over un-reduced input. The gate
+    logs 'No Partition Defined' warnings on bounded histogram tables —
+    fine — but nothing previously ASSERTED boundedness, so a future
+    query could silently plan a single-task global window over fact
+    rows. This pins it. Also sanity-checks the detector against a
+    deliberately bad plan (it must fire)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    # detector must fire on the known-bad shape: global row_number
+    # directly over a raw scan
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bad = raw.withColumn(
+        "rn", F.row_number().over(W.orderBy("o_orderkey"))
+    )
+    assert global_window_violations(bad), "detector failed to flag a global window over raw rows"
+    # and stay quiet once the input is aggregated
+    ok = (
+        raw.groupBy("o_orderstatus")
+        .count()
+        .withColumn("rn", F.row_number().over(W.orderBy("o_orderstatus")))
+    )
+    assert not global_window_violations(ok)
+
+    offenders = {}
+    for name in sorted(REGISTRY):
+        df = REGISTRY[name].spark(spark, sf_dir)
+        v = global_window_violations(df)
+        if v:
+            offenders[name] = v
+    assert not offenders, offenders
 
 
 def test_cdc_apply_single_window_exchange(spark, sf_dir):
