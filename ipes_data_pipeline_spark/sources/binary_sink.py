@@ -65,6 +65,84 @@ class HttpFetcher:
                 time.sleep(self.backoff_s * (2**attempt))
         raise err
 
+@dataclass
+class SessionFetcher:
+    """Session-carrying fetch transport — the reference's second
+    download strategy (``download_via_browser_fetch`` +
+    ``establish_session``, download_pdfs_robust.py:137-241) re-expressed
+    without a browser: what defeats the 403/challenge there is the
+    established session COOKIES and a browser-identifying User-Agent
+    riding every request, so this transport (a) lazily visits
+    ``session_url`` once to collect cookies into a jar (one
+    establishment per EXECUTOR TASK, since the fetcher is constructed
+    per partition — never per row, never on the driver), then (b)
+    fetches documents through the same cookie-carrying opener. The
+    full headless-browser variant (JS-executing challenge pages) would
+    slot in behind the same ``FetchFn`` signature; its driver is out of
+    scope in this container.
+    """
+
+    session_url: str
+    user_agent: str = "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36"
+    max_retries: int = 3
+    backoff_s: float = 0.2
+    timeout_s: float = 60.0
+
+    def _opener(self):
+        import http.cookiejar
+        import urllib.request
+
+        if getattr(self, "_op", None) is None:
+            jar = http.cookiejar.CookieJar()
+            op = urllib.request.build_opener(
+                urllib.request.HTTPCookieProcessor(jar)
+            )
+            op.addheaders = [("User-Agent", self.user_agent)]
+            # establish the session: the landing page sets the cookies
+            # the protected document endpoints require
+            with op.open(self.session_url, timeout=self.timeout_s):
+                pass
+            self._op = op
+        return self._op
+
+    def __getstate__(self):
+        # the live opener (sockets, cookie jar) never crosses the
+        # driver->executor pickle boundary; each task re-establishes
+        state = dict(self.__dict__)
+        state.pop("_op", None)
+        return state
+
+    def __call__(self, url: str) -> bytes:
+        err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                with self._opener().open(url, timeout=self.timeout_s) as resp:
+                    return resp.read()
+            except Exception as e:  # noqa: BLE001 — retry any transport error
+                err = e
+                time.sleep(self.backoff_s * (2**attempt))
+        raise err
+
+
+@dataclass
+class FallbackFetcher:
+    """Strategy chain (the reference's overall control flow: direct
+    download first, browser-session fetch when the host blocks it —
+    download_pdfs_robust.py:100-134 then :137-224): try ``primary``;
+    on ANY fetch failure, retry the document through ``fallback``.
+    The session in the fallback is only ever established once a direct
+    fetch has actually failed, so unblocked hosts pay nothing."""
+
+    primary: FetchFn
+    fallback: FetchFn
+
+    def __call__(self, url: str) -> bytes:
+        try:
+            return self.primary(url)
+        except Exception:  # noqa: BLE001 — any direct failure -> fallback
+            return self.fallback(url)
+
+
 MIN_VALID_BYTES = 1000  # reference download_pdfs_robust.py:268
 
 MANIFEST_SCHEMA_DDL = (
