@@ -367,6 +367,68 @@ def ann_topk_ivf_kmeans_lloyd(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped (Abbas et al. 2023, arXiv
+    2303.09540): cluster embeddings, then prune within clusters only —
+    a vector is dropped iff some SAME-CLUSTER vector with a smaller id
+    is ``threshold``-cosine-similar to it.
+
+    Returns one row per input vector:
+    ``(id, c_id, dominator, keep)`` where ``dominator`` is the smallest
+    such similar neighbor (NULL for survivors) and ``keep = dominator
+    IS NULL``. The drop rule is a single anti-join pass (no iteration):
+    deterministic, order-free, and exactly expressible in SQL — which
+    is what lets the operator carry a cross-engine value oracle (q130)
+    on top of the :func:`kmeans_lloyd_centroids` cells q72 already
+    value-checks.
+
+    Scale shape: clustering is the Lloyd loop's broadcast-assign +
+    (cell × dim)-bounded update; the pair generation shuffles on the
+    CLUSTER id only — candidate pairs are Σ|cell|², never |n|², and
+    ``n_cells`` is the lever that caps per-task work (the paper's
+    √n-clusters regime). Norms are precomputed per vector, not per
+    pair, so the within-cluster refine is one codegen'd fold per pair.
+    """
+    cent = kmeans_lloyd_centroids(df, id_col, vec_col, n_cells, n_iter)
+    emb = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    # (id, c_id, v, nrm): referenced on both sides of the self-join.
+    keyed = (
+        _assign_cells(emb, cent)
+        .join(emb, "id")
+        .select("id", "c_id", "v", norm(F.col("v")).alias("nrm"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    dominated = (
+        a.join(
+            b,
+            on=[F.col("a.c_id") == F.col("b.c_id"), F.col("a.id") < F.col("b.id")],
+        )
+        .where(cos >= F.lit(threshold))
+        .groupBy(F.col("b.id").alias("id"))
+        .agg(F.min(F.col("a.id")).alias("dominator"))
+    )
+    return (
+        keyed.join(dominated, "id", "left")
+        .select(
+            "id",
+            "c_id",
+            "dominator",
+            F.col("dominator").isNull().alias("keep"),
+        )
+    )
+
+
 def ann_topk_ivf_kmeans(
     df: DataFrame,
     id_col: str,

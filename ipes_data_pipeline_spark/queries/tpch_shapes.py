@@ -207,28 +207,31 @@ def q70(spark, sf):
     return _run_available_now(tumbling_counts(_events_stream(spark, sf)))
 
 
-def _q72_oracle(n_cells: int = 8, n_iter: int = 3, k: int = 10) -> str:
-    """Unrolled deterministic Lloyd rounds (the q42c unroll trick applied
-    to k-means): init = n_cells smallest ids, assignment = argmin
-    squared-L2 with centroid-id tie-break (q91's proven fold), update =
-    per-dimension DECIMAL(18,6) means (order-independent), so every
-    round is bit-stable cross-engine and the learned-cell ANN admits a
-    value oracle — pyspark.ml's sampled init could not."""
-    from ipes_data_pipeline_spark.queries.dataops import _sql_cosine
+def _sql_lloyd_assign(src: str, cent: str, alias: str) -> str:
+    """One deterministic assignment CTE: argmin squared-L2, ties to the
+    lower centroid id (q91's proven fold)."""
     from ipes_data_pipeline_spark.queries.prep import _SQL_L2
 
-    def assign(src: str, cent: str, alias: str) -> str:
-        d2 = _SQL_L2.format(a="e.v", b="c.c_vec")
-        return f"""{alias} AS (
+    d2 = _SQL_L2.format(a="e.v", b="c.c_vec")
+    return f"""{alias} AS (
   SELECT id, c_id FROM (
     SELECT e.id, c.c_id,
            row_number() OVER (PARTITION BY e.id
                               ORDER BY {d2} ASC, c.c_id ASC) AS rn
     FROM {src} e CROSS JOIN {cent} c) WHERE rn = 1)"""
 
+
+def _sql_lloyd_cells(n_cells: int = 8, n_iter: int = 3) -> str:
+    """Unrolled deterministic Lloyd rounds (the q42c unroll trick applied
+    to k-means): init = n_cells smallest ids, assignment = argmin
+    squared-L2 with centroid-id tie-break, update = per-dimension
+    DECIMAL(18,6) means (order-independent), so every round is
+    bit-stable cross-engine. Returns the CTE chain from ``emb`` through
+    ``cells(id, c_id)`` — the shared prefix of every query over learned
+    cells (q72 ANN, q130 semdedup)."""
     rounds = []
     for r in range(n_iter):
-        rounds.append(assign("emb", f"c{r}", f"a{r + 1}"))
+        rounds.append(_sql_lloyd_assign("emb", f"c{r}", f"a{r + 1}"))
         rounds.append(f"""m{r + 1} AS (
   SELECT a.c_id, t.i AS pos,
          CAST(SUM(CAST(e.v[t.i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
@@ -239,14 +242,23 @@ def _q72_oracle(n_cells: int = 8, n_iter: int = 3, k: int = 10) -> str:
             f"FROM m{r + 1} GROUP BY c_id)"
         )
     chain = ",\n".join(rounds)
-    cos = _sql_cosine(a="e.v", b="q.v")
-    return f"""
-WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    return f"""emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT id AS c_id, v AS c_vec FROM emb ORDER BY id LIMIT {n_cells}),
 {chain},
-{assign("emb", f"c{n_iter}", "cells")},
+{_sql_lloyd_assign("emb", f"c{n_iter}", "cells")}"""
+
+
+def _q72_oracle(n_cells: int = 8, n_iter: int = 3, k: int = 10) -> str:
+    """Learned-cell IVF ANN over the :func:`_sql_lloyd_cells` chain —
+    value-checkable precisely because every Lloyd round is bit-stable
+    (pyspark.ml's sampled init could not be)."""
+    from ipes_data_pipeline_spark.queries.dataops import _sql_cosine
+
+    cos = _sql_cosine(a="e.v", b="q.v")
+    return f"""
+WITH {_sql_lloyd_cells(n_cells, n_iter)},
 qv AS (SELECT id, v FROM emb WHERE id = 7),
-{assign("qv", f"c{n_iter}", "qc")}
+{_sql_lloyd_assign("qv", f"c{n_iter}", "qc")}
 SELECT e.id, {cos} AS cos_sim
 FROM cells s JOIN emb e USING (id)
 JOIN qc ON s.c_id = qc.c_id
@@ -271,6 +283,39 @@ def q72(spark, sf):
     emb = t(spark, sf, "embeddings")
     return ann_topk_ivf_kmeans_lloyd(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 7), k=10
+    )
+
+
+def _q130_oracle(n_cells: int = 8, n_iter: int = 3, tau: float = 0.3) -> str:
+    from ipes_data_pipeline_spark.queries.dataops import _sql_cosine
+
+    cos = _sql_cosine(a="a.v", b="b.v")
+    return f"""
+WITH {_sql_lloyd_cells(n_cells, n_iter)},
+v AS (SELECT e.id, e.v, s.c_id FROM cells s JOIN emb e USING (id)),
+p AS (SELECT a.id AS id_a, b.id AS id_b
+      FROM v a JOIN v b ON a.c_id = b.c_id AND a.id < b.id
+      WHERE {cos} >= {tau}),
+d AS (SELECT id_b AS id, MIN(id_a) AS dominator FROM p GROUP BY id_b)
+SELECT v.id AS id, v.c_id AS c_id, d.dominator AS dominator,
+       (d.dominator IS NULL) AS keep
+FROM v LEFT JOIN d ON v.id = d.id
+"""
+
+
+@register(
+    "q130_semdedup",
+    "dedup: semantic dedup over learned k-means cells (SemDeDup shape, "
+    "arXiv 2303.09540) — within-cluster cosine prune, pairs bounded by "
+    "Σ|cell|² with n_cells the per-task cap; value-checks because the "
+    "Lloyd rounds are bit-stable cross-engine (same chain as q72)",
+    _q130_oracle(),
+)
+def q130(spark, sf):
+    from ipes_data_pipeline_spark.operators.similarity import semdedup
+
+    return semdedup(
+        t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.3
     )
 
 

@@ -436,3 +436,32 @@ def test_minhash_hash_families_agree_after_refine(spark):
         assert (g * 10, g * 10 + 2) in pair_ids
     # unrelated docs never qualify
     assert not any(a >= 900 or b >= 900 for a, b in pair_ids)
+
+
+def test_semdedup_within_cluster_prune(spark):
+    """semdedup: identical vectors land in one cluster and every copy
+    but the smallest id is dropped with that id as dominator; the drop
+    rule is non-transitive by design (x is judged against ALL smaller
+    same-cluster ids, dropped or not), and survivors carry NULL."""
+    from ipes_data_pipeline_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # dup of 0
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0 and 1
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal: kept
+        (4, [0.0, 0.0, 1.0, 0.0]),  # orthogonal: kept
+        (5, [0.0, 0.0, 0.0, 1.0]),  # orthogonal: kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["id"]: (r["dominator"], r["keep"])
+        for r in semdedup(
+            df, "vec_id", "embedding", n_cells=4, n_iter=2, threshold=0.95
+        ).collect()
+    }
+    assert len(out) == len(rows)  # one verdict per input vector
+    assert out[0] == (None, True)  # smallest id always survives
+    assert out[1] == (0, False)  # exact dup → dominated by 0
+    assert out[2] == (0, False)  # near-dup → min similar smaller id
+    assert out[3][1] and out[4][1] and out[5][1]
