@@ -653,3 +653,104 @@ def q123(spark, sf):
         .where(sim >= 0.2)
         .select("id_a", "id_b", sim.alias("sim"), "n_shared")
     )
+
+
+# ------------------------------------------------------- BM25 retrieval
+
+_BM25_TERMS = ("spark", "filter", "join", "window")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+
+
+def _q134_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    terms = ", ".join(f"'{qt}'" for qt in _BM25_TERMS)
+    # Operand order mirrors the Spark expression exactly; idf and the
+    # tf-saturation weight are each rounded to 6 dp and multiplied in
+    # exact DECIMAL (the q98 ln trick), so summation order can't move
+    # the score.
+    idf = "LN((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)"
+    w = (
+        "(CAST(tf AS DOUBLE) * (1.0 + 1.2)) / "
+        "(CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks FROM d),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(n_toks AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avgdl
+      FROM dl),
+tk AS (SELECT doc_id, unnest(w) AS tok FROM d),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+       WHERE tok IN ({terms}) GROUP BY doc_id, tok),
+dfc AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+c AS (SELECT tf.doc_id,
+             CAST(ROUND({idf}, 6) AS DECIMAL(18,6))
+               * CAST(ROUND({w.replace('dl', 'CAST(n_toks AS DOUBLE)', 1).replace('avgdl', 'g.avgdl')}, 6) AS DECIMAL(18,6)) AS part
+      FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN g)
+SELECT doc_id, CAST(SUM(part) AS DOUBLE) AS bm25
+FROM c GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_TOPK}
+"""
+
+
+@register(
+    "q134_bm25_topk",
+    "text retrieval: BM25 top-k (Lucene idf, k1=1.2 b=0.75) — the "
+    "lexical scorer of a retrieval/RAG stack, as one corpus scan + "
+    "vocabulary-sized broadcasts",
+    _q134_oracle(),
+)
+def q134(spark, sf):
+    # Physical shape: one tokenize scan; tf is a (doc, term) aggregate
+    # over ONLY the query terms (the isin filter runs before the first
+    # shuffle, so the exchange carries |terms| x |docs| rows at most);
+    # df and the global length stats are tiny aggregates broadcast back;
+    # the final top-k is TakeOrderedAndProject. At 100 TB nothing here
+    # materializes the corpus: the heavy exchange is bounded by the
+    # query vocabulary, and scoring is codegen'd column math.
+    k1, b = _BM25_K1, _BM25_B
+    d = t(spark, sf, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    dl = d.select("doc_id", F.size("w").cast("bigint").alias("n_toks"))
+    g = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(F.col("n_toks").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avgdl"),
+        )
+    )
+    tk = d.select("doc_id", F.explode("w").alias("tok"))
+    tf = (
+        tk.where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = F.broadcast(
+        tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf = F.log(
+        (F.col("n").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    w_sat = (F.col("tf").cast("double") * (1.0 + k1)) / (
+        F.col("tf").cast("double")
+        + k1 * (1.0 - b + b * F.col("n_toks").cast("double") / F.col("avgdl"))
+    )
+    part = F.round(idf, 6).cast("decimal(18,6)") * F.round(w_sat, 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        tf.join(dfc, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(g)
+        .select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(F.sum("part").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )

@@ -1427,3 +1427,92 @@ def q126(spark, sf):
         F.countDistinct("canonical_id").alias("n_neardup_clusters")
     )
     return counts.crossJoin(clusters)
+
+
+def _q133_oracle(tau: float = 0.3) -> str:
+    """Hybrid near-dup graph: MinHash-LSH text pairs UNION sign-LSH
+    embedding pairs (cos >= tau), components over the union. Reuses
+    q42's band CTEs and q45's bucket construction verbatim."""
+    base = _q42_oracle().strip().removeprefix("WITH").rsplit("SELECT DISTINCT", 1)[0]
+    bkt = (
+        "(CASE WHEN v[1] > 0 THEN '1' ELSE '0' END || "
+        "CASE WHEN v[9] > 0 THEN '1' ELSE '0' END || "
+        "CASE WHEN v[17] > 0 THEN '1' ELSE '0' END || "
+        "CASE WHEN v[25] > 0 THEN '1' ELSE '0' END)"
+    )
+    rounds = "".join(
+        f""",
+  l{i + 1} AS (
+    SELECT e.src AS node, MIN(l.lab) AS lab
+    FROM e_self e JOIN l{i} l ON l.node = e.dst
+    GROUP BY e.src)"""
+        for i in range(3)
+    )
+    return f"""
+WITH {base.strip().rstrip(',')},
+half_t AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id),
+ev AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eb AS (SELECT id, v, {bkt} AS bkt FROM ev),
+half_e AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM eb a JOIN eb b ON a.bkt = b.bkt AND a.id < b.id
+  WHERE {_sql_cosine('a.v', 'b.v')} >= {tau}),
+half AS (SELECT src, dst FROM half_t UNION SELECT src, dst FROM half_e),
+e0 AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+e_self AS (SELECT src, dst FROM e0
+           UNION ALL SELECT doc_id, doc_id FROM documents),
+l0 AS (SELECT doc_id AS node, doc_id AS lab FROM documents){rounds}
+SELECT node AS doc_id, lab AS cluster_id FROM l3
+"""
+
+
+@register(
+    "q133_hybrid_neardup",
+    "dedup: hybrid lexical+semantic near-dup clusters — MinHash-LSH text "
+    "pairs UNION thresholded sign-LSH embedding pairs, components over "
+    "the union graph (docs a paraphraser rewrites share embeddings, not "
+    "shingles; docs a template stamps share shingles, not meaning — the "
+    "union catches both)",
+    _q133_oracle(),
+)
+def q133(spark, sf):
+    # Both pair families are blocked (band-key / sign-bucket shuffles,
+    # no all-pairs); the union graph feeds the same bounded min-label
+    # propagation as q42c. Embeddings are keyed by the document id
+    # (vec_id == doc_id in the testdata contract).
+    from ipes_data_pipeline_spark.functions.vectors import dot, norm, sign_bucket
+    from ipes_data_pipeline_spark.operators.dedup_fuzzy import min_label_components
+
+    docs = t(spark, sf, "documents")
+    text_pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5"
+    ).select("id_a", "id_b")
+    emb = t(spark, sf, "embeddings")
+    keyed = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        sign_bucket(F.col("embedding"), (1, 9, 17, 25)).alias("bkt"),
+        norm(F.col("embedding").cast("array<double>")).alias("nrm"),
+    ).localCheckpoint(eager=True)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    emb_pairs = (
+        a.join(b, on=[F.col("a.bkt") == F.col("b.bkt"), F.col("a.id") < F.col("b.id")])
+        .where(cos >= F.lit(0.3))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    pairs = text_pairs.union(emb_pairs).distinct()
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    comp = min_label_components(
+        docs.select(F.col("doc_id").alias("node")), edges, iterations=3
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("canonical_id").alias("cluster_id")
+    )

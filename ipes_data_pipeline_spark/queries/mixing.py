@@ -260,3 +260,50 @@ def q116(spark, sf):
             "epochs"
         ),
     )
+
+
+@register(
+    "q131_source_token_budget",
+    "mixing: greedy per-source token-budget fill — the doc-level "
+    "materialization of a mixing plan (q116 computes targets; this "
+    "selects the documents under each source's cap)",
+    f"""WITH d AS (
+         SELECT doc_id, source,
+                CAST(len({_SQL_TOKENS.format(c='text')}) AS BIGINT) AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id, source, n_tokens,
+                CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS cum_tokens
+         FROM d)
+       SELECT doc_id, source, n_tokens, cum_tokens,
+              (cum_tokens <= 3000) AS selected
+       FROM c""",
+)
+def q131(spark, sf):
+    # Greedy budget fill: walk each source's documents in a deterministic
+    # order (doc_id here; production would order by a quality score) and
+    # keep rows while the running token total fits the source's budget.
+    # One shuffle on source; the running sum is the standard cumsum
+    # window. Skew note for 100 TB: a single giant source serializes its
+    # cumsum into one task — pre-aggregate per (source, shard) subtotals
+    # and broadcast shard offsets (the q76 prefix-sum trick) when one
+    # source dominates the corpus.
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        (F.sum("n_tokens").over(w) <= F.lit(3000)).alias("selected"),
+    )
