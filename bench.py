@@ -70,6 +70,9 @@ HEADLINE = [
     "q108_zscore_anomaly",
     "q109_udtf_top_tokens",
     "q110_variant_json",
+    "q130_semdedup",
+    "q133_hybrid_neardup",
+    "q134_bm25_topk",
 ]
 
 

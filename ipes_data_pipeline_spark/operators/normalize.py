@@ -8,25 +8,42 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Legal-suffix patterns (case-insensitive), mirroring the reference's four
-#: regex passes: LLC/Inc/Corp/Ltd/LP/LLP/PLLC/PC + "d/b/a …" tails.
-_SUFFIX_PATTERNS = [
-    r"(?i),?\s+(l\.?l\.?c\.?|inc\.?|incorporated|corp\.?|corporation|ltd\.?|limited|l\.?p\.?|llp|pllc|p\.?c\.?|co\.?|company)\s*$",
-    r"(?i)\s+d/?b/?a\s+.*$",
-]
+#: Legal suffixes (case-insensitive), mirroring the reference's regex
+#: passes: LLC/Inc/Corp/Ltd/LP/LLP/PLLC/PC + "d/b/a …" tails.
+_SUFFIX_CORE = (
+    r"l\.?l\.?c\.?|inc\.?|incorporated|corp\.?|corporation|ltd\.?|limited"
+    r"|l\.?p\.?|llp|pllc|p\.?c\.?|co\.?|company"
+)
+#: One pass strips an ENTIRE trailing suffix stack ("X, Inc., LLC"),
+#: not one element — a bounded per-pattern repeat can always be beaten
+#: by a deeper stack, which is how the idempotence property test first
+#: broke this function.
+_SUFFIX_STACK = rf"(?i)(?:,?\s+(?:{_SUFFIX_CORE}))+[\s,]*$"
+_DBA_TAIL = r"(?i)\s+d/?b/?a\s+.*$"
+_SUFFIX_PATTERNS = [_SUFFIX_STACK, _DBA_TAIL]  # kept for introspection
 
 
 def normalize_name(col) -> Column:
-    """lower → trim → strip legal suffixes → strip punctuation → collapse.
+    """lower → trim → strip "d/b/a …" tail → strip the trailing legal-
+    suffix stack → punctuation to spaces → strip suffixes AGAIN →
+    collapse whitespace.
 
-    Idempotent (property-tested): norm(norm(x)) == norm(x).
+    Idempotent (property-tested): norm(norm(x)) == norm(x). The second
+    suffix pass is load-bearing: punctuation collapse can MANUFACTURE a
+    suffix ("acme/co" → "acme co"), which a single pre-punctuation pass
+    leaves for the next application to strip.
     """
     c = F.col(col) if isinstance(col, str) else col
     c = F.lower(F.trim(c))
-    for pat in _SUFFIX_PATTERNS:
-        c = F.regexp_replace(c, pat, "")
-        c = F.regexp_replace(c, pat, "")  # twice: "X, Inc., LLC"-style stacks
+    c = F.regexp_replace(c, _DBA_TAIL, "")
+    c = F.regexp_replace(c, _SUFFIX_STACK, "")
     c = F.regexp_replace(c, r"[^\w\s]", " ")
+    # punctuation→space can manufacture BOTH forms ("acme/co",
+    # "x&dba y"), so each tail pattern runs once more on punctuation-
+    # free text; on such text they are fixed-point (fuzz-verified), so
+    # a third application can never find new work = idempotence.
+    c = F.regexp_replace(c, _DBA_TAIL, "")
+    c = F.regexp_replace(c, _SUFFIX_STACK, "")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
 

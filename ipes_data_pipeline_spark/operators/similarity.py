@@ -311,24 +311,48 @@ def kmeans_lloyd_centroids(
 
 
 def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """(id, c_id): nearest centroid by squared L2, ties to lower c_id."""
-    from pyspark.sql.window import Window as W
+    """(id, c_id): nearest centroid by squared L2, ties to lower c_id.
 
-    diff2 = F.zip_with(
-        "v",
-        "c_vec",
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
+    The centroid table is cells × dim — driver-literal-sized at any
+    corpus scale (the q104 runtime-filter pattern: collect the tiny
+    side once, inline it as plan literals). Assignment is then a pure
+    map stage: per row, ``array_min`` over ``struct(d2, c_id)`` picks
+    the lexicographic minimum — exactly argmin-with-lower-id-ties — in
+    whole-stage codegen with ZERO shuffle. The previous form
+    (crossJoin + row_number window) shuffled |rows| × |cells| rows per
+    Lloyd round just to discard all but one; at 50k vectors × 4
+    assignments that exchange dominated q130's runtime.
+
+    The per-element fold (sequential (x-y)² accumulation in double)
+    is unchanged, so assignments — and therefore every downstream
+    value-checked result — are bit-identical to the join form.
+    """
+    rows = sorted(cent.collect(), key=lambda r: r["c_id"])
+    if not rows:  # empty corpus -> no cells, no assignments
+        return emb.select(
+            "id", F.lit(None).cast("long").alias("c_id")
+        ).where(F.lit(False))
+
+    def d2_to(c_vec):
+        lits = F.array(*[F.lit(float(x)) for x in c_vec])
+        diff2 = F.zip_with(
+            "v",
+            lits,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+    candidates = F.array(
+        *[
+            F.struct(
+                d2_to(r["c_vec"]).alias("d2"),
+                F.lit(r["c_id"]).cast("long").alias("c_id"),
+            )
+            for r in rows
+        ]
     )
-    d2 = F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
-    w = W.partitionBy("id").orderBy(F.asc("d2"), F.asc("c_id"))
-    return (
-        emb.crossJoin(F.broadcast(cent))
-        .select("id", "c_id", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "c_id")
-    )
+    return emb.select("id", F.array_min(candidates)["c_id"].alias("c_id"))
 
 
 def ann_topk_ivf_kmeans_lloyd(

@@ -479,3 +479,172 @@ def q110(spark, sf):
             F.max("k").alias("max_k"),
         )
     )
+
+
+# ------------------------------------------------- data-quality profile
+
+
+@register(
+    "q136_column_profile",
+    "validation: one-pass column profiler (null count / distinct count / "
+    "numeric min-max per column) — the schema-drift watchdog a lake "
+    "pipeline runs on every ingest batch",
+    """WITH s AS (
+         SELECT COUNT(*) AS n_rows,
+                COUNT(*) - COUNT(event_id) AS nn_event_id,
+                COUNT(DISTINCT event_id) AS nd_event_id,
+                CAST(MIN(event_id) AS DOUBLE) AS mn_event_id,
+                CAST(MAX(event_id) AS DOUBLE) AS mx_event_id,
+                COUNT(*) - COUNT(user_id) AS nn_user_id,
+                COUNT(DISTINCT user_id) AS nd_user_id,
+                CAST(MIN(user_id) AS DOUBLE) AS mn_user_id,
+                CAST(MAX(user_id) AS DOUBLE) AS mx_user_id,
+                COUNT(*) - COUNT(value) AS nn_value,
+                COUNT(DISTINCT value) AS nd_value,
+                CAST(MIN(value) AS DOUBLE) AS mn_value,
+                CAST(MAX(value) AS DOUBLE) AS mx_value,
+                COUNT(*) - COUNT(event_type) AS nn_event_type,
+                COUNT(DISTINCT event_type) AS nd_event_type,
+                MIN(event_type) AS ms_event_type,
+                MAX(event_type) AS xs_event_type
+         FROM events)
+       SELECT col_name, n_rows, n_null, n_distinct, min_num, max_num,
+              min_str, max_str
+       FROM (
+         SELECT 'event_id' AS col_name, n_rows,
+                CAST(nn_event_id AS BIGINT) AS n_null,
+                CAST(nd_event_id AS BIGINT) AS n_distinct,
+                mn_event_id AS min_num, mx_event_id AS max_num,
+                CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         FROM s
+         UNION ALL
+         SELECT 'user_id', n_rows, CAST(nn_user_id AS BIGINT),
+                CAST(nd_user_id AS BIGINT), mn_user_id, mx_user_id, NULL, NULL
+         FROM s
+         UNION ALL
+         SELECT 'value', n_rows, CAST(nn_value AS BIGINT),
+                CAST(nd_value AS BIGINT), mn_value, mx_value, NULL, NULL
+         FROM s
+         UNION ALL
+         SELECT 'event_type', n_rows, CAST(nn_event_type AS BIGINT),
+                CAST(nd_event_type AS BIGINT), CAST(NULL AS DOUBLE),
+                CAST(NULL AS DOUBLE), ms_event_type, xs_event_type
+         FROM s)""",
+)
+def q136(spark, sf):
+    # All per-column statistics ride ONE scan: a single wide aggregate
+    # row (Spark plans the multi-column COUNT(DISTINCT)s as one expand +
+    # two-phase distinct, q106's pattern), then a 4-way stack of that
+    # 1-row result into long form — the unpivot costs nothing, the scan
+    # is the only data-sized work. At 100 TB this is the per-batch
+    # profile job: one pass, mergeable counters, no shuffle beyond the
+    # aggregate's own exchange.
+    ev = t(spark, sf, "events")
+    s = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("event_id")).alias("nn_event_id"),
+        F.countDistinct("event_id").alias("nd_event_id"),
+        F.min("event_id").cast("double").alias("mn_event_id"),
+        F.max("event_id").cast("double").alias("mx_event_id"),
+        (F.count(F.lit(1)) - F.count("user_id")).alias("nn_user_id"),
+        F.countDistinct("user_id").alias("nd_user_id"),
+        F.min("user_id").cast("double").alias("mn_user_id"),
+        F.max("user_id").cast("double").alias("mx_user_id"),
+        (F.count(F.lit(1)) - F.count("value")).alias("nn_value"),
+        F.countDistinct("value").alias("nd_value"),
+        F.min("value").cast("double").alias("mn_value"),
+        F.max("value").cast("double").alias("mx_value"),
+        (F.count(F.lit(1)) - F.count("event_type")).alias("nn_event_type"),
+        F.countDistinct("event_type").alias("nd_event_type"),
+        F.min("event_type").alias("ms_event_type"),
+        F.max("event_type").alias("xs_event_type"),
+    )
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    def row(name, nn, nd, mn, mx, ms, xs):
+        return s.select(
+            F.lit(name).alias("col_name"),
+            F.col("n_rows"),
+            F.col(nn).cast("bigint").alias("n_null"),
+            F.col(nd).cast("bigint").alias("n_distinct"),
+            (F.col(mn) if mn else null_d).alias("min_num"),
+            (F.col(mx) if mx else null_d).alias("max_num"),
+            (F.col(ms) if ms else null_s).alias("min_str"),
+            (F.col(xs) if xs else null_s).alias("max_str"),
+        )
+
+    return (
+        row("event_id", "nn_event_id", "nd_event_id", "mn_event_id", "mx_event_id", None, None)
+        .unionByName(row("user_id", "nn_user_id", "nd_user_id", "mn_user_id", "mx_user_id", None, None))
+        .unionByName(row("value", "nn_value", "nd_value", "mn_value", "mx_value", None, None))
+        .unionByName(row("event_type", "nn_event_type", "nd_event_type", None, None, "ms_event_type", "xs_event_type"))
+    )
+
+
+# --------------------------------------------------- distribution drift
+
+
+@register(
+    "q137_psi_drift",
+    "validation: population-stability-index drift between the first and "
+    "second half of the event stream — the distribution-shift monitor "
+    "run between training snapshots",
+    """WITH b AS (
+         SELECT LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+                CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END AS side
+         FROM events),
+       c AS (
+         SELECT bucket,
+                COUNT(*) FILTER (side = 'ref') AS c_ref,
+                COUNT(*) FILTER (side = 'cur') AS c_cur
+         FROM b GROUP BY bucket),
+       tot AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM c),
+       p AS (
+         SELECT bucket, c_ref, c_cur,
+                (CAST(c_ref AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0) AS p_ref,
+                (CAST(c_cur AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0) AS p_cur
+         FROM c CROSS JOIN tot)
+       SELECT bucket, CAST(c_ref AS BIGINT) AS c_ref, CAST(c_cur AS BIGINT) AS c_cur,
+              round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+       FROM p ORDER BY bucket""",
+)
+def q137(spark, sf):
+    # PSI = sum over buckets of (p_cur - p_ref) ln(p_cur / p_ref): the
+    # standard drift score between a reference window and the current
+    # one. Laplace smoothing (+0.5 per bucket, +5 per side) keeps the
+    # log finite when a bucket empties on one side. One scan, one
+    # 10-row aggregate; the per-bucket terms are emitted (the rollup to
+    # a single score is a trivial second aggregate) so the monitor can
+    # show WHICH region of the distribution moved. Identical operand
+    # order both engines + round(...,6) ⇒ hash-stable.
+    ev = t(spark, sf, "events")
+    b = ev.select(
+        F.least(F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9).cast("bigint")).alias("bucket"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "ref")
+        .otherwise("cur")
+        .alias("side"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.count(F.when(F.col("side") == "ref", 1)).alias("c_ref"),
+        F.count(F.when(F.col("side") == "cur", 1)).alias("c_cur"),
+    )
+    tot = c.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    p_ref = (F.col("c_ref").cast("double") + 0.5) / (
+        F.col("n_ref").cast("double") + 5.0
+    )
+    p_cur = (F.col("c_cur").cast("double") + 0.5) / (
+        F.col("n_cur").cast("double") + 5.0
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("c_ref").cast("bigint").alias("c_ref"),
+            F.col("c_cur").cast("bigint").alias("c_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

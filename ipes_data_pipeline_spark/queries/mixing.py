@@ -307,3 +307,42 @@ def q131(spark, sf):
         F.sum("n_tokens").over(w).alias("cum_tokens"),
         (F.sum("n_tokens").over(w) <= F.lit(3000)).alias("selected"),
     )
+
+
+@register(
+    "q135_stratified_sample",
+    "mixing: stratified weighted sample — per-source A-Res top-k via "
+    "grouped_topk's map-side pre-reduce (each stratum gets an exact "
+    "weighted sample without replacement; exchange bounded by "
+    "k x strata x partitions, not corpus size)",
+    f"""WITH k AS (
+         SELECT doc_id, source, n_chars,
+                ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+                   / {_U52!r}) / n_chars AS key
+         FROM documents),
+       r AS (
+         SELECT doc_id, source, n_chars,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY key DESC, doc_id) AS rn
+         FROM k)
+       SELECT doc_id, source, n_chars FROM r WHERE rn <= 10""",
+)
+def q135(spark, sf):
+    # q105's A-Res draw applied per stratum: rank ln(u)/w inside each
+    # source and keep that source's top 10 — every stratum gets an exact
+    # weighted sample without replacement, reshuffle/append-stable
+    # because u is hash-derived from the id. grouped_topk's combiner
+    # keeps <=10 rows per source per input partition before the window
+    # shuffle, so the exchange carries k x strata x partitions rows, not
+    # the corpus.
+    from ipes_data_pipeline_spark.operators.topk import grouped_topk
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.log(_uniform(F.col("doc_id"))) / F.col("n_chars")).alias("ares_key"),
+    )
+    return grouped_topk(
+        d, ["source"], "ares_key", k=10, tiebreak_col="doc_id"
+    ).select("doc_id", "source", "n_chars")

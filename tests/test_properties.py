@@ -10,7 +10,7 @@ minutes)."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
@@ -30,6 +30,13 @@ NAMES = st.lists(
 
 @settings(max_examples=10, deadline=None)
 @given(NAMES)
+# regressions: punctuation collapse MANUFACTURES a suffix / dba tail,
+# and suffix stacks deeper than any bounded per-pattern repeat
+@example(["acme/co"])
+@example(["x&dba y"])
+@example(["a co co co co"])
+@example(["beta, inc., llc, ltd, co"])
+@example(["g, llc8dba"])
 def test_normalize_idempotent(spark, names):
     df = spark.createDataFrame([(n,) for n in names], "raw string")
     out = df.select(
