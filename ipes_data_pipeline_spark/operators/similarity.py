@@ -279,19 +279,26 @@ def kmeans_lloyd_centroids(
     emb = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).localCheckpoint(eager=True)
-    cent = (
-        emb.orderBy("id")
-        .limit(n_cells)
-        .select(F.col("id").alias("c_id"), F.col("v").alias("c_vec"))
-        .localCheckpoint(eager=True)
-    )
+    # Centroids live DRIVER-SIDE between rounds (cells × dim doubles —
+    # trivially small at any corpus scale). Each round is then exactly
+    # ONE distributed job: assignment is an inlined-literal argmin
+    # expression (no join — the vector is already on the row), and the
+    # update aggregate's collect IS the round barrier an iterative
+    # algorithm needs anyway. The previous form paid an eager
+    # localCheckpoint plus an assignment join per round; at local-mode
+    # fixture sizes that job latency dominated q72/q130 wall time.
+    cent = [
+        (r["id"], [float(x) for x in r["v"]])
+        for r in emb.orderBy("id").limit(n_cells).collect()
+    ]
+    schema = "c_id long, c_vec array<double>"
     for _ in range(n_iter):
-        assigned = _assign_cells(emb, cent)
-        comp = assigned.join(emb, "id").select(
-            "c_id", F.posexplode("v").alias("pos", "val")
-        )
-        cent = (
-            comp.groupBy("c_id", "pos")
+        if not cent:
+            break
+        rows = (
+            _with_cells(emb, cent)
+            .select("c_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("c_id", "pos")
             .agg(
                 (
                     F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
@@ -305,9 +312,10 @@ def kmeans_lloyd_centroids(
                     lambda s: s["m"],
                 ).alias("c_vec")
             )
-            .localCheckpoint(eager=True)
+            .collect()
         )
-    return cent
+        cent = sorted((r["c_id"], [float(x) for x in r["c_vec"]]) for r in rows)
+    return df.sparkSession.createDataFrame(cent, schema)
 
 
 def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
@@ -327,32 +335,58 @@ def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
     is unchanged, so assignments — and therefore every downstream
     value-checked result — are bit-identical to the join form.
     """
-    rows = sorted(cent.collect(), key=lambda r: r["c_id"])
+    rows = sorted(
+        (r["c_id"], [float(x) for x in r["c_vec"]]) for r in cent.collect()
+    )
     if not rows:  # empty corpus -> no cells, no assignments
         return emb.select(
             "id", F.lit(None).cast("long").alias("c_id")
         ).where(F.lit(False))
+    return _with_cells(emb, rows).select("id", "c_id")
 
-    def d2_to(c_vec):
-        lits = F.array(*[F.lit(float(x)) for x in c_vec])
+
+def _with_cells(emb: DataFrame, cent: list) -> DataFrame:
+    """``(id, c_id, v)``: nearest-cell assignment with the centroid
+    table shipped as ONE broadcast row holding an
+    ``array<struct<c_id, c_vec>>``.
+
+    Per input row, ``array_min`` over ``transform(cents, c ->
+    struct(d2(v, c.c_vec), c.c_id))`` picks the lexicographic minimum —
+    exactly argmin-squared-L2 with ties to the lower centroid id, and
+    the same sequential double fold as the SQL oracle. Two properties
+    matter:
+
+    - zero shuffle: the join is a broadcast of one row, assignment is a
+      map stage at any corpus scale;
+    - constant expression size: centroids travel as DATA, so codegen
+      compiles one small lambda regardless of cells × dim (inlining
+      them as literals produced a multi-thousand-node expression whose
+      per-round recompilation dominated the whole Lloyd loop at
+      fixture scale).
+    """
+    spark = emb.sparkSession
+    cent_row = spark.createDataFrame(
+        [(cent,)], "cents array<struct<c_id:long,c_vec:array<double>>>"
+    )
+
+    def d2(v, cv):
         diff2 = F.zip_with(
-            "v",
-            lits,
+            v,
+            cv,
             lambda x, y: (x.cast("double") - y.cast("double"))
             * (x.cast("double") - y.cast("double")),
         )
         return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
 
-    candidates = F.array(
-        *[
-            F.struct(
-                d2_to(r["c_vec"]).alias("d2"),
-                F.lit(r["c_id"]).cast("long").alias("c_id"),
-            )
-            for r in rows
-        ]
+    cand = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            d2(F.col("v"), c["c_vec"]).alias("d2"), c["c_id"].alias("c_id")
+        ),
     )
-    return emb.select("id", F.array_min(candidates)["c_id"].alias("c_id"))
+    return emb.crossJoin(F.broadcast(cent_row)).select(
+        "id", F.array_min(cand)["c_id"].alias("c_id"), "v"
+    )
 
 
 def ann_topk_ivf_kmeans_lloyd(
