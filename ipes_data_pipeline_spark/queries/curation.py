@@ -754,3 +754,134 @@ def q134(spark, sf):
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )
+
+
+# ----------------------------------------------- quality ensemble gate
+
+
+def _q139_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    from ipes_data_pipeline_spark.functions.text import STOPWORDS
+
+    stop_en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    tri = (
+        "CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), "
+        "i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) ELSE [] END"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+g AS (SELECT doc_id, w, len(w) AS n_tokens, list_distinct(w) AS dw, {tri} AS tri FROM d),
+s AS (SELECT doc_id,
+        CAST(n_tokens AS INT) AS n_tokens,
+        CAST(len(dw) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        CAST(len(list_intersect(dw, [{stop_en}])) AS DOUBLE)
+          / CAST(len(dw) AS DOUBLE) AS stopword_ratio,
+        CASE WHEN len(tri) > 0
+             THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+                    / CAST(len(tri) AS DOUBLE)
+             ELSE 0.0 END AS dup_trigram_frac
+      FROM g)
+SELECT doc_id, n_tokens, ttr, stopword_ratio, dup_trigram_frac,
+       (n_tokens >= 30 AND ttr >= 0.45
+        AND stopword_ratio >= 0.01 AND dup_trigram_frac <= 0.10) AS keep
+FROM s
+"""
+
+
+@register(
+    "q139_quality_ensemble",
+    "curation: the C4/Gopher-style KEEP verdict — length, type-token "
+    "ratio, stopword presence, and repetition gates fused into ONE scan "
+    "(each signal exists standalone as q47/q48/q82/q106; production "
+    "runs them fused, not as four corpus passes)",
+    _q139_oracle(),
+)
+def q139(spark, sf):
+    # All four signals derive from one token array in one projection —
+    # a pure map stage in whole-stage codegen, zero shuffles at any
+    # scale. The fused form is the point: at 100 TB the corpus is read
+    # ONCE for the whole gate, not once per signal.
+    from ipes_data_pipeline_spark.functions.text import STOPWORDS
+
+    w = tokens(F.col("text"))
+    tri = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i.cast("int")),
+                F.element_at(w, (i + 1).cast("int")),
+                F.element_at(w, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stop_en = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(w).cast("int").alias("n_tokens"),
+        F.array_distinct(w).alias("dw"),
+        tri.alias("tri"),
+    )
+    s = d.select(
+        "doc_id",
+        "n_tokens",
+        (F.size("dw").cast("double") / F.col("n_tokens").cast("double")).alias("ttr"),
+        (
+            F.size(F.array_intersect(F.col("dw"), stop_en)).cast("double")
+            / F.size("dw").cast("double")
+        ).alias("stopword_ratio"),
+        F.when(
+            F.size("tri") > 0,
+            (F.size("tri") - F.size(F.array_distinct("tri"))).cast("double")
+            / F.size("tri").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "ttr",
+        "stopword_ratio",
+        "dup_trigram_frac",
+        (
+            (F.col("n_tokens") >= 30)
+            & (F.col("ttr") >= 0.45)
+            & (F.col("stopword_ratio") >= 0.01)
+            & (F.col("dup_trigram_frac") <= 0.10)
+        ).alias("keep"),
+    )
+
+
+# ----------------------------------------------------- feature hashing
+
+
+@register(
+    "q142_feature_hash",
+    "prep: hashing-trick vectorizer — token counts folded into 16 "
+    "content-addressed buckets per doc (sparse COO output; the "
+    "fixed-width featurizer that needs no vocabulary pass)",
+    f"""WITH tk AS (
+         SELECT doc_id, unnest({SQL_TOKENS.format(c='text')}) AS tok
+         FROM documents)
+       SELECT doc_id,
+              CAST(('0x' || substr(md5(tok), 1, 13))::BIGINT % 16 AS BIGINT) AS bucket,
+              COUNT(*) AS cnt
+       FROM tk GROUP BY doc_id, bucket""",
+)
+def q142(spark, sf):
+    # One tokenize scan -> one (doc, bucket) aggregate. No vocabulary
+    # broadcast, no second pass: the hash IS the feature index, which is
+    # what makes the hashing trick the only featurizer that works
+    # streaming and at any vocabulary size. md5-derived buckets match
+    # the engine-portable uniform used across the repo (q77/q105).
+    tk = spread(t(spark, sf, "documents")).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("bigint") % 16
+    )
+    return tk.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

@@ -1516,3 +1516,71 @@ def q133(spark, sf):
     return comp.select(
         F.col("node").alias("doc_id"), F.col("canonical_id").alias("cluster_id")
     )
+
+
+def _q138_oracle(tau: float = 0.3) -> str:
+    bkt = (
+        "(CASE WHEN v[1] > 0 THEN '1' ELSE '0' END || "
+        "CASE WHEN v[9] > 0 THEN '1' ELSE '0' END || "
+        "CASE WHEN v[17] > 0 THEN '1' ELSE '0' END || "
+        "CASE WHEN v[25] > 0 THEN '1' ELSE '0' END)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eb AS (SELECT id, v, {bkt} AS bkt FROM e),
+cand AS (
+  SELECT n.id AS new_id, o.id AS corpus_id,
+         {_sql_cosine('n.v', 'o.v')} AS cos_sim
+  FROM eb n JOIN eb o ON n.bkt = o.bkt AND n.id % 10 = 0 AND o.id % 10 <> 0),
+r AS (
+  SELECT new_id, corpus_id, cos_sim,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY cos_sim DESC, corpus_id ASC) AS rn
+  FROM cand WHERE cos_sim >= {tau})
+SELECT new_id, corpus_id AS dup_of, cos_sim FROM r WHERE rn = 1
+"""
+
+
+@register(
+    "q138_embedding_dedup_delta",
+    "dedup: incremental SEMANTIC dedup — a new embedding batch probes "
+    "the stored corpus through shared sign-LSH buckets (the q120 "
+    "incremental contract at the embedding level: candidates scale "
+    "with |new|, the corpus never self-pairs)",
+    _q138_oracle(),
+)
+def q138(spark, sf):
+    # New batch vs corpus only (no corpus x corpus re-pairing): the
+    # bucket equi-join keys the shuffle, the per-new best match is one
+    # bounded window over candidates. At 100 TB the corpus side is the
+    # stored (bucket -> vector) index; each ingest batch joins against
+    # it and only the batch's buckets are touched.
+    from pyspark.sql.window import Window as W2
+
+    from ipes_data_pipeline_spark.functions.vectors import dot, norm, sign_bucket
+
+    emb = t(spark, sf, "embeddings")
+    keyed = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        sign_bucket(F.col("embedding"), (1, 9, 17, 25)).alias("bkt"),
+        norm(F.col("embedding").cast("array<double>")).alias("nrm"),
+    )
+    new = keyed.where(F.col("id") % 10 == 0).alias("n")
+    corpus = keyed.where(F.col("id") % 10 != 0).alias("o")
+    cos = dot(F.col("n.v"), F.col("o.v")) / (F.col("n.nrm") * F.col("o.nrm"))
+    cand = (
+        new.join(corpus, F.col("n.bkt") == F.col("o.bkt"))
+        .select(
+            F.col("n.id").alias("new_id"),
+            F.col("o.id").alias("corpus_id"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.3)
+    )
+    w = W2.partitionBy("new_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("new_id", F.col("corpus_id").alias("dup_of"), "cos_sim")
+    )

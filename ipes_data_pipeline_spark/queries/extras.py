@@ -648,3 +648,89 @@ def q137(spark, sf):
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------------------- winsorization
+
+
+@register(
+    "q141_winsorize",
+    "prep: per-group winsorization — clip each event's value to its "
+    "event_type's exact [p05, p95] band (outlier-robust feature prep)",
+    """WITH b AS (
+         SELECT event_type,
+                quantile_cont(value, 0.05) AS lo,
+                quantile_cont(value, 0.95) AS hi
+         FROM events GROUP BY event_type)
+       SELECT e.event_id, e.event_type, e.value,
+              LEAST(GREATEST(e.value, b.lo), b.hi) AS value_w,
+              (e.value < b.lo OR e.value > b.hi) AS clipped
+       FROM events e JOIN b USING (event_type)""",
+)
+def q141(spark, sf):
+    # The band table is |event_types| rows — broadcast back to the fact
+    # scan, so the clip is a map stage; the only shuffle is the
+    # percentile aggregate's own exchange. Spark `percentile` = exact
+    # linear interpolation = DuckDB quantile_cont (q59's equivalence).
+    ev = t(spark, sf, "events")
+    b = F.broadcast(
+        ev.groupBy("event_type").agg(
+            F.percentile("value", F.lit(0.05)).alias("lo"),
+            F.percentile("value", F.lit(0.95)).alias("hi"),
+        )
+    )
+    return ev.join(b, "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "value_w"
+        ),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )
+
+
+# -------------------------------------------------- retention cohorts
+
+
+@register(
+    "q143_retention_cohorts",
+    "analytics: weekly retention triangle — users grouped by first-seen "
+    "week, counted in each later activity week (the engagement rollup "
+    "every event warehouse serves)",
+    """WITH f AS (
+         SELECT user_id,
+                CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS wk
+         FROM events),
+       c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM f GROUP BY user_id)
+       SELECT c.cohort_wk, f.wk - c.cohort_wk AS week_offset,
+              COUNT(DISTINCT f.user_id) AS n_active
+       FROM f JOIN c USING (user_id)
+       GROUP BY c.cohort_wk, f.wk - c.cohort_wk""",
+)
+def q143(spark, sf):
+    # Two shuffles total: the per-user cohort aggregate (user-keyed) and
+    # the final (cohort, offset) rollup; the cohort table joins back on
+    # the same user key, so AQE plans it without a third exchange. At
+    # 100 TB the cohort table is |users| rows — small enough to
+    # broadcast, bounded regardless of event volume.
+    ev = t(spark, sf, "events")
+    f = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            / 7
+        )
+        .cast("bigint")
+        .alias("wk"),
+    )
+    c = f.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        f.join(c, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
