@@ -560,3 +560,72 @@ def q129(spark, sf):
     from ipes_data_pipeline_spark.streaming.windows import sliding_counts
 
     return _run_available_now(sliding_counts(_events_stream(spark, sf)))
+
+
+def _q140_oracle(n_iter: int = 3) -> str:
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""c{i} AS (
+  SELECT ew.dst, (r{i - 1}.rank_u * ew.w) // ew.out_w AS c_u
+  FROM ew JOIN r{i - 1} ON ew.src = r{i - 1}.node),
+a{i} AS (
+  SELECT dst, CAST(150000 + (85 * SUM(c_u)) // 100 AS BIGINT) AS new_rank_u
+  FROM c{i} GROUP BY dst),
+r{i} AS (
+  SELECT n.node, COALESCE(a{i}.new_rank_u, 150000) AS rank_u
+  FROM nodes n LEFT JOIN a{i} ON n.node = a{i}.dst)""")
+    chain = ",\n".join(rounds)
+    return f"""
+WITH e0 AS (
+  SELECT o.o_custkey AS c, 1000000 + l.l_suppkey AS s, COUNT(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+edges AS (SELECT c AS src, s AS dst, w FROM e0
+          UNION ALL SELECT s AS src, c AS dst, w FROM e0),
+nodes AS (SELECT c_custkey AS node FROM customer
+          UNION SELECT 1000000 + s_suppkey FROM supplier),
+ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+ew AS (SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w, ow.out_w
+       FROM edges e JOIN ow ON e.src = ow.src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_u FROM nodes),
+{chain}
+SELECT node, CAST(rank_u AS DOUBLE) / 1000000 AS rank FROM r{n_iter}
+"""
+
+
+@register(
+    "q140_pagerank",
+    "graph: weighted PageRank over the customer↔supplier interaction "
+    "graph, 3 unrolled rounds — per round one |nodes|-vs-edges join + "
+    "one dst-keyed aggregate; the WHOLE recurrence runs in fixed-point "
+    "BIGINT micro-units (integer division, no doubles), so the rounds "
+    "are bit-exact cross-engine with no rounding mode to disagree on",
+    _q140_oracle(),
+)
+def q140(spark, sf):
+    from ipes_data_pipeline_spark.operators.graph import pagerank
+
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = e0.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionAll(e0.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    nodes = (
+        t(spark, sf, "customer")
+        .select(F.col("c_custkey").alias("node"))
+        .union(
+            t(spark, sf, "supplier").select(
+                (F.lit(1000000) + F.col("s_suppkey")).alias("node")
+            )
+        )
+        .distinct()
+    )
+    return pagerank(nodes, edges, iterations=3, damping_pct=85)

@@ -169,3 +169,20 @@ def test_grouped_topk_equals_window_reference(spark, rows, nparts):
         .collect()
     }
     assert got == expect
+
+
+def test_pagerank_fixed_point_hand_values(spark):
+    """Two rounds over a 3-node star (+1 isolated node) match the
+    hand-computed fixed-point recurrence exactly — integer division,
+    so the values are exact, not approximately close."""
+    from ipes_data_pipeline_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 1), (2, 1, 1), (3, 1, 1)], "src long, dst long, w long"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges, iterations=2).collect()
+    }
+    assert got == {1: 1.1275, 2: 0.93625, 3: 0.93625, 4: 0.15}
