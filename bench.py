@@ -71,8 +71,18 @@ HEADLINE = [
     "q109_udtf_top_tokens",
     "q110_variant_json",
     "q130_semdedup",
+    "q131_source_token_budget",
     "q133_hybrid_neardup",
     "q134_bm25_topk",
+    "q135_stratified_sample",
+    "q136_column_profile",
+    "q137_psi_drift",
+    "q138_embedding_dedup_delta",
+    "q139_quality_ensemble",
+    "q140_pagerank",
+    "q141_winsorize",
+    "q142_feature_hash",
+    "q143_retention_cohorts",
 ]
 
 

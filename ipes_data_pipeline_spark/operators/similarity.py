@@ -407,16 +407,21 @@ def ann_topk_ivf_kmeans_lloyd(
     emb = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    cells = _assign_cells(emb, cent)
+    rows = sorted(
+        (r["c_id"], [float(x) for x in r["c_vec"]]) for r in cent.collect()
+    )
+    if not rows:
+        return df.sparkSession.createDataFrame([], "id long, cos_sim double")
     q = query_df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     q_cell = F.broadcast(
-        _assign_cells(q, cent).select(F.col("c_id").alias("q_cell"))
+        _with_cells(q, rows).select(F.col("c_id").alias("q_cell"))
     )
     q_vec = F.broadcast(q.select(F.col("v").alias("q_vec")))
     return (
-        cells.join(emb, "id")
+        # _with_cells carries v through assignment — no emb re-join
+        _with_cells(emb, rows)
         .join(q_cell, F.col("c_id") == F.col("q_cell"))
         .crossJoin(q_vec)
         .select(F.col("id"), cosine(F.col("v"), F.col("q_vec")).alias("cos_sim"))
@@ -458,10 +463,18 @@ def semdedup(
     emb = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    rows = sorted(
+        (r["c_id"], [float(x) for x in r["c_vec"]]) for r in cent.collect()
+    )
+    if not rows:  # empty input: one verdict row per input vector = none
+        return df.sparkSession.createDataFrame(
+            [], "id long, c_id long, dominator long, keep boolean"
+        )
     # (id, c_id, v, nrm): referenced on both sides of the self-join.
+    # _with_cells carries v through the assignment, so no re-join with
+    # the embedding table is needed before the pair stage.
     keyed = (
-        _assign_cells(emb, cent)
-        .join(emb, "id")
+        _with_cells(emb, rows)
         .select("id", "c_id", "v", norm(F.col("v")).alias("nrm"))
         .localCheckpoint(eager=True)
     )

@@ -797,13 +797,16 @@ FROM s
     _q139_oracle(),
 )
 def q139(spark, sf):
-    # All four signals derive from one token array in one projection —
-    # a pure map stage in whole-stage codegen, zero shuffles at any
-    # scale. The fused form is the point: at 100 TB the corpus is read
-    # ONCE for the whole gate, not once per signal.
+    # All four signals derive from one token array in one scan — a pure
+    # map stage, zero shuffles at any scale. The fused form is the
+    # point: at 100 TB the corpus is read ONCE for the whole gate, not
+    # once per signal. Tokens are materialized as a COLUMN before the
+    # trigram lambda references them (no CSE inside lambda bodies —
+    # inlining the tokenizer re-splits the document at every trigram
+    # position, measured 10× on this very query).
     from ipes_data_pipeline_spark.functions.text import STOPWORDS
 
-    w = tokens(F.col("text"))
+    w = F.col("w")
     tri = F.when(
         F.size(w) >= 3,
         F.transform(
@@ -817,11 +820,15 @@ def q139(spark, sf):
         ),
     ).otherwise(F.array().cast("array<string>"))
     stop_en = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
-    d = t(spark, sf, "documents").select(
-        "doc_id",
-        F.size(w).cast("int").alias("n_tokens"),
-        F.array_distinct(w).alias("dw"),
-        tri.alias("tri"),
+    d = (
+        spread(t(spark, sf, "documents"))
+        .select("doc_id", tokens(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            F.size(w).cast("int").alias("n_tokens"),
+            F.array_distinct(w).alias("dw"),
+            tri.alias("tri"),
+        )
     )
     s = d.select(
         "doc_id",

@@ -131,3 +131,16 @@ def test_new_operators_tolerate_empty_input(spark):
     assert (
         grouped_topk(no_rows, ["grp"], "v", k=3, tiebreak_col="id").count() == 0
     )
+
+    from ipes_data_pipeline_spark.operators.graph import pagerank
+    from ipes_data_pipeline_spark.operators.layout import zorder_by
+    from ipes_data_pipeline_spark.operators.similarity import semdedup
+
+    assert semdedup(no_vecs, "vec_id", "embedding").count() == 0
+    no_nodes = spark.createDataFrame([], "node long")
+    no_edges = spark.createDataFrame([], "src long, dst long, w long")
+    assert pagerank(no_nodes, no_edges, iterations=2).count() == 0
+    # isolated nodes with zero edges keep the base rank
+    one_node = spark.createDataFrame([(7,)], "node long")
+    assert pagerank(one_node, no_edges, iterations=2).collect()[0]["rank"] == 0.15
+    assert zorder_by(no_rows, ["v", "id"]).count() == 0
