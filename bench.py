@@ -83,6 +83,7 @@ HEADLINE = [
     "q141_winsorize",
     "q142_feature_hash",
     "q143_retention_cohorts",
+    "q144_bigram_lm_score",
 ]
 
 

@@ -52,6 +52,9 @@ from ipes_data_pipeline_spark.operators.similarity import (  # noqa: F401
     semdedup,
 )
 from ipes_data_pipeline_spark.operators.graph import pagerank  # noqa: F401
+from ipes_data_pipeline_spark.operators.prefix import (  # noqa: F401
+    grouped_running_sum,
+)
 from ipes_data_pipeline_spark.operators.layout import zorder_by  # noqa: F401
 from ipes_data_pipeline_spark.operators.rangejoin import (  # noqa: F401
     bucketed_range_join,

@@ -892,3 +892,99 @@ def q142(spark, sf):
     return tk.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+# ------------------------------------------------ bigram LM scoring
+
+
+def _q144_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    bi = (
+        "CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), "
+        "i -> w[i] || ' ' || w[i + 1]) ELSE [] END"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+g AS (SELECT doc_id, w, {bi} AS bi FROM d),
+tr_u AS (SELECT unnest(w) AS tok FROM g WHERE doc_id % 10 <> 0),
+uc AS (SELECT tok, COUNT(*) AS c FROM tr_u GROUP BY tok),
+v AS (SELECT COUNT(*) AS vocab FROM uc),
+tr_b AS (SELECT unnest(bi) AS bg FROM g WHERE doc_id % 10 <> 0),
+bc AS (SELECT bg, COUNT(*) AS c_bg FROM tr_b GROUP BY bg),
+ho AS (SELECT doc_id, unnest(bi) AS bg FROM g WHERE doc_id % 10 = 0),
+tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM ho GROUP BY doc_id, bg),
+sp AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(ROUND(-LN((CAST(COALESCE(bc.c_bg, 0) AS DOUBLE) + 1.0)
+                        / (CAST(COALESCE(uc.c, 0) AS DOUBLE) + CAST(v.vocab AS DOUBLE))), 6)
+              AS DECIMAL(18,6)) AS nll
+  FROM tf
+  LEFT JOIN bc ON tf.bg = bc.bg
+  LEFT JOIN uc ON string_split(tf.bg, ' ')[1] = uc.tok
+  CROSS JOIN v)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(CAST(tf AS DECIMAL(9,0)) * nll) AS DOUBLE)
+              / CAST(SUM(tf) AS DOUBLE) AS DOUBLE) AS cross_entropy
+FROM sp GROUP BY doc_id
+"""
+
+
+@register(
+    "q144_bigram_lm_score",
+    "curation: bigram-LM cross-entropy of held-out docs under an add-1 "
+    "model trained on the rest of the corpus — the KenLM-style "
+    "perplexity filter, trained and applied in one job (q98's unigram "
+    "surprisal upgraded to conditional probabilities)",
+    _q144_oracle(),
+)
+def q144(spark, sf):
+    # Train and score in one lineage: the model is two count tables
+    # (unigram, bigram) over the train split — vocabulary-sized, joined
+    # back to the held-out docs' bigram tfs (broadcast under AQE). The
+    # per-type -ln p is rounded into exact DECIMAL, so the per-doc mean
+    # is summation-order-free (q98's rule).
+    d = (
+        spread(t(spark, sf, "documents"))
+        .select("doc_id", tokens(F.col("text")).alias("w"))
+        .select("doc_id", "w", _ngrams(F.col("w"), 2).alias("bi"))
+        .localCheckpoint(eager=True)  # feeds 3 rollups (uni/bi/heldout)
+    )
+    train = d.where(F.col("doc_id") % 10 != 0)
+    uc = train.select(F.explode("w").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vocab = uc.agg(F.count(F.lit(1)).alias("vocab"))
+    bc = train.select(F.explode("bi").alias("bg")).groupBy("bg").agg(
+        F.count(F.lit(1)).alias("c_bg")
+    )
+    tf = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.explode("bi").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nll = F.round(
+        -F.log(
+            (F.coalesce(F.col("c_bg"), F.lit(0)).cast("double") + 1.0)
+            / (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                + F.col("vocab").cast("double")
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    w1 = F.element_at(F.split("bg", " "), 1)
+    sp = (
+        tf.join(bc, "bg", "left")
+        .join(uc, w1 == F.col("tok"), "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "tf", nll.alias("nll"))
+    )
+    return sp.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        (
+            F.sum(F.col("tf").cast("decimal(9,0)") * F.col("nll")).cast("double")
+            / F.sum("tf").cast("double")
+        ).alias("cross_entropy"),
+    )

@@ -285,27 +285,27 @@ def q131(spark, sf):
     # Greedy budget fill: walk each source's documents in a deterministic
     # order (doc_id here; production would order by a quality score) and
     # keep rows while the running token total fits the source's budget.
-    # One shuffle on source; the running sum is the standard cumsum
-    # window. Skew note for 100 TB: a single giant source serializes its
-    # cumsum into one task — pre-aggregate per (source, shard) subtotals
-    # and broadcast shard offsets (the q76 prefix-sum trick) when one
-    # source dominates the corpus.
+    # The running sum uses the TWO-PASS prefix form
+    # (operators.prefix.grouped_running_sum): per-(source, range-shard)
+    # local cumsums plus a broadcast offset table, so a single giant
+    # source never serializes into one window task — values are
+    # identical to the naive window (equivalence-tested), which is what
+    # keeps the SQL oracle unchanged.
+    from ipes_data_pipeline_spark.operators.prefix import grouped_running_sum
+
     d = t(spark, sf, "documents").select(
         "doc_id",
         "source",
         F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
-    w = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return d.select(
+    return grouped_running_sum(
+        d, "source", "doc_id", "n_tokens", out_col="cum_tokens"
+    ).select(
         "doc_id",
         "source",
         "n_tokens",
-        F.sum("n_tokens").over(w).alias("cum_tokens"),
-        (F.sum("n_tokens").over(w) <= F.lit(3000)).alias("selected"),
+        "cum_tokens",
+        (F.col("cum_tokens") <= F.lit(3000)).alias("selected"),
     )
 
 

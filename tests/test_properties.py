@@ -186,3 +186,31 @@ def test_pagerank_fixed_point_hand_values(spark):
         for r in pagerank(nodes, edges, iterations=2).collect()
     }
     assert got == {1: 1.1275, 2: 0.93625, 3: 0.93625, 4: 0.15}
+
+
+def test_grouped_running_sum_equals_window_form(spark):
+    """Two-pass prefix sum == the single-window form row for row, on a
+    skewed input where one group holds 90% of rows (the case the
+    two-pass form exists for: that group would serialize the naive
+    window into one task)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ipes_data_pipeline_spark.operators.prefix import grouped_running_sum
+
+    rows = [("big", i, i % 7 + 1) for i in range(900)]
+    rows += [(f"s{j}", i, i + j) for j in range(10) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, o long, v long").repartition(8)
+
+    got = {
+        (r["g"], r["o"]): r["rs"]
+        for r in grouped_running_sum(
+            df, "g", "o", "v", out_col="rs", num_shards=6
+        ).collect()
+    }
+    w = W.partitionBy("g").orderBy("o").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        (r["g"], r["o"]): r["rs"]
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got == want and len(got) == 1000
