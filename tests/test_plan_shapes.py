@@ -255,3 +255,45 @@ def test_cdc_apply_single_window_exchange(spark, sf_dir):
     plan = formatted_plan(q(spark, "q117_cdc_apply", sf_dir))
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
     assert n_exchanges == 1, plan
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    # the final top-k must be TakeOrderedAndProject (bounded per-task
+    # heaps + driver merge), never a global sort of all scored docs
+    plan = formatted_plan(q(spark, "q134_bm25_topk", sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winsorize_band_join_is_broadcast(spark, sf_dir):
+    # the [p05, p95] band table is |event_types| rows — must broadcast
+    # back to the fact scan, never shuffle the facts for the clip
+    assert_broadcast_join(q(spark, "q141_winsorize", sf_dir), forbid_smj=True)
+
+
+def test_cell_assignment_is_single_broadcast_row(spark):
+    # cell assignment broadcasts ONE centroid row (array<struct>) and
+    # scores map-side: the plan must be a broadcast nested-loop of one
+    # row, never an exchange of the corpus (q130/q72's assignment stage;
+    # the query-level plan hides it behind the localCheckpoint cut)
+    from ipes_data_pipeline_spark.operators.similarity import _with_cells
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, v array<double>"
+    )
+    plan = formatted_plan(_with_cells(emb, [(1, [1.0, 0.0]), (2, [0.0, 1.0])]))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pagerank_edges_join_broadcast_rank(spark, sf_dir):
+    # every round's rank side is |nodes|-sized and broadcast: the edge
+    # table must never shuffle for the join (only the dst aggregate
+    # exchanges)
+    plan = formatted_plan(q(spark, "q140_pagerank", sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_ensemble_is_pure_map(spark, sf_dir):
+    # four signals, one scan: no exchange anywhere in the plan
+    plan = formatted_plan(q(spark, "q139_quality_ensemble", sf_dir))
+    assert "Exchange" not in plan or "REPARTITION" in plan  # spread() only
