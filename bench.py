@@ -84,6 +84,8 @@ HEADLINE = [
     "q142_feature_hash",
     "q143_retention_cohorts",
     "q144_bigram_lm_score",
+    "q145_dsir_weights",
+    "q146_curation_funnel",
 ]
 
 

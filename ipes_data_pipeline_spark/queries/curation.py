@@ -988,3 +988,224 @@ def q144(spark, sf):
             / F.sum("tf").cast("double")
         ).alias("cross_entropy"),
     )
+
+
+# -------------------------------------- DSIR-style importance weights
+
+
+def _q145_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    bkt = "CAST(('0x' || substr(md5(tok), 1, 13))::BIGINT % 16 AS BIGINT)"
+    return f"""
+WITH tk AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+f AS (SELECT doc_id, {bkt} AS b FROM tk),
+tc AS (SELECT b, COUNT(*) AS c_t FROM f WHERE doc_id % 23 = 0 GROUP BY b),
+cc AS (SELECT b, COUNT(*) AS c_c FROM f WHERE doc_id % 23 <> 0 GROUP BY b),
+nt AS (SELECT SUM(c_t) AS n_t FROM tc),
+nc AS (SELECT SUM(c_c) AS n_c FROM cc),
+lr AS (
+  SELECT b,
+         CAST(ROUND(LN(((CAST(COALESCE(tc.c_t, 0) AS DOUBLE) + 0.5) / (CAST(n_t AS DOUBLE) + 8.0))
+                       / ((CAST(COALESCE(cc.c_c, 0) AS DOUBLE) + 0.5) / (CAST(n_c AS DOUBLE) + 8.0))), 6)
+              AS DECIMAL(18,6)) AS llr
+  FROM (SELECT DISTINCT b FROM f) ab
+  LEFT JOIN tc USING (b) LEFT JOIN cc USING (b)
+  CROSS JOIN nt CROSS JOIN nc),
+tf AS (SELECT doc_id, b, COUNT(*) AS tf FROM f WHERE doc_id % 23 <> 0
+       GROUP BY doc_id, b)
+SELECT tf.doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_feats,
+       CAST(SUM(CAST(tf AS DECIMAL(9,0)) * lr.llr) AS DOUBLE) AS log_importance
+FROM tf JOIN lr USING (b)
+GROUP BY tf.doc_id
+"""
+
+
+@register(
+    "q145_dsir_weights",
+    "mixing: DSIR-shaped importance weights — per-doc log-likelihood "
+    "ratio of hashed unigram features under the target (benchmark-like) "
+    "vs corpus distribution (arXiv 2302.03169's hashed-n-gram selection "
+    "signal); feature tables are 16 rows, everything broadcasts",
+    _q145_oracle(),
+)
+def q145(spark, sf):
+    # Data Selection via Importance Resampling, the warehouse way: one
+    # token scan feeds the hashed-feature stream; the two feature
+    # distributions are 16-row aggregates; the per-doc weight is a
+    # (doc, bucket) rollup joined against a broadcast 16-row
+    # log-likelihood-ratio table. Per-bucket llr is 6-dp-rounded into
+    # exact DECIMAL so the per-doc sum is order-free (q98's rule).
+    tk = spread(t(spark, sf, "documents")).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    f = tk.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("bigint") % 16).alias(
+            "b"
+        ),
+    ).localCheckpoint(eager=True)  # feeds 3 rollups
+    tc = f.where(F.col("doc_id") % 23 == 0).groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_t")
+    )
+    cc = f.where(F.col("doc_id") % 23 != 0).groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_c")
+    )
+    nt = tc.agg(F.sum("c_t").alias("n_t"))
+    nc = cc.agg(F.sum("c_c").alias("n_c"))
+    llr = F.round(
+        F.log(
+            (
+                (F.coalesce(F.col("c_t"), F.lit(0)).cast("double") + 0.5)
+                / (F.col("n_t").cast("double") + 8.0)
+            )
+            / (
+                (F.coalesce(F.col("c_c"), F.lit(0)).cast("double") + 0.5)
+                / (F.col("n_c").cast("double") + 8.0)
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    lr = (
+        f.select("b")
+        .distinct()
+        .join(tc, "b", "left")
+        .join(cc, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nc))
+        .select("b", llr.alias("llr"))
+    )
+    tf = (
+        f.where(F.col("doc_id") % 23 != 0)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.join(F.broadcast(lr), "b").groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_feats"),
+        F.sum(F.col("tf").cast("decimal(9,0)") * F.col("llr"))
+        .cast("double")
+        .alias("log_importance"),
+    )
+
+
+# ------------------------------------------------ curation funnel E2E
+
+
+def _q146_oracle() -> str:
+    quality = _q139_oracle().strip()
+    return f"""
+WITH q AS ({quality}),
+j AS (SELECT d.doc_id, d.source, md5(d.text) AS h, q.n_tokens, q.keep
+      FROM documents d JOIN q ON d.doc_id = q.doc_id),
+k AS (SELECT h, MIN(doc_id) AS keeper FROM j WHERE keep GROUP BY h),
+m AS (SELECT j.doc_id, j.source, j.n_tokens, j.keep AS pass_quality,
+             (j.keep AND j.doc_id = k.keeper) AS is_keeper
+      FROM j LEFT JOIN k ON j.h = k.h),
+c AS (SELECT doc_id,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM m WHERE is_keeper)
+SELECT m.doc_id, m.source, CAST(m.n_tokens AS BIGINT) AS n_tokens,
+       m.pass_quality, m.is_keeper, c.cum_tokens,
+       COALESCE(c.cum_tokens <= 300, FALSE) AS selected
+FROM m LEFT JOIN c ON m.doc_id = c.doc_id
+"""
+
+
+@register(
+    "q146_curation_funnel",
+    "curation: the END-TO-END funnel — quality gate (q139's fused "
+    "verdict) → exact-dedup keeper (q41's rule among survivors) → "
+    "per-source token budget (q131's fill over the keepers) — one "
+    "declarative plan, per-doc verdicts at every stage",
+    _q146_oracle(),
+)
+def q146(spark, sf):
+    # The whole corpus-curation pipeline as ONE lineage: each stage
+    # consumes the previous stage's survivors, and every doc carries
+    # its verdict at every stage (the audit view a data team actually
+    # ships). Scale shape = the union of the stages': quality is a map,
+    # dedup is one md5-keyed aggregate, the budget runs on the two-pass
+    # prefix sum.
+    from ipes_data_pipeline_spark.functions.text import STOPWORDS
+    from ipes_data_pipeline_spark.operators.prefix import grouped_running_sum
+
+    w = F.col("w")
+    tri = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i.cast("int")),
+                F.element_at(w, (i + 1).cast("int")),
+                F.element_at(w, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stop_en = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
+    base = (
+        spread(t(spark, sf, "documents"))
+        .select("doc_id", "source", F.md5("text").alias("h"), tokens(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            "source",
+            "h",
+            F.size(w).cast("int").alias("n_tokens"),
+            F.array_distinct(w).alias("dw"),
+            tri.alias("tri"),
+        )
+    )
+    ttr = F.size("dw").cast("double") / F.col("n_tokens").cast("double")
+    stop_ratio = (
+        F.size(F.array_intersect(F.col("dw"), stop_en)).cast("double")
+        / F.size("dw").cast("double")
+    )
+    rep = F.when(
+        F.size("tri") > 0,
+        (F.size("tri") - F.size(F.array_distinct("tri"))).cast("double")
+        / F.size("tri").cast("double"),
+    ).otherwise(F.lit(0.0))
+    j = base.select(
+        "doc_id",
+        "source",
+        "h",
+        "n_tokens",
+        (
+            (F.col("n_tokens") >= 30)
+            & (ttr >= 0.45)
+            & (stop_ratio >= 0.01)
+            & (rep <= 0.10)
+        ).alias("pass_quality"),
+    ).localCheckpoint(eager=True)  # feeds keeper agg + final join
+    k = (
+        j.where("pass_quality")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    m = j.join(k, "h", "left").select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "pass_quality",
+        (F.col("pass_quality") & (F.col("doc_id") == F.col("keeper"))).alias(
+            "is_keeper"
+        ),
+    )
+    c = grouped_running_sum(
+        m.where("is_keeper").select("doc_id", "source", "n_tokens"),
+        "source",
+        "doc_id",
+        "n_tokens",
+        out_col="cum_tokens",
+    ).select("doc_id", "cum_tokens")
+    return m.join(c, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "pass_quality",
+        "is_keeper",
+        "cum_tokens",
+        F.coalesce(F.col("cum_tokens") <= 300, F.lit(False)).alias("selected"),
+    )
