@@ -1,0 +1,90 @@
+"""Spark 4 Python DataSource V2: the paginated REST API as a REAL
+``spark.read.format(...)`` source.
+
+``sources.rest.read_paginated`` expresses the same scan as a
+``mapInPandas`` fan-out; this module lifts it into the engine's native
+connector surface (pyspark.sql.datasource), which buys what a bespoke
+fan-out cannot:
+
+- the source composes with everything (``.filter``/``.join`` read it
+  like any table; the catalog sees a format name, not a helper);
+- Spark owns task scheduling/retry per partition (a failed page range
+  is re-fetched by re-running its task, not by bespoke retry plumbing
+  above the whole frame);
+- ``max_records`` is a true scan-level pushdown: partitions beyond the
+  cap are never CREATED, so no task, no connection, no bytes.
+
+Scale shape: one driver-side probe request learns ``total``; page
+ranges become ``InputPartition``s (one task each, ``pages_per_task``
+pages per partition); executors fetch their own ranges through the
+retrying :class:`~ipes_data_pipeline_spark.sources.rest.HttpTransport`.
+Reference parity: the reference walks the same limit/offset protocol
+serially (``code/fetch.py``); here every page range is an independent
+task at any cluster size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ipes_data_pipeline_spark.sources.rest import HttpTransport
+
+
+class PageRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class RestDataSourceReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.schema_fields = [f.name for f in schema.fields]
+        self.url = options["url"]
+        self.query = options.get("query", "")
+        self.page_size = int(options.get("page_size", "100"))
+        self.max_records = (
+            int(options["max_records"]) if "max_records" in options else None
+        )
+        self.pages_per_task = int(options.get("pages_per_task", "1"))
+        self.backoff_s = float(options.get("backoff_s", "0.5"))
+
+    def partitions(self) -> list[PageRange]:
+        # one probe request on the driver learns the record count; the
+        # cap prunes page ranges BEFORE any task exists
+        transport = HttpTransport(self.url, backoff_s=self.backoff_s)
+        _, total = transport(self.query, 1, 0)
+        if self.max_records is not None:
+            total = min(total, self.max_records)
+        step = self.page_size * self.pages_per_task
+        return [PageRange(s, min(s + step, total)) for s in range(0, total, step)]
+
+    def read(self, partition: PageRange) -> Iterator[tuple]:
+        transport = HttpTransport(self.url, backoff_s=self.backoff_s)
+        offset = partition.start
+        while offset < partition.end:
+            limit = min(self.page_size, partition.end - offset)
+            records, _ = transport(self.query, limit, offset)
+            if not records:
+                break
+            for r in records:
+                yield tuple(r.get(f) for f in self.schema_fields)
+            offset += len(records)
+
+
+class RestDataSource(DataSource):
+    """``spark.read.format("ipes_rest")`` — register with
+    ``spark.dataSource.register(RestDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ipes_rest"
+
+    def schema(self) -> str:
+        # caller normally passes .schema(...); this default mirrors the
+        # reference API's record shape for schema-less exploration
+        return "rid bigint, name string"
+
+    def reader(self, schema) -> RestDataSourceReader:
+        return RestDataSourceReader(schema, self.options)

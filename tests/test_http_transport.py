@@ -240,3 +240,61 @@ def test_http_fetcher_download_documents(spark, doc_server, tmp_path):
     assert rows["missing"]["content_type"].startswith("error:")
     assert (tmp_path / "doc_a.pdf").read_bytes().startswith(b"%PDF")
     assert (tmp_path / "doc_b.docx").exists()
+
+
+def test_rest_datasource_v2_reads_and_prunes(spark, http_server):
+    """The Python DataSource V2 form of the REST scan: format-registered,
+    page ranges become input partitions, and max_records prunes
+    partitions before any task exists (offsets past the cap are never
+    requested)."""
+    from ipes_data_pipeline_spark.sources.rest_datasource import RestDataSource
+
+    _PagedHandler.fail_first = set()
+    _PagedHandler.seen = []
+    spark.dataSource.register(RestDataSource)
+
+    df = (
+        spark.read.format("ipes_rest")
+        .schema(SCHEMA)
+        .option("url", http_server)
+        .option("page_size", "10")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # 23 records / 10 per page
+    assert sorted(r["rid"] for r in df.collect()) == list(range(23))
+    # composes like any table: engine-side filter on the scan
+    assert df.where("rid >= 20").count() == 3
+
+    _PagedHandler.seen = []
+    capped = (
+        spark.read.format("ipes_rest")
+        .schema(SCHEMA)
+        .option("url", http_server)
+        .option("page_size", "10")
+        .option("max_records", "10")
+        .load()
+    )
+    assert capped.count() == 10
+    # pushdown proof: only the probe (offset 0) and the single surviving
+    # partition's page were requested — never offsets 10 or 20
+    assert set(_PagedHandler.seen) == {0}
+
+
+def test_rest_datasource_retries_inside_task(spark, http_server):
+    """A 500 on an executor-side page is retried by the transport inside
+    the task — the scan still returns every record exactly once."""
+    from ipes_data_pipeline_spark.sources.rest_datasource import RestDataSource
+
+    _PagedHandler.fail_first = {10}
+    _PagedHandler.seen = []
+    spark.dataSource.register(RestDataSource)
+    df = (
+        spark.read.format("ipes_rest")
+        .schema(SCHEMA)
+        .option("url", http_server)
+        .option("page_size", "10")
+        .option("backoff_s", "0.01")
+        .load()
+    )
+    assert sorted(r["rid"] for r in df.collect()) == list(range(23))
+    assert _PagedHandler.seen.count(10) == 2  # failed once, retried once
