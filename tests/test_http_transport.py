@@ -298,3 +298,43 @@ def test_rest_datasource_retries_inside_task(spark, http_server):
     )
     assert sorted(r["rid"] for r in df.collect()) == list(range(23))
     assert _PagedHandler.seen.count(10) == 2  # failed once, retried once
+
+
+def test_rest_datasource_streams_incrementally(spark, http_server, tmp_path):
+    """readStream.format("ipes_rest"): the stream offset is the REST
+    record offset. Batch 1 drains the endpoint; records appended after
+    the checkpoint arrive in batch 2 EXACTLY once (no re-fetch of the
+    first 23)."""
+    from ipes_data_pipeline_spark.sources.rest_datasource import RestDataSource
+
+    _PagedHandler.fail_first = set()
+    spark.dataSource.register(RestDataSource)
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("ipes_rest")
+            .schema(SCHEMA)
+            .option("url", http_server)
+            .option("page_size", "10")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return sorted(r["rid"] for r in spark.read.parquet(out).collect())
+
+    assert drain() == list(range(23))
+    RECORDS.extend({"rid": i, "name": f"rec-{i}"} for i in range(23, 30))
+    try:
+        _PagedHandler.seen = []
+        assert drain() == list(range(30))  # delta appended exactly once
+        # the checkpointed offset means batch 2 never re-reads rows < 23
+        assert all(o >= 23 for o in _PagedHandler.seen if o != 0)
+    finally:
+        del RECORDS[23:]
