@@ -153,11 +153,15 @@ def minhash_lsh_pairs(
     # Eager checkpoint: `bands` sits on BOTH sides of the self-join, and
     # without materialization the hash-heavy signature pipeline executes
     # twice (once per alias). The band table is tiny (n_docs × n_bands
-    # short rows) — always worth pinning.
-    bands = _cap_band_buckets(
-        minhash_bands(df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn),
-        bucket_cap,
-    ).localCheckpoint(eager=True)
+    # short rows) — always worth pinning. With a bucket_cap the RAW
+    # bands are pinned FIRST: _cap_band_buckets references its input
+    # twice (sizes aggregate + join), and capping an un-materialized
+    # plan would run tokenize+shingle+hash twice — exactly the cost
+    # this checkpoint exists to avoid.
+    raw = minhash_bands(df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn)
+    if bucket_cap is not None:
+        raw = raw.localCheckpoint(eager=True)
+    bands = _cap_band_buckets(raw, bucket_cap).localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -211,6 +215,11 @@ def minhash_lsh_pairs_delta(
         corpus_bands = minhash_bands(
             corpus_df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn
         )
+        if bucket_cap is not None:
+            # same rule as the batch form: _cap_band_buckets reads the
+            # union twice (sizes + join) — pin the hash-heavy corpus
+            # lineage before capping, or it tokenizes twice
+            corpus_bands = corpus_bands.localCheckpoint(eager=True)
     others = _cap_band_buckets(
         corpus_bands.withColumn("is_new", F.lit(False)).unionByName(
             new_bands.withColumn("is_new", F.lit(True))

@@ -42,8 +42,16 @@ def grouped_running_sum(
     exactly as BIGINT — cast upstream for decimals.
     """
     parts = num_shards or df.sparkSession.sparkContext.defaultParallelism
-    sliced = df.repartitionByRange(parts, group_col, order_col).withColumn(
-        "__shard", F.spark_partition_id()
+    # MATERIALIZE the sharded frame: both passes below consume it, and
+    # without the cut Catalyst compiles two column-pruned copies of the
+    # range exchange that sample boundaries INDEPENDENTLY — pass 1 and
+    # pass 2 then disagree on spark_partition_id and the offsets attach
+    # to the wrong slices (verified: 44k/60k wrong rows on a payload-
+    # carrying input). The checkpoint pins ONE shard assignment.
+    sliced = (
+        df.repartitionByRange(parts, group_col, order_col)
+        .withColumn("__shard", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # pass 1: running sum WITHIN each (group, shard) slice — every
     # slice is one task's contiguous piece, so no single group

@@ -74,10 +74,17 @@ def knn_graph(
     corpus = (corpus_df if corpus_df is not None else df).select(
         F.col(id_col), F.col(vec_col)
     )
-    n_corpus = corpus.count()
+    # one distributed job sizes the corpus (count + dim together) — a
+    # separate count-then-head pair re-executed the corpus lineage twice
+    # before the collect even started
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("dim"),
+    ).first()
+    n_corpus = stats["n"]
     if n_corpus == 0:
         return df.sparkSession.createDataFrame([], out_schema)
-    dim = len(corpus.select(vec_col).head()[0] or [])
+    dim = max(stats["dim"] or 0, 0)
     est_bytes = n_corpus * max(dim, 1) * 8
     if est_bytes > max_corpus_bytes:
         raise ValueError(
@@ -415,15 +422,18 @@ def ann_topk_ivf_kmeans_lloyd(
     q = query_df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    q_cell = F.broadcast(
-        _with_cells(q, rows).select(F.col("c_id").alias("q_cell"))
+    # cell and vector stay PAIRED in one broadcast row per query — two
+    # separate broadcasts would cartesian query A's cell with query B's
+    # vector when query_df has more than one row
+    q_info = F.broadcast(
+        _with_cells(q, rows).select(
+            F.col("c_id").alias("q_cell"), F.col("v").alias("q_vec")
+        )
     )
-    q_vec = F.broadcast(q.select(F.col("v").alias("q_vec")))
     return (
         # _with_cells carries v through assignment — no emb re-join
         _with_cells(emb, rows)
-        .join(q_cell, F.col("c_id") == F.col("q_cell"))
-        .crossJoin(q_vec)
+        .join(q_info, F.col("c_id") == F.col("q_cell"))
         .select(F.col("id"), cosine(F.col("v"), F.col("q_vec")).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("id"))
         .limit(k)

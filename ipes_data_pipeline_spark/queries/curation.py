@@ -759,6 +759,63 @@ def q134(spark, sf):
 # ----------------------------------------------- quality ensemble gate
 
 
+def quality_gate_signals(d, passthrough=()):
+    """Fused quality signals over a frame with materialized token column
+    ``w``: adds ``n_tokens / ttr / stopword_ratio / dup_trigram_frac``
+    and the combined ``keep`` verdict (thresholds below are THE gate —
+    q139 declares it, q146's funnel consumes it; one definition keeps
+    the two, and their shared oracle text, in sync). Tokens must already
+    be a COLUMN (no CSE inside lambda bodies — an inlined tokenizer
+    re-splits the document at every trigram position; measured 10×)."""
+    from ipes_data_pipeline_spark.functions.text import STOPWORDS
+
+    w = F.col("w")
+    tri = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i.cast("int")),
+                F.element_at(w, (i + 1).cast("int")),
+                F.element_at(w, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stop_en = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
+    staged = d.select(
+        "doc_id",
+        *passthrough,
+        F.size(w).cast("int").alias("n_tokens"),
+        F.array_distinct(w).alias("dw"),
+        tri.alias("tri"),
+    )
+    sig = staged.select(
+        "doc_id",
+        *passthrough,
+        "n_tokens",
+        (F.size("dw").cast("double") / F.col("n_tokens").cast("double")).alias("ttr"),
+        (
+            F.size(F.array_intersect(F.col("dw"), stop_en)).cast("double")
+            / F.size("dw").cast("double")
+        ).alias("stopword_ratio"),
+        F.when(
+            F.size("tri") > 0,
+            (F.size("tri") - F.size(F.array_distinct("tri"))).cast("double")
+            / F.size("tri").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+    return sig.withColumn(
+        "keep",
+        (F.col("n_tokens") >= 30)
+        & (F.col("ttr") >= 0.45)
+        & (F.col("stopword_ratio") >= 0.01)
+        & (F.col("dup_trigram_frac") <= 0.10),
+    )
+
+
 def _q139_oracle() -> str:
     toks = SQL_TOKENS.format(c="text")
     from ipes_data_pipeline_spark.functions.text import STOPWORDS
@@ -800,65 +857,11 @@ def q139(spark, sf):
     # All four signals derive from one token array in one scan — a pure
     # map stage, zero shuffles at any scale. The fused form is the
     # point: at 100 TB the corpus is read ONCE for the whole gate, not
-    # once per signal. Tokens are materialized as a COLUMN before the
-    # trigram lambda references them (no CSE inside lambda bodies —
-    # inlining the tokenizer re-splits the document at every trigram
-    # position, measured 10× on this very query).
-    from ipes_data_pipeline_spark.functions.text import STOPWORDS
-
-    w = F.col("w")
-    tri = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, i.cast("int")),
-                F.element_at(w, (i + 1).cast("int")),
-                F.element_at(w, (i + 2).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    stop_en = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
-    d = (
-        spread(t(spark, sf, "documents"))
-        .select("doc_id", tokens(F.col("text")).alias("w"))
-        .select(
-            "doc_id",
-            F.size(w).cast("int").alias("n_tokens"),
-            F.array_distinct(w).alias("dw"),
-            tri.alias("tri"),
-        )
+    # once per signal.
+    base = spread(t(spark, sf, "documents")).select(
+        "doc_id", tokens(F.col("text")).alias("w")
     )
-    s = d.select(
-        "doc_id",
-        "n_tokens",
-        (F.size("dw").cast("double") / F.col("n_tokens").cast("double")).alias("ttr"),
-        (
-            F.size(F.array_intersect(F.col("dw"), stop_en)).cast("double")
-            / F.size("dw").cast("double")
-        ).alias("stopword_ratio"),
-        F.when(
-            F.size("tri") > 0,
-            (F.size("tri") - F.size(F.array_distinct("tri"))).cast("double")
-            / F.size("tri").cast("double"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("dup_trigram_frac"),
-    )
-    return s.select(
-        "doc_id",
-        "n_tokens",
-        "ttr",
-        "stopword_ratio",
-        "dup_trigram_frac",
-        (
-            (F.col("n_tokens") >= 30)
-            & (F.col("ttr") >= 0.45)
-            & (F.col("stopword_ratio") >= 0.01)
-            & (F.col("dup_trigram_frac") <= 0.10)
-        ).alias("keep"),
-    )
+    return quality_gate_signals(base)
 
 
 # ----------------------------------------------------- feature hashing
@@ -1128,57 +1131,20 @@ def q146(spark, sf):
     # ships). Scale shape = the union of the stages': quality is a map,
     # dedup is one md5-keyed aggregate, the budget runs on the two-pass
     # prefix sum.
-    from ipes_data_pipeline_spark.functions.text import STOPWORDS
     from ipes_data_pipeline_spark.operators.prefix import grouped_running_sum
 
-    w = F.col("w")
-    tri = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, i.cast("int")),
-                F.element_at(w, (i + 1).cast("int")),
-                F.element_at(w, (i + 2).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    stop_en = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
-    base = (
-        spread(t(spark, sf, "documents"))
-        .select("doc_id", "source", F.md5("text").alias("h"), tokens(F.col("text")).alias("w"))
+    base = spread(t(spark, sf, "documents")).select(
+        "doc_id", "source", F.md5("text").alias("h"), tokens(F.col("text")).alias("w")
+    )
+    # quality stage = THE shared gate (one definition for q139 and this
+    # funnel — and for their structurally-shared oracle text)
+    j = (
+        quality_gate_signals(base, passthrough=("source", "h"))
         .select(
-            "doc_id",
-            "source",
-            "h",
-            F.size(w).cast("int").alias("n_tokens"),
-            F.array_distinct(w).alias("dw"),
-            tri.alias("tri"),
+            "doc_id", "source", "h", "n_tokens", F.col("keep").alias("pass_quality")
         )
+        .localCheckpoint(eager=True)  # feeds keeper agg + final join
     )
-    ttr = F.size("dw").cast("double") / F.col("n_tokens").cast("double")
-    stop_ratio = (
-        F.size(F.array_intersect(F.col("dw"), stop_en)).cast("double")
-        / F.size("dw").cast("double")
-    )
-    rep = F.when(
-        F.size("tri") > 0,
-        (F.size("tri") - F.size(F.array_distinct("tri"))).cast("double")
-        / F.size("tri").cast("double"),
-    ).otherwise(F.lit(0.0))
-    j = base.select(
-        "doc_id",
-        "source",
-        "h",
-        "n_tokens",
-        (
-            (F.col("n_tokens") >= 30)
-            & (ttr >= 0.45)
-            & (stop_ratio >= 0.01)
-            & (rep <= 0.10)
-        ).alias("pass_quality"),
-    ).localCheckpoint(eager=True)  # feeds keeper agg + final join
     k = (
         j.where("pass_quality")
         .groupBy("h")

@@ -577,13 +577,13 @@ r{i} AS (
     chain = ",\n".join(rounds)
     return f"""
 WITH e0 AS (
-  SELECT o.o_custkey AS c, 1000000 + l.l_suppkey AS s, COUNT(*) AS w
+  SELECT o.o_custkey AS c, -(l.l_suppkey + 1) AS s, COUNT(*) AS w
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   GROUP BY 1, 2),
 edges AS (SELECT c AS src, s AS dst, w FROM e0
           UNION ALL SELECT s AS src, c AS dst, w FROM e0),
 nodes AS (SELECT c_custkey AS node FROM customer
-          UNION SELECT 1000000 + s_suppkey FROM supplier),
+          UNION SELECT -(s_suppkey + 1) FROM supplier),
 ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
 ew AS (SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w, ow.out_w
        FROM edges e JOIN ow ON e.src = ow.src),
@@ -596,7 +596,8 @@ SELECT node, CAST(rank_u AS DOUBLE) / 1000000 AS rank FROM r{n_iter}
 @register(
     "q140_pagerank",
     "graph: weighted PageRank over the customer↔supplier interaction "
-    "graph, 3 unrolled rounds — per round one |nodes|-vs-edges join + "
+    "graph (suppliers carry -(key+1) node ids — a fixed-offset scheme would "
+    "collide with customer keys at large SF), 3 unrolled rounds — per round one |nodes|-vs-edges join + "
     "one dst-keyed aggregate; the WHOLE recurrence runs in fixed-point "
     "BIGINT micro-units (integer division, no doubles), so the rounds "
     "are bit-exact cross-engine with no rounding mode to disagree on",
@@ -611,7 +612,7 @@ def q140(spark, sf):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("o_custkey").alias("c"),
-            (F.lit(1000000) + F.col("l_suppkey")).alias("s"),
+            (-(F.col("l_suppkey") + 1)).alias("s"),
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
@@ -623,7 +624,7 @@ def q140(spark, sf):
         .select(F.col("c_custkey").alias("node"))
         .union(
             t(spark, sf, "supplier").select(
-                (F.lit(1000000) + F.col("s_suppkey")).alias("node")
+                (-(F.col("s_suppkey") + 1)).alias("node")
             )
         )
         .distinct()

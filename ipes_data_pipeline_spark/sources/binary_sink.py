@@ -120,6 +120,12 @@ class SessionFetcher:
                     return resp.read()
             except Exception as e:  # noqa: BLE001 — retry any transport error
                 err = e
+                # drop the cached opener so the NEXT attempt re-visits
+                # the landing page with a fresh jar: a session cookie
+                # that expired (or was invalidated after N requests)
+                # mid-partition would otherwise 403 every remaining
+                # document through every retry
+                self._op = None
                 time.sleep(self.backoff_s * (2**attempt))
         raise err
 

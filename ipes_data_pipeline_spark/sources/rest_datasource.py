@@ -93,6 +93,11 @@ class RestStreamReader(SimpleDataSourceStreamReader):
         self.query = options.get("query", "")
         self.page_size = int(options.get("page_size", "100"))
         self.backoff_s = float(options.get("backoff_s", "0.5"))
+        # maxOffsetsPerTrigger-style backlog valve: a cold start (or a
+        # restart after downtime) must not drain millions of records
+        # into ONE driver-side list — the remainder arrives in the next
+        # micro-batches
+        self.max_per_batch = int(options.get("max_records_per_batch", "100000"))
 
     def initialOffset(self) -> dict:  # noqa: N802 (datasource API)
         return {"offset": 0}
@@ -117,7 +122,7 @@ class RestStreamReader(SimpleDataSourceStreamReader):
         transport = HttpTransport(self.url, backoff_s=self.backoff_s)
         _, total = transport(self.query, 1, 0)
         lo = start["offset"]
-        hi = max(lo, total)
+        hi = min(max(lo, total), lo + self.max_per_batch)
         # materialized list, not a generator: the runtime pickles the
         # prefetched batch into its block cache for replay
         return list(self._fetch_range(lo, hi)), {"offset": hi}

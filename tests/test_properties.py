@@ -214,3 +214,27 @@ def test_grouped_running_sum_equals_window_form(spark):
         for r in df.withColumn("rs", F.sum("v").over(w)).collect()
     }
     assert got == want and len(got) == 1000
+
+
+def test_grouped_running_sum_with_payload_columns(spark):
+    """Regression: extra columns on the input caused Catalyst to compile
+    two column-pruned copies of the range exchange whose sampled
+    boundaries disagreed — pass 1 and pass 2 then attached offsets to
+    the wrong slices (44k/60k wrong rows before the materialization
+    fix). A payload column plus many shards exercises exactly that."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ipes_data_pipeline_spark.operators.prefix import grouped_running_sum
+
+    rows = [("g", i, i % 5 + 1, f"payload-{i}" * 3) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, o long, v long, p string").repartition(16)
+    got = {
+        r["o"]: r["rs"]
+        for r in grouped_running_sum(
+            df, "g", "o", "v", out_col="rs", num_shards=12
+        ).collect()
+    }
+    w = W.partitionBy("g").orderBy("o").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {r["o"]: r["rs"] for r in df.withColumn("rs", F.sum("v").over(w)).collect()}
+    assert got == want
