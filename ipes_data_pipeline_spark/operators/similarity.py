@@ -288,10 +288,11 @@ def kmeans_lloyd_centroids(
     ).localCheckpoint(eager=True)
     # Centroids live DRIVER-SIDE between rounds (cells × dim doubles —
     # trivially small at any corpus scale). Each round is then exactly
-    # ONE distributed job: assignment is an inlined-literal argmin
-    # expression (no join — the vector is already on the row), and the
-    # update aggregate's collect IS the round barrier an iterative
-    # algorithm needs anyway. The previous form paid an eager
+    # ONE distributed job: assignment ships the centroid table as DATA
+    # via _with_cells' one-row broadcast crossJoin (NOT inlined
+    # literals — see _with_cells on why literals lost to codegen size),
+    # and the update aggregate's collect IS the round barrier an
+    # iterative algorithm needs anyway. The previous form paid an eager
     # localCheckpoint plus an assignment join per round; at local-mode
     # fixture sizes that job latency dominated q72/q130 wall time.
     cent = [
@@ -328,15 +329,15 @@ def kmeans_lloyd_centroids(
 def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """(id, c_id): nearest centroid by squared L2, ties to lower c_id.
 
-    The centroid table is cells × dim — driver-literal-sized at any
-    corpus scale (the q104 runtime-filter pattern: collect the tiny
-    side once, inline it as plan literals). Assignment is then a pure
-    map stage: per row, ``array_min`` over ``struct(d2, c_id)`` picks
-    the lexicographic minimum — exactly argmin-with-lower-id-ties — in
-    whole-stage codegen with ZERO shuffle. The previous form
-    (crossJoin + row_number window) shuffled |rows| × |cells| rows per
-    Lloyd round just to discard all but one; at 50k vectors × 4
-    assignments that exchange dominated q130's runtime.
+    The centroid table is cells × dim — driver-sized at any corpus
+    scale, so it ships to executors as DATA in _with_cells' one-row
+    broadcast crossJoin. Assignment is then a pure map stage: per row,
+    ``array_min`` over ``struct(d2, c_id)`` picks the lexicographic
+    minimum — exactly argmin-with-lower-id-ties — with ZERO shuffle.
+    The previous form (crossJoin + row_number window) shuffled
+    |rows| × |cells| rows per Lloyd round just to discard all but one;
+    at 50k vectors × 4 assignments that exchange dominated q130's
+    runtime.
 
     The per-element fold (sequential (x-y)² accumulation in double)
     is unchanged, so assignments — and therefore every downstream

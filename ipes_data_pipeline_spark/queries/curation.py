@@ -790,15 +790,27 @@ def quality_gate_signals(d, passthrough=()):
         F.array_distinct(w).alias("dw"),
         tri.alias("tri"),
     )
+    # zero-token guard: Spark's non-ANSI x/0 yields NULL while DuckDB's
+    # ieee_floating_point_ops default yields NaN/Inf — an empty document
+    # would silently diverge the q139/q146 oracle AND make `keep` NULL
+    # instead of false. Ratios pin to 0.0 when the denominator is 0.
     sig = staged.select(
         "doc_id",
         *passthrough,
         "n_tokens",
-        (F.size("dw").cast("double") / F.col("n_tokens").cast("double")).alias("ttr"),
-        (
+        F.when(
+            F.col("n_tokens") > 0,
+            F.size("dw").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ttr"),
+        F.when(
+            F.size("dw") > 0,
             F.size(F.array_intersect(F.col("dw"), stop_en)).cast("double")
-            / F.size("dw").cast("double")
-        ).alias("stopword_ratio"),
+            / F.size("dw").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
         F.when(
             F.size("tri") > 0,
             (F.size("tri") - F.size(F.array_distinct("tri"))).cast("double")
@@ -830,9 +842,13 @@ WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
 g AS (SELECT doc_id, w, len(w) AS n_tokens, list_distinct(w) AS dw, {tri} AS tri FROM d),
 s AS (SELECT doc_id,
         CAST(n_tokens AS INT) AS n_tokens,
-        CAST(len(dw) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
-        CAST(len(list_intersect(dw, [{stop_en}])) AS DOUBLE)
-          / CAST(len(dw) AS DOUBLE) AS stopword_ratio,
+        CASE WHEN n_tokens > 0
+             THEN CAST(len(dw) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             ELSE 0.0 END AS ttr,
+        CASE WHEN len(dw) > 0
+             THEN CAST(len(list_intersect(dw, [{stop_en}])) AS DOUBLE)
+                    / CAST(len(dw) AS DOUBLE)
+             ELSE 0.0 END AS stopword_ratio,
         CASE WHEN len(tri) > 0
              THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
                     / CAST(len(tri) AS DOUBLE)

@@ -63,9 +63,18 @@ class RestDataSourceReader(DataSourceReader):
         if self.max_records is not None:
             total = min(total, self.max_records)
         step = self.page_size * self.pages_per_task
-        return [PageRange(s, min(s + step, total)) for s in range(0, total, step)]
+        ranges = [
+            PageRange(s, min(s + step, total)) for s in range(0, total, step)
+        ]
+        # an empty endpoint (or a cap that prunes everything) must still
+        # yield ONE empty partition: pyspark's plan_data_source_read
+        # substitutes [None] for an empty partition list and read(None)
+        # would crash the scan instead of returning an empty DataFrame
+        return ranges or [PageRange(0, 0)]
 
     def read(self, partition: PageRange) -> Iterator[tuple]:
+        if partition is None or partition.start >= partition.end:
+            return
         transport = HttpTransport(self.url, backoff_s=self.backoff_s)
         offset = partition.start
         while offset < partition.end:
@@ -125,7 +134,12 @@ class RestStreamReader(SimpleDataSourceStreamReader):
         hi = min(max(lo, total), lo + self.max_per_batch)
         # materialized list, not a generator: the runtime pickles the
         # prefetched batch into its block cache for replay
-        return list(self._fetch_range(lo, hi)), {"offset": hi}
+        rows = list(self._fetch_range(lo, hi))
+        # commit the offset actually REACHED, not the probe-derived hi:
+        # a short page mid-range (endpoint truncated between probe and
+        # fetch) would otherwise permanently skip records in
+        # [lo + len(rows), hi) with no error
+        return rows, {"offset": lo + len(rows)}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         return list(self._fetch_range(start["offset"], end["offset"]))

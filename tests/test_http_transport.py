@@ -338,3 +338,81 @@ def test_rest_datasource_streams_incrementally(spark, http_server, tmp_path):
         assert all(o >= 23 for o in _PagedHandler.seen if o != 0)
     finally:
         del RECORDS[23:]
+
+
+def test_rest_datasource_empty_endpoint(spark, http_server):
+    """An endpoint with zero records (and a cap that prunes every
+    partition) returns an EMPTY DataFrame — not a crash. pyspark
+    substitutes [None] for an empty partition list, so partitions()
+    must emit one empty range instead of []."""
+    from ipes_data_pipeline_spark.sources.rest_datasource import RestDataSource
+
+    _PagedHandler.fail_first = set()
+    spark.dataSource.register(RestDataSource)
+
+    # cap prunes everything
+    capped = (
+        spark.read.format("ipes_rest")
+        .schema(SCHEMA)
+        .option("url", http_server)
+        .option("page_size", "10")
+        .option("max_records", "0")
+        .load()
+    )
+    assert capped.count() == 0
+
+    # endpoint itself is empty
+    saved = RECORDS[:]
+    del RECORDS[:]
+    try:
+        empty = (
+            spark.read.format("ipes_rest")
+            .schema(SCHEMA)
+            .option("url", http_server)
+            .option("page_size", "10")
+            .load()
+        )
+        assert empty.count() == 0
+    finally:
+        RECORDS.extend(saved)
+
+
+class _OverreportingHandler(_PagedHandler):
+    """Reports total = real + 7: the probe-derived batch end overshoots
+    what the endpoint can actually serve (endpoint truncated between
+    probe and fetch)."""
+
+    def do_GET(self):  # noqa: N802 (http.server API)
+        q = parse_qs(urlparse(self.path).query)
+        limit = int(q["limit"][0])
+        offset = int(q["offset"][0])
+        body = json.dumps(
+            {
+                "total": len(RECORDS) + 7,
+                "records": RECORDS[offset : offset + limit],
+            }
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def test_rest_stream_commits_actual_offset_on_short_read():
+    """A short read (probe says 30, endpoint serves 23) must commit the
+    offset actually REACHED — committing the probe-derived end would
+    permanently skip records [23, 30) once they appear."""
+    from ipes_data_pipeline_spark.sources.rest_datasource import RestStreamReader
+
+    server = HTTPServer(("127.0.0.1", 0), _OverreportingHandler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}/api"
+        reader = RestStreamReader(
+            SCHEMA, {"url": url, "page_size": "10", "backoff_s": "0.01"}
+        )
+        rows, end = reader.read({"offset": 0})
+        assert len(rows) == 23
+        assert end == {"offset": 23}  # NOT the lying probe's 30
+    finally:
+        server.shutdown()
