@@ -278,52 +278,161 @@ def kmeans_lloyd_centroids(
 
     Physical shape per round: centroids are a tiny broadcast (cells ×
     dim), so assignment is a map-side nested loop over the fact table
-    (no shuffle of the vectors); the update shuffles (cell, dim) pairs
-    — bounded by cells × dim, not by |rows|. Rounds are cut with eager
-    localCheckpoints so the plan stays flat instead of nesting
-    ``n_iter`` crossJoin+window subtrees.
+    (no shuffle of the vectors); the update shuffles |cells| rows of
+    per-dimension partial sums — bounded by cells × dim, not by |rows|.
+    Centroids live driver-side between rounds, so the plan never nests:
+    every round's lineage is scan → assign → one aggregate (see
+    :func:`_lloyd_centroid_list`).
     """
     emb = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).localCheckpoint(eager=True)
-    # Centroids live DRIVER-SIDE between rounds (cells × dim doubles —
-    # trivially small at any corpus scale). Each round is then exactly
-    # ONE distributed job: assignment ships the centroid table as DATA
-    # via _with_cells' one-row broadcast crossJoin (NOT inlined
-    # literals — see _with_cells on why literals lost to codegen size),
-    # and the update aggregate's collect IS the round barrier an
-    # iterative algorithm needs anyway. The previous form paid an eager
-    # localCheckpoint plus an assignment join per round; at local-mode
-    # fixture sizes that job latency dominated q72/q130 wall time.
+    )
+    cent = _lloyd_centroid_list(emb, n_cells, n_iter)
+    return df.sparkSession.createDataFrame(
+        cent, "c_id long, c_vec array<double>"
+    )
+
+
+def _lloyd_centroid_list(
+    emb: DataFrame,
+    n_cells: int,
+    n_iter: int,
+    max_train_bytes: int = 1 << 28,
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd loop itself: ``emb(id, v: array<double>)`` → sorted
+    ``[(c_id, centroid)]`` after ``n_iter`` rounds.
+
+    Two regimes, identical arithmetic (a pytest asserts they produce
+    the same list on the fixture corpus):
+
+    - **Driver regime** (training set ≤ ``max_train_bytes``, estimated
+      rows × dim × 8 by one stats job): collect the (id, v) projection
+      once and run every round in numpy. This is how production ANN
+      indexes train centroids anyway (a bounded corpus/sample, not the
+      full 100 TB), and it removes the per-round distributed-job
+      barrier that dominated q72/q130 at bench scale — an iterative
+      algorithm over 8 × 64 doubles has no business paying a Spark job
+      per round.
+    - **Distributed regime** (above the cap): per round, assignment
+      ships the centroid table as DATA via :func:`_with_cells`' one-row
+      broadcast crossJoin, and the update is one ``groupBy(c_id)`` with
+      a per-dimension ``element_at`` DECIMAL(18,6) sum — rows shuffled
+      per round = |cells| carrying dim+1 columns; the update collect IS
+      the round barrier the algorithm needs anyway.
+
+    Bit-stability (what lets q72/q130 carry cross-engine value oracles)
+    holds in both regimes: d2 accumulates dimension-sequentially in
+    IEEE double (numpy loops per-dim in the same order as the
+    ``zip_with``+``aggregate`` fold), ties break to the lower c_id
+    (argmin-first over centroids kept in ascending-id order), and cell
+    means are exact DECIMAL(18,6) sums — numpy replicates Spark's
+    double→decimal cast (shortest-repr then HALF_UP, i.e. Java
+    ``BigDecimal.valueOf``) by quantizing ``Decimal(repr(x))`` once per
+    element, after which per-cell sums are exact int64 adds.
+
+    Sharing the list (not a DataFrame) lets callers like
+    :func:`semdedup` skip a createDataFrame→collect round-trip.
+    """
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size("v"), ignorenulls=True).alias("dim"),
+    ).first()
+    n_rows, dim = stats["n"], stats["dim"] or 0
+    if n_rows == 0:
+        return []
+    if n_rows * max(dim, 1) * 8 <= max_train_bytes:
+        return _lloyd_driver(emb, n_cells, n_iter)
     cent = [
         (r["id"], [float(x) for x in r["v"]])
         for r in emb.orderBy("id").limit(n_cells).collect()
     ]
-    schema = "c_id long, c_vec array<double>"
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.element_at("v", i + 1).cast("decimal(18,6)")).alias(f"s{i}")
+        for i in range(dim)
+    ]
     for _ in range(n_iter):
-        if not cent:
-            break
-        rows = (
-            _with_cells(emb, cent)
-            .select("c_id", F.posexplode("v").alias("pos", "val"))
-            .groupBy("c_id", "pos")
-            .agg(
-                (
-                    F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
-                    / F.count("val")
-                ).alias("m")
+        rows = _with_cells(emb, cent).groupBy("c_id").agg(*aggs).collect()
+        cent = sorted(
+            (
+                r["c_id"],
+                [float(r[f"s{i}"]) / r["n"] for i in range(dim)],
             )
-            .groupBy("c_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("c_vec")
-            )
-            .collect()
+            for r in rows
         )
-        cent = sorted((r["c_id"], [float(x) for x in r["c_vec"]]) for r in rows)
-    return df.sparkSession.createDataFrame(cent, schema)
+    return cent
+
+
+def _lloyd_driver(
+    emb: DataFrame, n_cells: int, n_iter: int
+) -> list[tuple[int, list[float]]]:
+    """Driver-regime Lloyd rounds — see :func:`_lloyd_centroid_list`
+    for the regime contract and the bit-stability argument."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    rows = emb.select("id", "v").collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)[order]
+    # exact scaled-integer view for the update sums: each element
+    # quantized ONCE to decimal(18,6)'s scale; per-cell sums are then
+    # exact int64 adds (order-free), and the mean reproduces
+    # CAST(SUM(DECIMAL) AS DOUBLE) / COUNT(*) to the bit
+    # vectorized half-up: floor(x·1e6 + 0.5) matches the exact quantize
+    # everywhere except within float error of a .5 tie (|x·1e6| ≲ 1e7 ⇒
+    # error ≲ 2e-9); those rare elements — and exact ties, where
+    # floor-based rounding disagrees with HALF_UP for negatives — are
+    # recomputed exactly. (The all-Python Decimal loop was ~50 s at the
+    # training cap's 32M elements; this is the same result in ~ms.)
+    micro = Decimal("0.000001")
+    flt = mat * 1e6
+    scaled = np.floor(flt + 0.5).astype(np.int64)
+    near = np.abs(flt - np.floor(flt) - 0.5) < 1e-7
+    for i, j in zip(*np.nonzero(near)):
+        scaled[i, j] = int(
+            Decimal(repr(float(mat[i, j])))
+            .quantize(micro, rounding=ROUND_HALF_UP)
+            .scaleb(6)
+        )
+    cents: list[tuple[int, np.ndarray]] = [
+        (int(ids[i]), mat[i].astype(np.float64))
+        for i in range(min(n_cells, len(ids)))
+    ]
+    for _ in range(n_iter):
+        if not cents:
+            break
+        cmat = np.stack([c for _, c in cents])
+        # d2 accumulates per-dimension IN ORDER — the exact IEEE fold of
+        # zip_with + aggregate (vectorized across rows, not across dims)
+        d2 = np.zeros((mat.shape[0], cmat.shape[0]))
+        for d in range(mat.shape[1]):
+            diff = mat[:, d : d + 1] - cmat[None, :, d]
+            d2 += diff * diff
+        # argmin takes the FIRST minimum: cents ascend by c_id, so ties
+        # break to the lower centroid id, matching the array_min struct
+        assign = np.argmin(d2, axis=1)
+        nxt = []
+        for j, (cid, _) in enumerate(cents):
+            mask = assign == j
+            cnt = int(mask.sum())
+            if cnt == 0:  # empty cell drops its centroid row
+                continue
+            sums = scaled[mask].sum(axis=0)
+            nxt.append(
+                (
+                    cid,
+                    np.array(
+                        [
+                            float(Decimal(int(s)).scaleb(-6)) / cnt
+                            for s in sums
+                        ]
+                    ),
+                )
+            )
+        cents = nxt
+    return [(cid, [float(x) for x in vec]) for cid, vec in cents]
 
 
 def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
@@ -411,13 +520,10 @@ def ann_topk_ivf_kmeans_lloyd(
     checkable cross-engine (q72). Same scale shape: assignment is an
     equi-join on the cell id, the probe touches one cell, no cross
     join of the corpus."""
-    cent = kmeans_lloyd_centroids(df, id_col, vec_col, n_cells, n_iter)
     emb = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    rows = sorted(
-        (r["c_id"], [float(x) for x in r["c_vec"]]) for r in cent.collect()
-    )
+    rows = _lloyd_centroid_list(emb, n_cells, n_iter)
     if not rows:
         return df.sparkSession.createDataFrame([], "id long, cos_sim double")
     q = query_df.select(
@@ -448,6 +554,7 @@ def semdedup(
     n_cells: int = 8,
     n_iter: int = 3,
     threshold: float = 0.4,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Semantic dedup, SemDeDup-shaped (Abbas et al. 2023, arXiv
     2303.09540): cluster embeddings, then prune within clusters only —
@@ -463,51 +570,72 @@ def semdedup(
     on top of the :func:`kmeans_lloyd_centroids` cells q72 already
     value-checks.
 
-    Scale shape: clustering is the Lloyd loop's broadcast-assign +
-    (cell × dim)-bounded update; the pair generation shuffles on the
-    CLUSTER id only — candidate pairs are Σ|cell|², never |n|², and
-    ``n_cells`` is the lever that caps per-task work (the paper's
-    √n-clusters regime). Norms are precomputed per vector, not per
-    pair, so the within-cluster refine is one codegen'd fold per pair.
+    Scale shape: clustering is the Lloyd loop (driver regime under the
+    training cap, broadcast-assign + (cell × dim)-bounded update
+    above it); the prune shuffles on the CLUSTER id only — one
+    ``applyInPandas`` task per cell, so candidate pairs are Σ|cell|²,
+    never |n|², and ``n_cells`` is the lever that caps per-task work
+    (the paper's √n-clusters regime). Inside a cell the pairwise
+    cosines are ONE per-dimension-accumulated Gram matmul in numpy —
+    the Arrow-batched form of the same left-to-right double fold the
+    SQL oracle runs (an interpreted per-pair ``aggregate`` fold was
+    measured 100× slower at 250k pairs), so the verdicts stay
+    bit-identical cross-engine.
     """
-    cent = kmeans_lloyd_centroids(df, id_col, vec_col, n_cells, n_iter)
+    import numpy as np
+    import pandas as pd
+
     emb = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    rows = sorted(
-        (r["c_id"], [float(x) for x in r["c_vec"]]) for r in cent.collect()
+    # callers that already ran the Lloyd loop (or hold stored centroids)
+    # pass them in and skip the n_iter round-trip entirely
+    rows = (
+        centroids
+        if centroids is not None
+        else _lloyd_centroid_list(emb, n_cells, n_iter)
     )
     if not rows:  # empty input: one verdict row per input vector = none
         return df.sparkSession.createDataFrame(
             [], "id long, c_id long, dominator long, keep boolean"
         )
-    # (id, c_id, v, nrm): referenced on both sides of the self-join.
-    # _with_cells carries v through the assignment, so no re-join with
-    # the embedding table is needed before the pair stage.
-    keyed = (
-        _with_cells(emb, rows)
-        .select("id", "c_id", "v", norm(F.col("v")).alias("nrm"))
-        .localCheckpoint(eager=True)
-    )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    dominated = (
-        a.join(
-            b,
-            on=[F.col("a.c_id") == F.col("b.c_id"), F.col("a.id") < F.col("b.id")],
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        n, dim = mat.shape
+        # Gram + squared norms accumulate per-dimension IN ORDER — the
+        # exact IEEE fold of dot()'s zip_with + aggregate (vectorized
+        # across pairs, sequential across dims, like _lloyd_driver)
+        gram = np.zeros((n, n))
+        for d in range(dim):
+            gram += np.outer(mat[:, d], mat[:, d])
+        nrm = np.sqrt(np.diagonal(gram))
+        cos = gram / np.outer(nrm, nrm)
+        # dominator[j] = smallest-id i < j with cos >= threshold; ids
+        # ascend with the row index, so it is the first qualifying row
+        # strictly above the diagonal
+        hit = np.triu(cos >= threshold, k=1)
+        first = hit.argmax(axis=0)  # first True row per column (0 if none)
+        has = hit.any(axis=0)
+        dom = np.where(has, ids[first], 0)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "c_id": pdf["c_id"].to_numpy()[order],
+                "dominator": pd.array(
+                    np.where(has, dom, None), dtype="Int64"
+                ),
+                "keep": ~has,
+            }
         )
-        .where(cos >= F.lit(threshold))
-        .groupBy(F.col("b.id").alias("id"))
-        .agg(F.min(F.col("a.id")).alias("dominator"))
-    )
+
     return (
-        keyed.join(dominated, "id", "left")
-        .select(
-            "id",
-            "c_id",
-            "dominator",
-            F.col("dominator").isNull().alias("keep"),
-        )
+        _with_cells(emb, rows)
+        .groupBy("c_id")
+        .applyInPandas(prune, "id long, c_id long, dominator long, keep boolean")
     )
 
 

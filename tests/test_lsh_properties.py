@@ -465,3 +465,29 @@ def test_semdedup_within_cluster_prune(spark):
     assert out[1] == (0, False)  # exact dup → dominated by 0
     assert out[2] == (0, False)  # near-dup → min similar smaller id
     assert out[3][1] and out[4][1] and out[5][1]
+
+
+def test_lloyd_driver_and_distributed_regimes_agree(spark):
+    """_lloyd_centroid_list has two physical regimes (driver numpy under
+    the training cap, distributed rounds above it) that must be
+    BIT-IDENTICAL — the q72/q130 oracles only check whichever regime
+    the fixture size selects, so this pins the other one."""
+    from ipes_data_pipeline_spark.operators.similarity import (
+        _lloyd_centroid_list,
+    )
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    driver = _lloyd_centroid_list(emb, n_cells=8, n_iter=3)
+    dist = _lloyd_centroid_list(
+        emb, n_cells=8, n_iter=3, max_train_bytes=0  # force distributed
+    )
+    assert [c for c, _ in driver] == [c for c, _ in dist]
+    for (_, dv), (_, xv) in zip(driver, dist):
+        assert dv == xv  # exact float equality, not approx
