@@ -14,10 +14,6 @@ from pyspark.sql import functions as F
 
 from ipes_data_pipeline_spark.functions.text import (
     distinct_tokens,
-    minhash_slice,
-    minhash_slice_xx,
-    shingle_hashes,
-    shingle_hashes_xx,
     shingles,
     simhash_bits_from_hashes,
     token_hashes,
@@ -34,11 +30,17 @@ def minhash_bands(
     band_size: int = 2,
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band_idx, band_key) — one row per LSH band per document.
 
     Tokens → shingles → salted shingle hashes → signatures are *staged
-    projections* so each array computes once per row.
+    projections* so each array computes once per row. Pass
+    ``shingles_df`` — a precomputed ``(id, sh: array<string>)`` frame
+    (same ``shingle_n``!) — to skip the tokenize+shingle stages; the
+    refine step of :func:`minhash_neardup_pairs` shares one
+    materialized shingle frame with the banding this way instead of
+    tokenizing the corpus twice.
 
     ``hash_fn`` picks the MinHash family:
 
@@ -53,29 +55,62 @@ def minhash_bands(
     statistically identical (same S-curve), only the per-shingle hash
     cost and the engine-portability differ.
     """
-    toks_df = spread(df).select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
-    )
-    sh_df = toks_df.select("id", shingles(F.col("toks"), shingle_n).alias("sh"))
+    if shingles_df is not None:
+        sh_df = shingles_df
+    else:
+        toks_df = spread(df).select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+        )
+        sh_df = toks_df.select(
+            "id", shingles(F.col("toks"), shingle_n).alias("sh")
+        )
     if hash_fn == "md5":
-        per_pass, stage, comp = 4, shingle_hashes, minhash_slice
+        per_pass = 4
+
+        def hash_col(salt):
+            return F.md5(F.concat(F.lit(f"{salt}|"), F.col("s")))
+
+        def piece(salt, k):
+            return F.substring(F.col(f"h{salt}"), k * 8 + 1, 8)
+
     elif hash_fn == "xxhash64":
-        per_pass, stage, comp = 2, shingle_hashes_xx, minhash_slice_xx
+        per_pass = 2
+
+        def hash_col(salt):
+            return F.xxhash64(F.concat(F.lit(f"{salt}|"), F.col("s")))
+
+        def piece(salt, k):
+            if k == 0:
+                return F.shiftrightunsigned(F.col(f"h{salt}"), 32)
+            return F.col(f"h{salt}").bitwiseAND(F.lit(0xFFFFFFFF))
+
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     n_salts = -(-n_hashes // per_pass)  # ceil: components per hash pass
-    hashed = sh_df.select(
+    # Signatures via explode + min AGGREGATES, not array higher-order
+    # functions: HOFs run interpreted (no whole-stage codegen), and at
+    # 24 array traversals per document the interpreter overhead WAS the
+    # operator (measured ~2.3 s of q42f's 2.9 at sf0.1). Exploded rows
+    # hash in codegen and the mins partial-aggregate map-side, so the
+    # shuffle carries |docs| × n_hashes minima, not shingles.
+    # explode_outer + the null-guarded hash keep empty shingle sets on
+    # a NULL-component signature (Spark's xxhash64(NULL) would
+    # otherwise yield the seed, a REAL minimum) — so such documents
+    # still band on the same concat_ws('') key as the HOF form did.
+    ex = sh_df.select("id", F.explode_outer("sh").alias("s"))
+    staged = ex.select(
         "id",
         *[
-            stage(F.col("sh"), str(salt)).alias(f"h{salt}")
+            F.when(F.col("s").isNotNull(), hash_col(salt)).alias(f"h{salt}")
             for salt in range(n_salts)
         ],
     )
-    sigs = [
-        comp(F.col(f"h{i // per_pass}"), i % per_pass).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
-    with_sig = hashed.select("id", *sigs)
+    with_sig = staged.groupBy("id").agg(
+        *[
+            F.min(piece(i // per_pass, i % per_pass)).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -140,6 +175,8 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
     bucket_cap: int | None = None,
+    shingles_df: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing any LSH band.
 
@@ -158,10 +195,19 @@ def minhash_lsh_pairs(
     # twice (sizes aggregate + join), and capping an un-materialized
     # plan would run tokenize+shingle+hash twice — exactly the cost
     # this checkpoint exists to avoid.
-    raw = minhash_bands(df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn)
+    raw = minhash_bands(
+        df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn, shingles_df
+    )
     if bucket_cap is not None:
         raw = raw.localCheckpoint(eager=True)
-    bands = _cap_band_buckets(raw, bucket_cap).localCheckpoint(eager=True)
+    bands = _cap_band_buckets(raw, bucket_cap)
+    if materialize:
+        bands = bands.localCheckpoint(eager=True)
+    # materialize=False relies on exchange reuse instead: the signature
+    # aggregate's exchange is the identical subtree on both sides of the
+    # self-join, so the hash pipeline still runs once — and the pair
+    # join lands in the CALLER's job, overlapping with sibling subtrees
+    # (q133 runs both pair families inside one union job this way).
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -279,13 +325,29 @@ def minhash_neardup_pairs(
     S-curve 1-(1-θ^band_size)^(n_hashes/band_size) either way — 16
     hashes / 8 bands put a j=0.89 miss at ~4e-6.
     """
+    # ONE shingle frame feeds both the banding and the refine — the
+    # tokenize+shingle projection is the operator's single heaviest map
+    # stage, and the naive form paid it twice (once under the bands'
+    # checkpoint, once per refine side). Eager cut: referenced by the
+    # band stage and both refine joins.
+    sh_df = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .select("id", shingles(F.col("toks"), shingle_n).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
     pairs = minhash_lsh_pairs(
-        df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn, bucket_cap
+        df,
+        id_col,
+        text_col,
+        n_hashes,
+        band_size,
+        shingle_n,
+        hash_fn,
+        bucket_cap,
+        shingles_df=sh_df,
     )
-    toks_df = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
-    )
-    tokd = toks_df.select("id", shingles(F.col("toks"), shingle_n).alias("dt"))
+    tokd = sh_df.select("id", F.col("sh").alias("dt"))
     a = tokd.select(F.col("id").alias("id_a"), F.col("dt").alias("dt_a"))
     b = tokd.select(F.col("id").alias("id_b"), F.col("dt").alias("dt_b"))
     inter = F.size(F.array_intersect(F.col("dt_a"), F.col("dt_b")))

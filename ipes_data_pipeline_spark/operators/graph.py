@@ -19,6 +19,18 @@ SQL twin is bit-exact round for round. (The first attempt rounded
 double contributions to 6 dp; engines disagree on half-way ties because
 one rounds the shortest decimal representation and the other the scaled
 binary value — integer arithmetic removes the question entirely.)
+
+Rejected alternatives, measured at sf0.1 (kept here so the next tuning
+pass doesn't re-walk them): (a) Pregel-style broadcast-variable ranks +
+``mapInPandas`` contribution partials — the Arrow round-trip of the
+edge table per round cost more than the nested broadcast-join chain it
+replaced (4.9 s vs 3.0 s); (b) ``persist()`` instead of the eager
+localCheckpoint — the per-round broadcast subtrees run as separate jobs
+before the cache warms, re-executing the edge lineage (5–7 s);
+(c) per-round ``rank.localCheckpoint`` to flatten the nested broadcast
+subtrees — barrier cost ≥ nesting cost (wash); (d) replacing the
+per-round |nodes| left join with a static union of no-in-edge nodes —
+the extra anti-join materialization offset the saved joins (wash).
 """
 
 from __future__ import annotations
@@ -51,12 +63,19 @@ def pagerank(
     rank. ``w`` must be integral (occurrence counts).
     """
     base_u = (100 - damping_pct) * _SCALE // 100
+    # materialize the caller's edge lineage ONCE, BEFORE deriving
+    # out_w: the raw edges are referenced by out_w AND by every round's
+    # join, and cutting after the out_w join (the earlier form) ran the
+    # whole caller lineage twice inside one job. Standard
+    # iterative-graph practice (same cut GraphX/Pregel loops make each
+    # superstep).
+    edges = edges.localCheckpoint(eager=True)
     out_w = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
-    # materialize once: the weighted edge table is referenced every
-    # round — without the cut, round i re-executes the whole edge
-    # lineage i times (measured 2× on q140). Standard iterative-graph
-    # practice (same cut GraphX/Pregel loops make each superstep).
-    ew = edges.join(out_w, "src").localCheckpoint(eager=True)
+    # out_w is |src nodes|-sized — under the same memory contract as the
+    # rank broadcast it ships map-side; re-running the broadcast join
+    # over local checkpoint blocks per round beats a second
+    # materialization barrier.
+    ew = edges.join(F.broadcast(out_w) if broadcast_ranks else out_w, "src")
     nodes = nodes.localCheckpoint(eager=True)
     rank = nodes.select("node", F.lit(1 * _SCALE).cast("long").alias("rank_u"))
     for _ in range(iterations):

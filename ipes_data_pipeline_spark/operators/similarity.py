@@ -250,6 +250,61 @@ def cosine_topk_pairs_lsh(
     return pairs.orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")).limit(k)
 
 
+def cosine_pairs_bucketed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: tuple[int, ...] = (1, 9, 17, 25),
+    threshold: float = 0.3,
+) -> DataFrame:
+    """All same-sign-bucket pairs with cosine ≥ ``threshold``:
+    ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``.
+
+    The blocked embedding-pair family (q45/q133's building block) as
+    ONE ``applyInPandas`` task per bucket: the per-bucket pairwise
+    cosines are a per-dimension-accumulated Gram matmul — the exact
+    IEEE fold order of ``dot()``'s ``zip_with`` + ``aggregate`` (and
+    the SQL oracle's ``list_reduce``), vectorized across pairs — so the
+    output value-checks cross-engine while running ~100× faster than an
+    interpreted per-pair fold. Shuffle key = bucket; per-task memory =
+    one bucket's |bucket| × dim matrix, the same contract as the join
+    form it replaces.
+    """
+    import numpy as np
+    import pandas as pd
+
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        sign_bucket(F.col(vec_col), dims).alias("bkt"),
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        n, dim = mat.shape
+        gram = np.zeros((n, n))
+        for d in range(dim):
+            gram += np.outer(mat[:, d], mat[:, d])
+        nrm = np.sqrt(np.diagonal(gram))
+        cos = gram / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(n, k=1)
+        hit = cos[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[hit]],
+                "id_b": ids[ib[hit]],
+                "cos_sim": cos[ia[hit], ib[hit]],
+            }
+        )
+
+    return keyed.groupBy("bkt").applyInPandas(
+        pairs, "id_a long, id_b long, cos_sim double"
+    )
+
+
 def kmeans_lloyd_centroids(
     df: DataFrame,
     id_col: str,

@@ -1482,29 +1482,30 @@ def q133(spark, sf):
     # Both pair families are blocked (band-key / sign-bucket shuffles,
     # no all-pairs); the union graph feeds the same bounded min-label
     # propagation as q42c. Embeddings are keyed by the document id
-    # (vec_id == doc_id in the testdata contract).
-    from ipes_data_pipeline_spark.functions.vectors import dot, norm, sign_bucket
+    # (vec_id == doc_id in the testdata contract). The embedding family
+    # runs as the numpy-per-bucket operator (same fold order as the
+    # oracle — see cosine_pairs_bucketed), and the UNION is eagerly cut
+    # before the component rounds: min_label_components references its
+    # edge input once per round, and an un-materialized union re-ran
+    # BOTH pair families three times (measured ~2× of q133's runtime).
     from ipes_data_pipeline_spark.operators.dedup_fuzzy import min_label_components
+    from ipes_data_pipeline_spark.operators.similarity import cosine_pairs_bucketed
 
     docs = t(spark, sf, "documents")
     text_pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5"
+        docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
+        materialize=False,
     ).select("id_a", "id_b")
-    emb = t(spark, sf, "embeddings")
-    keyed = emb.select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").cast("array<double>").alias("v"),
-        sign_bucket(F.col("embedding"), (1, 9, 17, 25)).alias("bkt"),
-        norm(F.col("embedding").cast("array<double>")).alias("nrm"),
-    ).localCheckpoint(eager=True)
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    emb_pairs = (
-        a.join(b, on=[F.col("a.bkt") == F.col("b.bkt"), F.col("a.id") < F.col("b.id")])
-        .where(cos >= F.lit(0.3))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    emb_pairs = cosine_pairs_bucketed(
+        t(spark, sf, "embeddings"),
+        "vec_id",
+        "embedding",
+        dims=(1, 9, 17, 25),
+        threshold=0.3,
+    ).select("id_a", "id_b")
+    pairs = (
+        text_pairs.union(emb_pairs).distinct().localCheckpoint(eager=True)
     )
-    pairs = text_pairs.union(emb_pairs).distinct()
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(
