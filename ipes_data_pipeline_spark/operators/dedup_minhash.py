@@ -19,7 +19,7 @@ from ipes_data_pipeline_spark.functions.text import (
     token_hashes,
     tokens,
 )
-from ipes_data_pipeline_spark.operators.util import spread
+from ipes_data_pipeline_spark.operators.util import cut, spread
 
 
 def minhash_bands(
@@ -177,6 +177,7 @@ def minhash_lsh_pairs(
     bucket_cap: int | None = None,
     shingles_df: DataFrame | None = None,
     materialize: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing any LSH band.
 
@@ -199,10 +200,10 @@ def minhash_lsh_pairs(
         df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn, shingles_df
     )
     if bucket_cap is not None:
-        raw = raw.localCheckpoint(eager=True)
+        raw = cut(raw, reliable)
     bands = _cap_band_buckets(raw, bucket_cap)
     if materialize:
-        bands = bands.localCheckpoint(eager=True)
+        bands = cut(bands, reliable)
     # materialize=False relies on exchange reuse instead: the signature
     # aggregate's exchange is the identical subtree on both sides of the
     # self-join, so the hash pipeline still runs once — and the pair
@@ -235,6 +236,7 @@ def minhash_lsh_pairs_delta(
     corpus_bands: DataFrame | None = None,
     hash_fn: str = "xxhash64",
     bucket_cap: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Incremental dedup: candidate pairs of a NEW batch against an
     existing corpus plus the batch itself — without ever re-pairing the
@@ -254,9 +256,12 @@ def minhash_lsh_pairs_delta(
     are counted over the union so a boilerplate band key that is huge in
     the corpus gets sub-salted even when the new batch's share is small.
     """
-    new_bands = minhash_bands(
-        new_df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn
-    ).localCheckpoint(eager=True)
+    new_bands = cut(
+        minhash_bands(
+            new_df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn
+        ),
+        reliable,
+    )
     if corpus_bands is None:
         corpus_bands = minhash_bands(
             corpus_df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn
@@ -265,7 +270,7 @@ def minhash_lsh_pairs_delta(
             # same rule as the batch form: _cap_band_buckets reads the
             # union twice (sizes + join) — pin the hash-heavy corpus
             # lineage before capping, or it tokenizes twice
-            corpus_bands = corpus_bands.localCheckpoint(eager=True)
+            corpus_bands = cut(corpus_bands, reliable)
     others = _cap_band_buckets(
         corpus_bands.withColumn("is_new", F.lit(False)).unionByName(
             new_bands.withColumn("is_new", F.lit(True))
@@ -277,7 +282,7 @@ def minhash_lsh_pairs_delta(
     else:
         # pin the salted union once; the probe side is its is_new slice,
         # so both sides of the join carry the SAME sub-salt.
-        others = others.localCheckpoint(eager=True)
+        others = cut(others, reliable)
         probe = others.where(F.col("is_new")).drop("is_new")
     n, o = probe.alias("n"), others.alias("o")
     return (
@@ -306,6 +311,7 @@ def minhash_neardup_pairs(
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
     bucket_cap: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates refined by EXACT shingle-set
     Jaccard ≥ ``threshold``. Returns (id_a, id_b, jaccard).
@@ -330,11 +336,11 @@ def minhash_neardup_pairs(
     # stage, and the naive form paid it twice (once under the bands'
     # checkpoint, once per refine side). Eager cut: referenced by the
     # band stage and both refine joins.
-    sh_df = (
+    sh_df = cut(
         spread(df)
         .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-        .select("id", shingles(F.col("toks"), shingle_n).alias("sh"))
-        .localCheckpoint(eager=True)
+        .select("id", shingles(F.col("toks"), shingle_n).alias("sh")),
+        reliable,
     )
     pairs = minhash_lsh_pairs(
         df,
@@ -346,6 +352,7 @@ def minhash_neardup_pairs(
         hash_fn,
         bucket_cap,
         shingles_df=sh_df,
+        reliable=reliable,
     )
     tokd = sh_df.select("id", F.col("sh").alias("dt"))
     a = tokd.select(F.col("id").alias("id_a"), F.col("dt").alias("dt_a"))

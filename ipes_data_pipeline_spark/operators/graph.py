@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ipes_data_pipeline_spark.operators.util import cut
+
 #: fixed-point scale: 1.0 == 1_000_000 micro-rank
 _SCALE = 1_000_000
 
@@ -48,6 +50,7 @@ def pagerank(
     iterations: int = 3,
     damping_pct: int = 85,
     broadcast_ranks: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over ``nodes(node)`` / ``edges(src, dst, w)``.
 
@@ -69,14 +72,14 @@ def pagerank(
     # whole caller lineage twice inside one job. Standard
     # iterative-graph practice (same cut GraphX/Pregel loops make each
     # superstep).
-    edges = edges.localCheckpoint(eager=True)
+    edges = cut(edges, reliable)
     out_w = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
     # out_w is |src nodes|-sized — under the same memory contract as the
     # rank broadcast it ships map-side; re-running the broadcast join
-    # over local checkpoint blocks per round beats a second
-    # materialization barrier.
+    # over checkpoint blocks per round beats a second materialization
+    # barrier.
     ew = edges.join(F.broadcast(out_w) if broadcast_ranks else out_w, "src")
-    nodes = nodes.localCheckpoint(eager=True)
+    nodes = cut(nodes, reliable)
     rank = nodes.select("node", F.lit(1 * _SCALE).cast("long").alias("rank_u"))
     for _ in range(iterations):
         # rank is |nodes|-sized — broadcast it (default) so the edge

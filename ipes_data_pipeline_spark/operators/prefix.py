@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ipes_data_pipeline_spark.operators.util import cut
+
 
 def grouped_running_sum(
     df: DataFrame,
@@ -32,6 +34,7 @@ def grouped_running_sum(
     val_col: str,
     out_col: str = "running_sum",
     num_shards: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """``df`` + ``out_col`` = running sum of ``val_col`` per
     ``group_col`` in ``order_col`` order, without ever materializing a
@@ -39,7 +42,10 @@ def grouped_running_sum(
 
     ``order_col`` must be unique per group (it is the sort key; a
     non-unique key would make "running" ill-defined). Sums are computed
-    exactly as BIGINT — cast upstream for decimals.
+    exactly as BIGINT — cast upstream for decimals. ``reliable=True``
+    routes the mandatory shard materialization through a reliable
+    checkpoint (see :func:`~...operators.util.cut`) so a multi-hour run
+    survives executor loss.
     """
     parts = num_shards or df.sparkSession.sparkContext.defaultParallelism
     # MATERIALIZE the sharded frame: both passes below consume it, and
@@ -48,10 +54,11 @@ def grouped_running_sum(
     # pass 2 then disagree on spark_partition_id and the offsets attach
     # to the wrong slices (verified: 44k/60k wrong rows on a payload-
     # carrying input). The checkpoint pins ONE shard assignment.
-    sliced = (
-        df.repartitionByRange(parts, group_col, order_col)
-        .withColumn("__shard", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    sliced = cut(
+        df.repartitionByRange(parts, group_col, order_col).withColumn(
+            "__shard", F.spark_partition_id()
+        ),
+        reliable,
     )
     # pass 1: running sum WITHIN each (group, shard) slice — every
     # slice is one task's contiguous piece, so no single group

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ipes_data_pipeline_spark.functions.vectors import cosine, dot, norm, sign_bucket
+from ipes_data_pipeline_spark.operators.util import cut
 
 
 def ann_topk_bruteforce(
@@ -157,6 +158,7 @@ def knn_graph_bucketed(
     k: int = 5,
     dims: tuple[int, ...] = (1, 9, 17, 25),
     multi_probe: bool = False,
+    reliable: bool = False,
 ) -> DataFrame:
     """Approximate k-NN graph with a sign-LSH-sharded corpus — the
     scale path for :func:`knn_graph` when the corpus does NOT fit
@@ -176,12 +178,15 @@ def knn_graph_bucketed(
     engine, so unlike most ANN indexes the single-probe form carries a
     value-level SQL oracle (q118).
     """
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        sign_bucket(F.col(vec_col), dims).alias("bkt"),
-        norm(F.col(vec_col)).alias("nrm"),
-    ).localCheckpoint(eager=True)
+    keyed = cut(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            sign_bucket(F.col(vec_col), dims).alias("bkt"),
+            norm(F.col(vec_col)).alias("nrm"),
+        ),
+        reliable,
+    )
     if multi_probe:
         nbits = len(dims)
         flips = [F.col("bkt")] + [
@@ -225,18 +230,22 @@ def cosine_topk_pairs_lsh(
     vec_col: str,
     dims: tuple[int, ...] = (1, 9, 17, 25),
     k: int = 50,
+    reliable: bool = False,
 ) -> DataFrame:
     """Top-k most-similar pairs among sign-LSH bucket candidates."""
     # materialize: referenced on both sides of the self-join (avoids
     # recomputing the scan + bucket per alias). Norms precompute per
     # VECTOR, not per pair — higher-order array folds don't codegen, so
     # paying |V| folds instead of 2|pairs| is the dominant win here.
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        sign_bucket(F.col(vec_col), dims).alias("bkt"),
-        norm(F.col(vec_col)).alias("nrm"),
-    ).localCheckpoint(eager=True)
+    keyed = cut(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            sign_bucket(F.col(vec_col), dims).alias("bkt"),
+            norm(F.col(vec_col)).alias("nrm"),
+        ),
+        reliable,
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = a.join(
         b, on=[F.col("a.bkt") == F.col("b.bkt"), F.col("a.id") < F.col("b.id")]
@@ -705,11 +714,15 @@ def ann_topk_ivf_kmeans(
     seed: int = 42,
 ) -> DataFrame:
     """IVF ANN with *learned* cells: k-means centroids partition the
-    vector space; search probes the ``n_probe`` cells nearest the query.
+    vector space; search probes the ``n_probe`` cells nearest each
+    query vector (cells ranked by squared-L2 centroid distance — true
+    multi-probe, the FAISS ``nprobe`` semantics; the candidate set is
+    monotone in ``n_probe``, so recall can only improve).
 
     The scale shape is identical to :func:`ann_topk_ivf` (equi-join on a
     cell id — no cross join); the cells are simply better balanced than
-    coordinate sign planes. Training cost is one pass over a sample;
+    coordinate sign planes, and each probed cell adds one joined
+    partition of candidates. Training cost is one pass over a sample;
     assignment is a per-row argmin over ``n_cells`` centroids (JVM-side
     via the fitted model's transform). `pyspark.ml` k-means depends on
     init sampling, so THIS form has no cross-engine value oracle — the
@@ -730,20 +743,52 @@ def ann_topk_ivf_kmeans(
     assigned = model.transform(feat).select(
         "id", "v", F.col("prediction").alias("cell")
     )
-    q_assigned = model.transform(
+    # rank ALL cells by centroid distance per query and explode the
+    # n_probe nearest: the centroid table ships as one broadcast row
+    # (the _with_cells pattern), the ranking is an array_sort over
+    # n_cells structs per query row — no driver round-trip per query
+    cent = [
+        (int(i), [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = df.sparkSession
+    cent_row = spark.createDataFrame(
+        [(cent,)], "cents array<struct<c_id:long,c_vec:array<double>>>"
+    )
+
+    def d2(v, cv):
+        diff2 = F.zip_with(v, cv, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    d2(F.col("q_arr"), c["c_vec"]).alias("d2"),
+                    c["c_id"].alias("c_id"),
+                ),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q_probe = (
         query_df.select(
             F.col(vec_col).alias("q_vec"),
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias(
-                "features"
-            ),
+            F.col(vec_col).cast("array<double>").alias("q_arr"),
         )
-    ).select("q_vec", F.col("prediction").alias("q_cell"))
-    # n_probe=1 probes the query's own cell; >1 would rank cells by
-    # centroid distance (left for the caller via model.clusterCenters())
-    q = F.broadcast(q_assigned.limit(n_probe))
+        .crossJoin(F.broadcast(cent_row))
+        .select(
+            "q_vec",
+            F.explode(F.transform(ranked, lambda s: s["c_id"])).alias("q_cell"),
+        )
+    )
     return (
-        assigned.join(q, assigned.cell == F.col("q_cell"))
+        assigned.join(F.broadcast(q_probe), assigned.cell == F.col("q_cell"))
         .select(F.col("id"), cosine(F.col("v"), F.col("q_vec")).alias("cos_sim"))
+        # no per-id dedup needed: cells partition the corpus, so a
+        # corpus row matches at most one of a query's probed cells
         .orderBy(F.desc("cos_sim"), F.asc("id"))
         .limit(k)
     )

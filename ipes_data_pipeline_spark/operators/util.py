@@ -5,6 +5,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def cut(df: DataFrame, reliable: bool = False) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage — the repo's standard
+    barrier before a frame is referenced from multiple plan subtrees
+    (self-joins, iterative rounds, multi-pass shards).
+
+    Two durability regimes:
+
+    - ``reliable=False`` (default): ``localCheckpoint(eager=True)``.
+      Blocks live on executor local store — fastest, and the right
+      default for interactive/bench work — but NOT fault-tolerant: lose
+      one executor mid-job and the lineage is gone, the job dies.
+    - ``reliable=True``: ``checkpoint(eager=True)`` to the session's
+      checkpoint directory (``spark.sparkContext.setCheckpointDir`` —
+      HDFS/S3 on a real cluster). Survives executor loss; this is the
+      regime a multi-hour 100 TB run must use on every operator that
+      cuts lineage, at the price of one distributed write+read.
+
+    Both regimes pin partition contents AND partition ids, so
+    downstream ``spark_partition_id`` determinism (the prefix-sum shard
+    contract — SCALING.md case study) holds identically.
+    """
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ONLY if the input is under-parallel.
 

@@ -491,3 +491,43 @@ def test_lloyd_driver_and_distributed_regimes_agree(spark):
     assert [c for c, _ in driver] == [c for c, _ in dist]
     for (_, dv), (_, xv) in zip(driver, dist):
         assert dv == xv  # exact float equality, not approx
+
+
+def test_ivf_kmeans_multi_probe_improves_recall(spark):
+    """ann_topk_ivf_kmeans(n_probe=p): probing the p nearest cells sees
+    a candidate superset of p-1 probes, so recall against the brute
+    -force top-k is monotone — and n_probe = n_cells IS brute force.
+    (Regression for the round-3 finding: limit(n_probe) used to drop
+    QUERY rows instead of ranking cells.)"""
+    from pyspark.sql import functions as F
+
+    from ipes_data_pipeline_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf_kmeans,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 7)
+    exact = {
+        r["id"]
+        for r in ann_topk_bruteforce(emb, "vec_id", "embedding", q, k=10).collect()
+    }
+    recalls = []
+    for p in (1, 2, 4):
+        got = {
+            r["id"]
+            for r in ann_topk_ivf_kmeans(
+                emb, "vec_id", "embedding", q, n_cells=4, k=10, n_probe=p
+            ).collect()
+        }
+        recalls.append(len(exact & got) / len(exact))
+    assert recalls == sorted(recalls), recalls  # monotone in n_probe
+    # probing every cell IS brute force
+    full = {
+        r["id"]
+        for r in ann_topk_ivf_kmeans(
+            emb, "vec_id", "embedding", q, n_cells=4, k=10, n_probe=4
+        ).collect()
+    }
+    assert full == exact
+    assert recalls[-1] == 1.0

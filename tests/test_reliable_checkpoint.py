@@ -1,0 +1,74 @@
+"""reliable=True lineage cuts: operators that materialize through
+operators.util.cut must produce ROW-IDENTICAL output when the cut goes
+through a reliable checkpoint (spark.sparkContext.setCheckpointDir)
+instead of executor-local blocks.
+
+Why this exists: localCheckpoint blocks live on executor local store —
+lose one executor on a multi-hour 100 TB job and the lineage is
+unrecoverable. reliable=True is the fault-tolerant regime such a run
+must use; these tests pin that flipping the switch changes durability
+only, never values (including the spark_partition_id-derived shard
+assignment inside grouped_running_sum).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def ckdir(spark, tmp_path):
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
+    return str(tmp_path / "ck")
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_grouped_running_sum_reliable_matches_local(spark, ckdir):
+    from ipes_data_pipeline_spark.operators.prefix import grouped_running_sum
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).alias("g"),
+        F.col("id").alias("o"),
+        (F.col("id") % 7).alias("v"),
+    )
+    local = grouped_running_sum(df, "g", "o", "v", num_shards=8)
+    reli = grouped_running_sum(df, "g", "o", "v", num_shards=8, reliable=True)
+    assert _rows(local, "g", "o") == _rows(reli, "g", "o")
+
+
+def test_minhash_pairs_reliable_matches_local(spark, ckdir):
+    from ipes_data_pipeline_spark.operators.dedup_minhash import (
+        minhash_neardup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    local = minhash_neardup_pairs(docs, "doc_id", "text", bucket_cap=50)
+    reli = minhash_neardup_pairs(
+        docs, "doc_id", "text", bucket_cap=50, reliable=True
+    )
+    assert _rows(local, "id_a", "id_b") == _rows(reli, "id_a", "id_b")
+
+
+def test_pagerank_reliable_matches_local(spark, ckdir):
+    from ipes_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (3, 1, 1), (1, 3, 3)], "src long, dst long, w long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "node long")
+    local = pagerank(nodes, edges, iterations=3)
+    reli = pagerank(nodes, edges, iterations=3, reliable=True)
+    assert _rows(local, "node") == _rows(reli, "node")
+
+
+def test_knn_bucketed_reliable_matches_local(spark, ckdir):
+    from ipes_data_pipeline_spark.operators.similarity import knn_graph_bucketed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    local = knn_graph_bucketed(emb, "vec_id", "embedding", k=3)
+    reli = knn_graph_bucketed(emb, "vec_id", "embedding", k=3, reliable=True)
+    assert _rows(local, "id", "neighbor_id") == _rows(reli, "id", "neighbor_id")
