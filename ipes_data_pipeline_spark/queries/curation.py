@@ -1063,37 +1063,41 @@ def q145(spark, sf):
         (F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("bigint") % 16).alias(
             "b"
         ),
-    ).localCheckpoint(eager=True)  # feeds 3 rollups
-    tc = f.where(F.col("doc_id") % 23 == 0).groupBy("b").agg(
-        F.count(F.lit(1)).alias("c_t")
+    ).localCheckpoint(eager=True)  # feeds the counts pass + the tf rollup
+    # BOTH per-bucket distributions in ONE conditional-aggregate pass
+    # (the earlier form scanned f once per split, once for distinct b,
+    # and once for tf — four passes); the 16-row result is collected and
+    # re-enters as a driver-literal table, with the llr expression still
+    # evaluated by Spark so the log/round arithmetic stays bit-identical
+    # to the SQL oracle (Python's libm log could differ in the last ulp).
+    is_t = (F.col("doc_id") % 23 == 0).cast("int")
+    counts = (
+        f.groupBy("b")
+        .agg(
+            F.sum(is_t).alias("c_t"),
+            F.sum(1 - is_t).alias("c_c"),
+        )
+        .collect()
     )
-    cc = f.where(F.col("doc_id") % 23 != 0).groupBy("b").agg(
-        F.count(F.lit(1)).alias("c_c")
-    )
-    nt = tc.agg(F.sum("c_t").alias("n_t"))
-    nc = cc.agg(F.sum("c_c").alias("n_c"))
+    n_t = sum(r["c_t"] for r in counts)
+    n_c = sum(r["c_c"] for r in counts)
     llr = F.round(
         F.log(
             (
-                (F.coalesce(F.col("c_t"), F.lit(0)).cast("double") + 0.5)
-                / (F.col("n_t").cast("double") + 8.0)
+                (F.col("c_t").cast("double") + 0.5)
+                / (F.lit(n_t).cast("double") + 8.0)
             )
             / (
-                (F.coalesce(F.col("c_c"), F.lit(0)).cast("double") + 0.5)
-                / (F.col("n_c").cast("double") + 8.0)
+                (F.col("c_c").cast("double") + 0.5)
+                / (F.lit(n_c).cast("double") + 8.0)
             )
         ),
         6,
     ).cast("decimal(18,6)")
-    lr = (
-        f.select("b")
-        .distinct()
-        .join(tc, "b", "left")
-        .join(cc, "b", "left")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(nc))
-        .select("b", llr.alias("llr"))
-    )
+    lr = spark.createDataFrame(
+        [(r["b"], r["c_t"], r["c_c"]) for r in counts],
+        "b bigint, c_t bigint, c_c bigint",
+    ).select("b", llr.alias("llr"))
     tf = (
         f.where(F.col("doc_id") % 23 != 0)
         .groupBy("doc_id", "b")
