@@ -30,7 +30,11 @@ before the cache warms, re-executing the edge lineage (5–7 s);
 (c) per-round ``rank.localCheckpoint`` to flatten the nested broadcast
 subtrees — barrier cost ≥ nesting cost (wash); (d) replacing the
 per-round |nodes| left join with a static union of no-in-edge nodes —
-the extra anti-join materialization offset the saved joins (wash).
+the extra anti-join materialization offset the saved joins (wash);
+(e) driver-held ranks re-injected per round as local literal tables
+(JVM join, flat plans) — the per-round createDataFrame + collect
+round-trips cost more than the nested broadcast exchanges they replace
+(3.3 s vs 2.9 s).
 """
 
 from __future__ import annotations

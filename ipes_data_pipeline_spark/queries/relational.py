@@ -249,10 +249,20 @@ def q14(spark, sf):
     from ipes_data_pipeline_spark.operators.util import spread
 
     # 7 decimal aggregates over every row: map-side agg is the CPU cost,
-    # so spread an under-parallel scan before it (no-op at real scale).
-    li = spread(t(spark, sf, "lineitem")).filter(
-        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
-    )
+    # so spread an under-parallel scan before it (no-op at real scale) —
+    # and PROJECT first, so the parallelizing shuffle carries the 7
+    # referenced columns instead of the full 16-column row.
+    li = spread(
+        t(spark, sf, "lineitem").select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        )
+    ).filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(

@@ -531,3 +531,46 @@ def test_ivf_kmeans_multi_probe_improves_recall(spark):
     }
     assert full == exact
     assert recalls[-1] == 1.0
+
+
+def test_minhash_empty_shingle_docs_band_on_null_components(spark):
+    """Documents with < shingle_n tokens have NO shingles: every MinHash
+    component must be NULL (banding key concat_ws('') — they pair with
+    each other as candidates, and the exact-Jaccard refine kills them
+    via union = 0). Regression for the explode_outer rewrite: a naive
+    explode would DROP such docs from the band table, and an unguarded
+    hash would turn xxhash64(NULL) = seed into a real minimum."""
+    from pyspark.sql import functions as F
+
+    from ipes_data_pipeline_spark.operators.dedup_minhash import (
+        minhash_bands,
+        minhash_lsh_pairs,
+        minhash_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hi"), (2, "yo"), (3, "one two three four five")],
+        "doc_id long, text string",
+    )
+    for fam in ("xxhash64", "md5"):
+        bands = minhash_bands(df, "doc_id", "text", hash_fn=fam)
+        per_doc = {
+            r["id"]: r["n"]
+            for r in bands.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert set(per_doc) == {1, 2, 3}  # empty-shingle docs still band
+        empty_keys = {
+            r["band_key"] for r in bands.where(F.col("id") < 3).collect()
+        }
+        assert empty_keys == {""}  # all-NULL components -> concat_ws('')
+        cand = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(df, "doc_id", "text", hash_fn=fam).collect()
+        }
+        assert (1, 2) in cand  # empty docs are candidates of each other
+        refined = minhash_neardup_pairs(df, "doc_id", "text", hash_fn=fam)
+        assert (1, 2) not in {
+            (r["id_a"], r["id_b"]) for r in refined.collect()
+        }  # ...but the refine's union > 0 gate drops them
