@@ -298,9 +298,14 @@ def cosine_pairs_bucketed(
         for d in range(dim):
             gram += np.outer(mat[:, d], mat[:, d])
         nrm = np.sqrt(np.diagonal(gram))
-        cos = gram / np.outer(nrm, nrm)
+        # zero-norm vectors: 0/0 → NaN, and NaN >= threshold is False —
+        # the same exclusion the SQL fold produces (NULL-div in Spark,
+        # NaN in DuckDB; neither passes the threshold)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = gram / np.outer(nrm, nrm)
         ia, ib = np.triu_indices(n, k=1)
-        hit = cos[ia, ib] >= threshold
+        with np.errstate(invalid="ignore"):
+            hit = cos[ia, ib] >= threshold
         return pd.DataFrame(
             {
                 "id_a": ids[ia[hit]],
@@ -677,11 +682,15 @@ def semdedup(
         for d in range(dim):
             gram += np.outer(mat[:, d], mat[:, d])
         nrm = np.sqrt(np.diagonal(gram))
-        cos = gram / np.outer(nrm, nrm)
+        # zero-norm vectors: 0/0 → NaN; NaN >= threshold is False, the
+        # same never-dominates verdict the SQL fold produces
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = gram / np.outer(nrm, nrm)
         # dominator[j] = smallest-id i < j with cos >= threshold; ids
         # ascend with the row index, so it is the first qualifying row
         # strictly above the diagonal
-        hit = np.triu(cos >= threshold, k=1)
+        with np.errstate(invalid="ignore"):
+            hit = np.triu(cos >= threshold, k=1)
         first = hit.argmax(axis=0)  # first True row per column (0 if none)
         has = hit.any(axis=0)
         dom = np.where(has, ids[first], 0)
