@@ -297,3 +297,33 @@ def test_quality_ensemble_is_pure_map(spark, sf_dir):
     # four signals, one scan: no exchange anywhere in the plan
     plan = formatted_plan(q(spark, "q139_quality_ensemble", sf_dir))
     assert "Exchange" not in plan or "REPARTITION" in plan  # spread() only
+
+
+def test_minhash_signatures_are_codegen_aggregates(spark, sf_dir):
+    """The signature stage must be explode + partial min AGGREGATES
+    (whole-stage-codegen path), not interpreted array higher-order
+    folds: partial_min markers before the exchange, and no
+    aggregate()/transform() lambda minhash in the plan."""
+    from ipes_data_pipeline_spark.operators.dedup_minhash import minhash_bands
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = formatted_plan(minhash_bands(docs, "doc_id", "text", hash_fn="xxhash64"))
+    assert "partial_min" in p  # map-side combined signature minima
+    assert "Generate" in p and "explode" in p  # shingles exploded, not folded
+    # the minhash minima must NOT be computed by interpreted array_min
+    # over a transform (the pre-round-4 form)
+    assert "array_min" not in p
+
+
+def test_asof_join_single_key_shuffle(spark, sf_dir):
+    """The union-stream as-of plan: exactly ONE hashpartitioning
+    exchange (the key), and no join operator at all — the old
+    range-join + argmax form carried a fan-out join plus a second
+    per-left-row exchange."""
+    p = formatted_plan(q(spark, "q53_asof_join", sf_dir))
+    assert "hashpartitioning(__k" in p
+    # exactly one shuffle: the only hash partitioning in the plan is the
+    # key exchange feeding the window
+    assert p.count("hashpartitioning(") == 1
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join_op not in p
