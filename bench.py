@@ -86,6 +86,8 @@ HEADLINE = [
     "q144_bigram_lm_score",
     "q145_dsir_weights",
     "q146_curation_funnel",
+    "q147_cluster_keeper_quality",
+    "q148_dedup_impact_by_source",
 ]
 
 

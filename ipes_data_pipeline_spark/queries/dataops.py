@@ -234,6 +234,140 @@ def q42c(spark, sf):
     )
 
 
+def _q147_oracle() -> str:
+    """q42c's component chain + per-cluster keeper by QUALITY (longest
+    doc wins, id breaks ties) instead of min-id."""
+    base = _q42c_oracle().strip().removeprefix("WITH").rsplit("SELECT node", 1)[0]
+    toks = SQL_TOKENS.format(c="text")
+    return f"""
+WITH {base.strip().rstrip(',')},
+comp AS (SELECT node AS doc_id, lab AS cluster_id FROM l3),
+q AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents),
+r AS (SELECT c.doc_id, c.cluster_id, q.n_tokens,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.n_tokens DESC, c.doc_id ASC) AS rn
+      FROM comp c JOIN q USING (doc_id))
+SELECT doc_id, cluster_id, n_tokens, (rn = 1) AS is_keeper FROM r
+"""
+
+
+@register(
+    "q147_cluster_keeper_quality",
+    "dedup: QUALITY-aware keeper selection — near-dup clusters (q42c's "
+    "component chain) keep their LONGEST member (token count, id "
+    "tie-break) instead of the smallest id; the curation decision "
+    "production dedup actually ships (min-id keeps whichever shard "
+    "arrived first; quality-keeper keeps the best copy)",
+    _q147_oracle(),
+)
+def q147(spark, sf):
+    # Components reuse the blocked md5 band family; keeper selection is
+    # one bounded window per cluster — cluster sizes are bounded by the
+    # band bucket_cap at scale, so no single task inherits a mega-
+    # cluster. The pair lineage is cut before the 3 propagation rounds
+    # (the q133 lesson: un-materialized pair families re-run per round).
+    from ipes_data_pipeline_spark.operators.dedup_fuzzy import min_label_components
+    from pyspark.sql.window import Window as W2
+
+    docs = t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
+        materialize=False,
+    ).localCheckpoint(eager=True)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    comp = min_label_components(
+        docs.select(F.col("doc_id").alias("node")), edges, iterations=3
+    ).select(F.col("node").alias("doc_id"), F.col("canonical_id").alias("cluster_id"))
+    quality = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    w = W2.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    return (
+        comp.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id", "cluster_id", "n_tokens", (F.col("rn") == 1).alias("is_keeper")
+        )
+    )
+
+
+def _q148_oracle() -> str:
+    base = _q42c_oracle().strip().removeprefix("WITH").rsplit("SELECT node", 1)[0]
+    return f"""
+WITH {base.strip().rstrip(',')},
+comp AS (SELECT node AS doc_id, lab AS keeper_id FROM l3),
+j AS (SELECT c.doc_id, d.source,
+             k.source AS keeper_source,
+             (c.doc_id <> c.keeper_id) AS is_dup
+      FROM comp c
+      JOIN documents d ON d.doc_id = c.doc_id
+      JOIN documents k ON k.doc_id = c.keeper_id)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(SUM(CASE WHEN is_dup AND keeper_source <> source
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_cross_source
+FROM j GROUP BY source
+"""
+
+
+@register(
+    "q148_dedup_impact_by_source",
+    "dedup: governance rollup — per-source duplication rate and CROSS-"
+    "source duplication (docs whose near-dup keeper lives in a different "
+    "source): the report that tells a data team which feeds are "
+    "re-scraping which (components = q42c's chain, keeper = min-id)",
+    _q148_oracle(),
+)
+def q148(spark, sf):
+    # One component pass, then two broadcast-able joins against the
+    # (doc_id, source) projection — the keeper side joins the SAME tiny
+    # projection, so at 100 TB this is component chain + two hash joins
+    # keyed on doc id, and the final rollup is |sources| rows.
+    from ipes_data_pipeline_spark.operators.dedup_fuzzy import min_label_components
+
+    docs = t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
+        materialize=False,
+    ).localCheckpoint(eager=True)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    comp = min_label_components(
+        docs.select(F.col("doc_id").alias("node")), edges, iterations=3
+    )
+    src = docs.select("doc_id", "source").localCheckpoint(eager=True)
+    j = (
+        comp.select(
+            F.col("node").alias("doc_id"),
+            F.col("canonical_id").alias("keeper_id"),
+        )
+        .join(src, "doc_id")
+        .join(
+            src.select(
+                F.col("doc_id").alias("keeper_id"),
+                F.col("source").alias("keeper_source"),
+            ),
+            "keeper_id",
+        )
+        .withColumn("is_dup", F.col("doc_id") != F.col("keeper_id"))
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_dups"),
+        F.sum(
+            (F.col("is_dup") & (F.col("keeper_source") != F.col("source"))).cast(
+                "int"
+            )
+        )
+        .cast("bigint")
+        .alias("n_dups_cross_source"),
+    )
+
+
 def _q43_oracle() -> str:
     toks = SQL_TOKENS.format(c="text")
     bits = " || ".join(
