@@ -342,6 +342,12 @@ def minhash_neardup_pairs(
         .select("id", shingles(F.col("toks"), shingle_n).alias("sh")),
         reliable,
     )
+    # materialize=False: the candidate set feeds exactly one consumer
+    # chain (the refine), so the band self-join can land in the final
+    # job — exchange reuse still computes the signature aggregate once,
+    # and the refine joins overlap with the pair join instead of
+    # waiting behind a band-table barrier. (bucket_cap still pins the
+    # raw bands inside minhash_lsh_pairs when set.)
     pairs = minhash_lsh_pairs(
         df,
         id_col,
@@ -352,6 +358,7 @@ def minhash_neardup_pairs(
         hash_fn,
         bucket_cap,
         shingles_df=sh_df,
+        materialize=False,
         reliable=reliable,
     )
     tokd = sh_df.select("id", F.col("sh").alias("dt"))
