@@ -62,35 +62,48 @@ def asof_join_latest(
     makes the fan-out quadratic, while the union stream stays linear).
     ``left_id`` is retained for API compatibility (the stream form
     doesn't need a per-left-row repartition).
+
+    NULL timestamps reproduce the inner-``<=`` contract exactly: a
+    NULL ``right_ts`` satisfies no comparison, so such right rows are
+    filtered out before the union; a NULL ``left_ts`` row sorts NULLS
+    FIRST ahead of every (non-NULL) right row, sees no candidate, and
+    drops on the ``__best IS NOT NULL`` gate.
     """
-    rs = right.select(
+    from pyspark.sql import types as T
+
+    # common ordering type for the interleaved stream: numeric ts
+    # columns (epoch seconds) order as double; anything else goes
+    # through timestamp_ntz (naive comparison — the SQL twin's
+    # `right_ts <= CAST(left_ts AS TIMESTAMP)` semantics)
+    lt = left.schema[left_ts].dataType
+    rt = right.schema[right_ts].dataType
+    ts_type = (
+        "double"
+        if isinstance(lt, T.NumericType) and isinstance(rt, T.NumericType)
+        else "timestamp_ntz"
+    )
+    # NULL-struct placeholders built from the actual schemas (not DDL
+    # strings — simpleString round-trips break on names needing quoting)
+    l_struct = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in left.schema.fields]
+    )
+    r_struct = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in right.schema.fields]
+    )
+    rs = right.where(F.col(right_ts).isNotNull()).select(
         F.col(right_key).alias("__k"),
-        F.col(right_ts).cast("timestamp_ntz").alias("__t"),
+        F.col(right_ts).cast(ts_type).alias("__t"),
         F.lit(0).alias("__side"),
         F.col(right_tiebreak).alias("__tb"),
         F.struct(*[F.col(c) for c in right.columns]).alias("__r"),
-        F.lit(None)
-        .cast(
-            "struct<"
-            + ",".join(f"{c}:{left.schema[c].dataType.simpleString()}" for c in left.columns)
-            + ">"
-        )
-        .alias("__l"),
+        F.lit(None).cast(l_struct).alias("__l"),
     )
     ls = left.select(
         F.col(left_key).alias("__k"),
-        F.col(left_ts).cast("timestamp_ntz").alias("__t"),
+        F.col(left_ts).cast(ts_type).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(right.schema[right_tiebreak].dataType).alias("__tb"),
-        F.lit(None)
-        .cast(
-            "struct<"
-            + ",".join(
-                f"{c}:{right.schema[c].dataType.simpleString()}" for c in right.columns
-            )
-            + ">"
-        )
-        .alias("__r"),
+        F.lit(None).cast(r_struct).alias("__r"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
     )
     w = (

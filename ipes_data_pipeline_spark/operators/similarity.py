@@ -259,6 +259,45 @@ def cosine_topk_pairs_lsh(
     return pairs.orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")).limit(k)
 
 
+#: column-chunk budget for the per-bucket Gram kernels: blocks are
+#: |bucket| × chunk doubles, capped at 2^25 cells (256 MB) so a hot
+#: bucket bounds task memory instead of allocating |bucket|² at once
+_GRAM_CHUNK_CELLS = 1 << 25
+
+
+def _bucket_norms(mat):
+    """Per-vector L2 norms with the same per-dimension accumulation
+    order as ``dot(v, v)`` (and the Gram diagonal)."""
+    import numpy as np
+
+    nrm2 = np.zeros(mat.shape[0])
+    for d in range(mat.shape[1]):
+        nrm2 += mat[:, d] * mat[:, d]
+    return np.sqrt(nrm2)
+
+
+def _gram_blocks(mat, chunk_cells=None):
+    """Yield ``(a, b, block)`` column blocks of the Gram matrix,
+    accumulated per-dimension IN ORDER (the exact IEEE fold of
+    ``zip_with`` + ``aggregate``, vectorized across pairs). Peak memory
+    is |rows| × chunk ≤ ``chunk_cells`` doubles — a hot bucket costs
+    more passes, never more memory. (``chunk_cells`` defaults to the
+    module's ``_GRAM_CHUNK_CELLS``, read at call time so tests can
+    shrink it.)"""
+    import numpy as np
+
+    if chunk_cells is None:
+        chunk_cells = _GRAM_CHUNK_CELLS
+    n, dim = mat.shape
+    chunk = max(1, chunk_cells // max(n, 1))
+    for a in range(0, n, chunk):
+        b = min(a + chunk, n)
+        block = np.zeros((n, b - a))
+        for d in range(dim):
+            block += np.outer(mat[:, d], mat[a:b, d])
+        yield a, b, block
+
+
 def cosine_pairs_bucketed(
     df: DataFrame,
     id_col: str,
@@ -270,14 +309,15 @@ def cosine_pairs_bucketed(
     ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``.
 
     The blocked embedding-pair family (q45/q133's building block) as
-    ONE ``applyInPandas`` task per bucket: the per-bucket pairwise
-    cosines are a per-dimension-accumulated Gram matmul — the exact
-    IEEE fold order of ``dot()``'s ``zip_with`` + ``aggregate`` (and
-    the SQL oracle's ``list_reduce``), vectorized across pairs — so the
-    output value-checks cross-engine while running ~100× faster than an
-    interpreted per-pair fold. Shuffle key = bucket; per-task memory =
-    one bucket's |bucket| × dim matrix, the same contract as the join
-    form it replaces.
+    ONE ``applyInPandas`` task per bucket: per-bucket pairwise cosines
+    come from column-chunked, per-dimension-accumulated Gram blocks
+    (:func:`_gram_blocks`) — the exact IEEE fold order of ``dot()``'s
+    ``zip_with`` + ``aggregate`` (and the SQL oracle's ``list_reduce``),
+    vectorized across pairs — so the output value-checks cross-engine
+    while running ~100× faster than an interpreted per-pair fold.
+    Shuffle key = bucket; per-task memory = |bucket| × chunk (capped,
+    see ``_GRAM_CHUNK_CELLS``) — qualifying PAIRS stream out per chunk,
+    so only the ≥ threshold survivors are ever held.
     """
     import numpy as np
     import pandas as pd
@@ -287,30 +327,40 @@ def cosine_pairs_bucketed(
         F.col(vec_col).cast("array<double>").alias("v"),
         sign_bucket(F.col(vec_col), dims).alias("bkt"),
     )
+    # captured DRIVER-side: the udf body runs in worker processes that
+    # re-import this module, so the closure (not the worker's module
+    # global) must carry the chunk budget for tests to shrink it
+    chunk_cells = _GRAM_CHUNK_CELLS
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy(dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         mat = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
-        n, dim = mat.shape
-        gram = np.zeros((n, n))
-        for d in range(dim):
-            gram += np.outer(mat[:, d], mat[:, d])
-        nrm = np.sqrt(np.diagonal(gram))
-        # zero-norm vectors: 0/0 → NaN, and NaN >= threshold is False —
-        # the same exclusion the SQL fold produces (NULL-div in Spark,
-        # NaN in DuckDB; neither passes the threshold)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = gram / np.outer(nrm, nrm)
-        ia, ib = np.triu_indices(n, k=1)
-        with np.errstate(invalid="ignore"):
-            hit = cos[ia, ib] >= threshold
+        n = mat.shape[0]
+        nrm = _bucket_norms(mat)
+        out_a, out_b, out_c = [], [], []
+        rows = np.arange(n)[:, None]
+        for a, b, block in _gram_blocks(mat, chunk_cells):
+            # zero-norm vectors: 0/0 → NaN, and NaN >= threshold is
+            # False — the same exclusion the SQL fold produces
+            # (NULL-div in Spark, NaN in DuckDB)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = block / np.outer(nrm, nrm[a:b])
+            with np.errstate(invalid="ignore"):
+                hit = cos >= threshold
+            hit &= rows < np.arange(a, b)[None, :]  # strict i < j only
+            ii, jj = np.nonzero(hit)
+            out_a.append(ids[ii])
+            out_b.append(ids[a + jj])
+            out_c.append(cos[ii, jj])
         return pd.DataFrame(
             {
-                "id_a": ids[ia[hit]],
-                "id_b": ids[ib[hit]],
-                "cos_sim": cos[ia[hit], ib[hit]],
+                "id_a": np.concatenate(out_a) if out_a else ids[:0],
+                "id_b": np.concatenate(out_b) if out_b else ids[:0],
+                "cos_sim": np.concatenate(out_c)
+                if out_c
+                else np.zeros(0),
             }
         )
 
@@ -411,6 +461,10 @@ def _lloyd_centroid_list(
         return []
     if n_rows * max(dim, 1) * 8 <= max_train_bytes:
         return _lloyd_driver(emb, n_cells, n_iter)
+    # distributed regime: the caller's lineage is referenced by the
+    # seed collect and every round — cut it once or a derived frame
+    # (filter/join upstream) re-executes n_iter+1 times
+    emb = cut(emb)
     cent = [
         (r["id"], [float(x) for x in r["v"]])
         for r in emb.orderBy("id").limit(n_cells).collect()
@@ -458,7 +512,13 @@ def _lloyd_driver(
     micro = Decimal("0.000001")
     flt = mat * 1e6
     scaled = np.floor(flt + 0.5).astype(np.int64)
-    near = np.abs(flt - np.floor(flt) - 0.5) < 1e-7
+    # the suspect window must scale with magnitude: fl(x·1e6) carries
+    # relative error up to |x·1e6|·2⁻⁵³, which exceeds a fixed 1e-7 for
+    # |x| ≳ 900 — elements within the magnitude-aware window of a .5
+    # boundary (and exact ties) fall back to the exact Decimal quantize
+    near = np.abs(flt - np.floor(flt) - 0.5) <= np.maximum(
+        1e-7, np.abs(flt) * 4e-16
+    )
     for i, j in zip(*np.nonzero(near)):
         scaled[i, j] = int(
             Decimal(repr(float(mat[i, j])))
@@ -645,11 +705,12 @@ def semdedup(
     ``applyInPandas`` task per cell, so candidate pairs are Σ|cell|²,
     never |n|², and ``n_cells`` is the lever that caps per-task work
     (the paper's √n-clusters regime). Inside a cell the pairwise
-    cosines are ONE per-dimension-accumulated Gram matmul in numpy —
-    the Arrow-batched form of the same left-to-right double fold the
-    SQL oracle runs (an interpreted per-pair ``aggregate`` fold was
-    measured 100× slower at 250k pairs), so the verdicts stay
-    bit-identical cross-engine.
+    cosines are column-chunked per-dimension-accumulated Gram blocks in
+    numpy — the Arrow-batched form of the same left-to-right double
+    fold the SQL oracle runs (an interpreted per-pair ``aggregate``
+    fold was measured 100× slower at 250k pairs), so the verdicts stay
+    bit-identical cross-engine while task memory stays |cell| × chunk
+    (``_GRAM_CHUNK_CELLS``-capped), never |cell|².
     """
     import numpy as np
     import pandas as pd
@@ -669,30 +730,35 @@ def semdedup(
             [], "id long, c_id long, dominator long, keep boolean"
         )
 
+    chunk_cells = _GRAM_CHUNK_CELLS  # closure-captured (worker re-imports)
+
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy(dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         mat = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
-        n, dim = mat.shape
-        # Gram + squared norms accumulate per-dimension IN ORDER — the
-        # exact IEEE fold of dot()'s zip_with + aggregate (vectorized
-        # across pairs, sequential across dims, like _lloyd_driver)
-        gram = np.zeros((n, n))
-        for d in range(dim):
-            gram += np.outer(mat[:, d], mat[:, d])
-        nrm = np.sqrt(np.diagonal(gram))
-        # zero-norm vectors: 0/0 → NaN; NaN >= threshold is False, the
-        # same never-dominates verdict the SQL fold produces
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = gram / np.outer(nrm, nrm)
-        # dominator[j] = smallest-id i < j with cos >= threshold; ids
-        # ascend with the row index, so it is the first qualifying row
-        # strictly above the diagonal
-        with np.errstate(invalid="ignore"):
-            hit = np.triu(cos >= threshold, k=1)
-        first = hit.argmax(axis=0)  # first True row per column (0 if none)
-        has = hit.any(axis=0)
+        n = mat.shape[0]
+        # norms + column-chunked Gram blocks, both accumulated
+        # per-dimension IN ORDER — the exact IEEE fold of dot()'s
+        # zip_with + aggregate; chunking bounds task memory at
+        # |cell| × chunk instead of |cell|² (see _GRAM_CHUNK_CELLS)
+        nrm = _bucket_norms(mat)
+        has = np.zeros(n, dtype=bool)
+        first = np.zeros(n, dtype=np.int64)
+        rows = np.arange(n)[:, None]
+        for a, b, block in _gram_blocks(mat, chunk_cells):
+            # zero-norm vectors: 0/0 → NaN; NaN >= threshold is False,
+            # the same never-dominates verdict the SQL fold produces
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = block / np.outer(nrm, nrm[a:b])
+            # dominator[j] = smallest-id i < j with cos >= threshold;
+            # ids ascend with the row index, so it is the first
+            # qualifying row strictly above the diagonal
+            with np.errstate(invalid="ignore"):
+                hit = cos >= threshold
+            hit &= rows < np.arange(a, b)[None, :]
+            has[a:b] = hit.any(axis=0)
+            first[a:b] = hit.argmax(axis=0)  # first True row (0 if none)
         dom = np.where(has, ids[first], 0)
         return pd.DataFrame(
             {

@@ -220,17 +220,39 @@ SELECT node AS doc_id, lab AS keeper_id FROM l3
     _q42c_oracle(),
 )
 def q42c(spark, sf):
+    return _doc_neardup_components(t(spark, sf, "documents")).select(
+        "doc_id", F.col("cluster_id").alias("keeper_id")
+    )
+
+
+def _doc_neardup_components(docs, extra_pairs=None):
+    """The shared md5-banded near-dup component chain (q42c's recipe,
+    also the backbone of q126/q133/q147/q148): LSH candidate pairs
+    (md5 family, 8 hashes, band size 2 — the oracle-portable
+    parameters every consumer's SQL twin splices from _q42_oracle),
+    optionally unioned with ``extra_pairs`` (id_a, id_b), eagerly cut
+    BEFORE the propagation rounds (the q133 lesson: the component loop
+    references its edge set once per round, and an un-materialized
+    pair family re-runs per round), then 3 min-label rounds. Returns
+    ``(doc_id, cluster_id)`` with cluster_id = the min doc id reachable
+    in 3 hops."""
     from ipes_data_pipeline_spark.operators.dedup_fuzzy import min_label_components
 
-    docs = t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
+        materialize=False,
+    ).select("id_a", "id_b")
+    if extra_pairs is not None:
+        pairs = pairs.union(extra_pairs).distinct()
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    comp = min_label_components(nodes, edges, iterations=3)
+    comp = min_label_components(
+        docs.select(F.col("doc_id").alias("node")), edges, iterations=3
+    )
     return comp.select(
-        F.col("node").alias("doc_id"), F.col("canonical_id").alias("keeper_id")
+        F.col("node").alias("doc_id"), F.col("canonical_id").alias("cluster_id")
     )
 
 
@@ -261,25 +283,14 @@ SELECT doc_id, cluster_id, n_tokens, (rn = 1) AS is_keeper FROM r
     _q147_oracle(),
 )
 def q147(spark, sf):
-    # Components reuse the blocked md5 band family; keeper selection is
-    # one bounded window per cluster — cluster sizes are bounded by the
+    # Components reuse the shared md5 chain; keeper selection is one
+    # bounded window per cluster — cluster sizes are bounded by the
     # band bucket_cap at scale, so no single task inherits a mega-
-    # cluster. The pair lineage is cut before the 3 propagation rounds
-    # (the q133 lesson: un-materialized pair families re-run per round).
-    from ipes_data_pipeline_spark.operators.dedup_fuzzy import min_label_components
+    # cluster.
     from pyspark.sql.window import Window as W2
 
     docs = t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
-        materialize=False,
-    ).localCheckpoint(eager=True)
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    comp = min_label_components(
-        docs.select(F.col("doc_id").alias("node")), edges, iterations=3
-    ).select(F.col("node").alias("doc_id"), F.col("canonical_id").alias("cluster_id"))
+    comp = _doc_neardup_components(docs)
     quality = docs.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
     )
@@ -326,25 +337,11 @@ def q148(spark, sf):
     # (doc_id, source) projection — the keeper side joins the SAME tiny
     # projection, so at 100 TB this is component chain + two hash joins
     # keyed on doc id, and the final rollup is |sources| rows.
-    from ipes_data_pipeline_spark.operators.dedup_fuzzy import min_label_components
-
     docs = t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
-        materialize=False,
-    ).localCheckpoint(eager=True)
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    comp = min_label_components(
-        docs.select(F.col("doc_id").alias("node")), edges, iterations=3
-    )
+    comp = _doc_neardup_components(docs)
     src = docs.select("doc_id", "source").localCheckpoint(eager=True)
     j = (
-        comp.select(
-            F.col("node").alias("doc_id"),
-            F.col("canonical_id").alias("keeper_id"),
-        )
+        comp.select("doc_id", F.col("cluster_id").alias("keeper_id"))
         .join(src, "doc_id")
         .join(
             src.select(
@@ -1539,26 +1536,14 @@ FROM l3
     _q126_oracle(),
 )
 def q126(spark, sf):
-    from ipes_data_pipeline_spark.operators.dedup_fuzzy import (
-        min_label_components,
-    )
-
     docs = t(spark, sf, "documents").localCheckpoint(eager=True)
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5")
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
-    comp = min_label_components(
-        docs.select(F.col("doc_id").alias("node")), edges, iterations=3
-    )
+    comp = _doc_neardup_components(docs)
     counts = docs.agg(
         F.count(F.lit(1)).alias("n_raw"),
         F.countDistinct(F.md5("text")).alias("n_exact_unique"),
     )
     clusters = comp.agg(
-        F.countDistinct("canonical_id").alias("n_neardup_clusters")
+        F.countDistinct("cluster_id").alias("n_neardup_clusters")
     )
     return counts.crossJoin(clusters)
 
@@ -1614,22 +1599,15 @@ SELECT node AS doc_id, lab AS cluster_id FROM l3
 )
 def q133(spark, sf):
     # Both pair families are blocked (band-key / sign-bucket shuffles,
-    # no all-pairs); the union graph feeds the same bounded min-label
-    # propagation as q42c. Embeddings are keyed by the document id
-    # (vec_id == doc_id in the testdata contract). The embedding family
-    # runs as the numpy-per-bucket operator (same fold order as the
-    # oracle — see cosine_pairs_bucketed), and the UNION is eagerly cut
-    # before the component rounds: min_label_components references its
-    # edge input once per round, and an un-materialized union re-ran
-    # BOTH pair families three times (measured ~2× of q133's runtime).
-    from ipes_data_pipeline_spark.operators.dedup_fuzzy import min_label_components
+    # no all-pairs); the union graph feeds the shared component chain
+    # (which eagerly cuts the union before the propagation rounds — an
+    # un-materialized union re-ran BOTH pair families once per round,
+    # measured ~2× of q133's runtime). Embeddings are keyed by the
+    # document id (vec_id == doc_id in the testdata contract); the
+    # embedding family runs as the numpy-per-bucket operator (same fold
+    # order as the oracle — see cosine_pairs_bucketed).
     from ipes_data_pipeline_spark.operators.similarity import cosine_pairs_bucketed
 
-    docs = t(spark, sf, "documents")
-    text_pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
-        materialize=False,
-    ).select("id_a", "id_b")
     emb_pairs = cosine_pairs_bucketed(
         t(spark, sf, "embeddings"),
         "vec_id",
@@ -1637,19 +1615,8 @@ def q133(spark, sf):
         dims=(1, 9, 17, 25),
         threshold=0.3,
     ).select("id_a", "id_b")
-    pairs = (
-        text_pairs.union(emb_pairs).distinct().localCheckpoint(eager=True)
-    )
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
-    comp = min_label_components(
-        docs.select(F.col("doc_id").alias("node")), edges, iterations=3
-    )
-    return comp.select(
-        F.col("node").alias("doc_id"), F.col("canonical_id").alias("cluster_id")
+    return _doc_neardup_components(
+        t(spark, sf, "documents"), extra_pairs=emb_pairs
     )
 
 

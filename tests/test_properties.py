@@ -238,3 +238,79 @@ def test_grouped_running_sum_with_payload_columns(spark):
     w = W.partitionBy("g").orderBy("o").rowsBetween(W.unboundedPreceding, W.currentRow)
     want = {r["o"]: r["rs"] for r in df.withColumn("rs", F.sum("v").over(w)).collect()}
     assert got == want
+
+
+def test_asof_join_null_timestamps_drop(spark):
+    """NULL right_ts never matches (the inner-<= contract: a NULL
+    comparison qualifies nothing) and a NULL left_ts row drops —
+    regression for the union-stream rewrite, where NULLS-FIRST ordering
+    would otherwise make a NULL-ts right row everyone's 'earliest'
+    candidate."""
+    from ipes_data_pipeline_spark.operators.sessionize import asof_join_latest
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-05", 100), (2, None, 101)],
+        "lk long, lts string, event long",
+    ).selectExpr("lk", "CAST(lts AS TIMESTAMP) AS lts", "event")
+    right = spark.createDataFrame(
+        [(1, None, 7), (1, "2024-01-02", 8), (2, "2024-01-01", 9)],
+        "rk long, rts string, rid long",
+    ).selectExpr("rk", "CAST(rts AS TIMESTAMP) AS rts", "rid")
+    out = asof_join_latest(
+        left, right, "lk", "rk", "lts", "rts", "rid", "event"
+    ).collect()
+    # left row 1 matches the non-NULL right row; NULL-ts rows never pair
+    assert [(r["event"], r["rid"]) for r in out] == [(100, 8)]
+
+
+def test_asof_join_numeric_epoch_timestamps(spark):
+    """Numeric (epoch) ts columns keep working — the rewrite must not
+    force a numeric→timestamp_ntz cast (unsupported in Spark)."""
+    from ipes_data_pipeline_spark.operators.sessionize import asof_join_latest
+
+    left = spark.createDataFrame(
+        [(1, 100.0, 11), (1, 5.0, 12)], "lk long, lts double, event long"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 7), (1, 99, 8), (1, 101, 9)], "rk long, rts long, rid long"
+    )
+    out = {
+        r["event"]: r["rid"]
+        for r in asof_join_latest(
+            left, right, "lk", "rk", "lts", "rts", "rid", "event"
+        ).collect()
+    }
+    assert out == {11: 8}  # event at t=100 -> latest right at 99; t=5 -> none
+
+
+def test_gram_chunking_is_value_identical(spark, monkeypatch):
+    """cosine_pairs_bucketed and semdedup must produce bit-identical
+    results when the Gram kernel is forced into many tiny column
+    chunks — chunking bounds memory, never changes values (the per-dim
+    accumulation order is per PAIR, independent of the chunk cut)."""
+    from ipes_data_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full_pairs = sorted(
+        tuple(r)
+        for r in S.cosine_pairs_bucketed(
+            emb, "vec_id", "embedding", (1, 9, 17, 25), 0.3
+        ).collect()
+    )
+    full_sem = sorted(
+        tuple(r)
+        for r in S.semdedup(emb, "vec_id", "embedding", threshold=0.3).collect()
+    )
+    monkeypatch.setattr(S, "_GRAM_CHUNK_CELLS", 64)  # force many chunks
+    chunked_pairs = sorted(
+        tuple(r)
+        for r in S.cosine_pairs_bucketed(
+            emb, "vec_id", "embedding", (1, 9, 17, 25), 0.3
+        ).collect()
+    )
+    chunked_sem = sorted(
+        tuple(r)
+        for r in S.semdedup(emb, "vec_id", "embedding", threshold=0.3).collect()
+    )
+    assert chunked_pairs == full_pairs
+    assert chunked_sem == full_sem
