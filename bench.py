@@ -88,6 +88,7 @@ HEADLINE = [
     "q146_curation_funnel",
     "q147_cluster_keeper_quality",
     "q148_dedup_impact_by_source",
+    "q149_snapshot_diff",
 ]
 
 

@@ -365,6 +365,43 @@ def q148(spark, sf):
     )
 
 
+@register(
+    "q149_snapshot_diff",
+    "governance: row-level snapshot diff — every doc key classified "
+    "added/removed/changed/unchanged between two table versions (old = "
+    "docs minus the %7 slice; new = docs with the %11 slice's text "
+    "rewritten): ONE full-outer key join + null-safe column compare, "
+    "the primitive behind incremental publishing audits",
+    """WITH old AS (
+         SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 0),
+       new AS (
+         SELECT doc_id, source,
+                CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+         FROM documents)
+       SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN o.source IS NOT DISTINCT FROM n.source
+                        AND o.text IS NOT DISTINCT FROM n.text
+                   THEN 'unchanged'
+                   ELSE 'changed' END AS change_type
+       FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id""",
+)
+def q149(spark, sf):
+    from ipes_data_pipeline_spark.operators.diff import snapshot_diff
+
+    docs = t(spark, sf, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0).select("doc_id", "source", "text")
+    new = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.upper("text")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_diff(old, new, ["doc_id"])
+
+
 def _q43_oracle() -> str:
     toks = SQL_TOKENS.format(c="text")
     bits = " || ".join(

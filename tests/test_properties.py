@@ -314,3 +314,31 @@ def test_gram_chunking_is_value_identical(spark, monkeypatch):
     )
     assert chunked_pairs == full_pairs
     assert chunked_sem == full_sem
+
+
+def test_snapshot_diff_classifies_with_null_safety(spark):
+    """added/removed/changed/unchanged, with NULL-SAFE compares: NULL vs
+    NULL is unchanged, NULL vs value is a change (plain = would call
+    both 'unchanged' through three-valued logic)."""
+    from ipes_data_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, None), (5, "e")],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (4, "d"), (6, "f")],
+        "k long, v string",
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",  # NULL vs NULL
+        4: "changed",  # NULL vs value
+        5: "removed",
+        6: "added",
+    }
