@@ -342,3 +342,57 @@ def test_snapshot_diff_classifies_with_null_safety(spark):
         5: "removed",
         6: "added",
     }
+
+
+def test_asof_join_matches_naive_reference_on_random_data(spark):
+    """The union-stream as-of plan must equal the naive range-join +
+    argmax reference on seeded random data with duplicate timestamps,
+    NULLs, keys with no matches, and ties — the full semantic surface."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W2
+
+    from ipes_data_pipeline_spark.operators.sessionize import asof_join_latest
+
+    rng = random.Random(1234)
+    left_rows = [
+        (
+            rng.randint(1, 8),  # key
+            rng.choice([None] + list(range(0, 50))),  # ts (epoch-style)
+            i,  # event id
+        )
+        for i in range(200)
+    ]
+    right_rows = [
+        (
+            rng.randint(1, 10),
+            rng.choice([None] + list(range(0, 50))),
+            1000 + i,
+        )
+        for i in range(150)
+    ]
+    left = spark.createDataFrame(left_rows, "lk long, lts long, event long")
+    right = spark.createDataFrame(right_rows, "rk long, rts long, rid long")
+
+    got = {
+        (r["event"], r["rid"])
+        for r in asof_join_latest(
+            left, right, "lk", "rk", "lts", "rts", "rid", "event"
+        ).collect()
+    }
+
+    # naive reference: range join + per-left-row argmax
+    j = left.join(
+        right,
+        (F.col("lk") == F.col("rk")) & (F.col("rts") <= F.col("lts")),
+        "inner",
+    )
+    w = W2.partitionBy("event").orderBy(F.desc("rts"), F.desc("rid"))
+    expected = {
+        (r["event"], r["rid"])
+        for r in j.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert got == expected
