@@ -89,6 +89,7 @@ HEADLINE = [
     "q147_cluster_keeper_quality",
     "q148_dedup_impact_by_source",
     "q149_snapshot_diff",
+    "q150_scd2_merge",
 ]
 
 

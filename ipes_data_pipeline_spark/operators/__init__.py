@@ -63,6 +63,7 @@ from ipes_data_pipeline_spark.operators.rangejoin import (  # noqa: F401
 )
 from ipes_data_pipeline_spark.operators.topk import grouped_topk  # noqa: F401
 from ipes_data_pipeline_spark.operators.upsert import (  # noqa: F401
+    scd2_merge,
     upsert_partitioned,
 )
 from ipes_data_pipeline_spark.operators.skew import (  # noqa: F401

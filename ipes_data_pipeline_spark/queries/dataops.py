@@ -402,6 +402,72 @@ def q149(spark, sf):
     return snapshot_diff(old, new, ["doc_id"])
 
 
+@register(
+    "q150_scd2_merge",
+    "governance: SCD type-2 history-keeping merge — v1 = every customer "
+    "at ts 10; the update batch moves the %10 slice to segment 'MOVED' "
+    "at ts 20 and adds shifted-key customers for the %97 slice; changed "
+    "keys close their open version and append, identical payloads "
+    "no-op, history is never rewritten (one current-vs-batch key join, "
+    "cost scales with |current|+|batch|, not history depth)",
+    """WITH v1 AS (
+         SELECT c_custkey AS k, c_mktsegment AS seg,
+                CAST(10 AS BIGINT) AS valid_from,
+                CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+         FROM customer),
+       upd AS (
+         SELECT c_custkey AS k, 'MOVED' AS seg, CAST(20 AS BIGINT) AS ts
+         FROM customer WHERE c_custkey % 10 = 0
+         UNION ALL
+         SELECT c_custkey + 10000000 AS k, c_mktsegment AS seg,
+                CAST(20 AS BIGINT) AS ts
+         FROM customer WHERE c_custkey % 97 = 0),
+       changed AS (
+         SELECT v1.k FROM v1 JOIN upd ON v1.k = upd.k
+         WHERE v1.seg IS DISTINCT FROM upd.seg)
+       SELECT v1.k, v1.seg, v1.valid_from,
+              CASE WHEN changed.k IS NOT NULL THEN CAST(20 AS BIGINT) END
+                AS valid_to,
+              changed.k IS NULL AS is_current
+       FROM v1 LEFT JOIN changed ON v1.k = changed.k
+       UNION ALL
+       SELECT upd.k, upd.seg, upd.ts AS valid_from,
+              CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+       FROM upd LEFT JOIN v1 ON v1.k = upd.k
+       WHERE v1.k IS NULL OR v1.seg IS DISTINCT FROM upd.seg""",
+)
+def q150(spark, sf):
+    from ipes_data_pipeline_spark.operators.upsert import scd2_merge
+
+    cust = t(spark, sf, "customer")
+    v1 = scd2_merge(
+        None,
+        cust.select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            F.lit(10).cast("bigint").alias("ts"),
+        ),
+        ["k"],
+        "ts",
+    )
+    upd = (
+        cust.where(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.lit("MOVED").alias("seg"),
+            F.lit(20).cast("bigint").alias("ts"),
+        )
+        .unionAll(
+            cust.where(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("k"),
+                F.col("c_mktsegment").alias("seg"),
+                F.lit(20).cast("bigint").alias("ts"),
+            )
+        )
+    )
+    return scd2_merge(v1, upd, ["k"], "ts")
+
+
 def _q43_oracle() -> str:
     toks = SQL_TOKENS.format(c="text")
     bits = " || ".join(

@@ -62,3 +62,47 @@ def test_upsert_partitioned(spark, tmp_path):
     # idempotence: re-running the same upsert converges
     upsert_partitioned(spark, target, updates, ["k"], "part")
     assert _rows(spark, target)[(2, "a")] == "new2"
+
+
+def test_scd2_merge_versions_history(spark):
+    """SCD-2 rules: init from first batch; changed payload closes the
+    open version at the update ts and appends a new current one;
+    identical payload is a no-op; unknown keys insert; closed history
+    is never touched by later merges."""
+    from ipes_data_pipeline_spark.operators.upsert import scd2_merge
+
+    b1 = spark.createDataFrame(
+        [(1, "bronze", 10), (2, "silver", 10)], "k long, tier string, ts long"
+    )
+    t1 = scd2_merge(None, b1, ["k"], "ts")
+    assert {
+        (r["k"], r["tier"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in t1.collect()
+    } == {(1, "bronze", 10, None, True), (2, "silver", 10, None, True)}
+
+    b2 = spark.createDataFrame(
+        [(1, "gold", 20), (2, "silver", 20), (3, "bronze", 20)],
+        "k long, tier string, ts long",
+    )
+    t2 = scd2_merge(t1, b2, ["k"], "ts")
+    rows = {
+        (r["k"], r["tier"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in t2.collect()
+    }
+    assert rows == {
+        (1, "bronze", 10, 20, False),  # closed at the update ts
+        (1, "gold", 20, None, True),  # new current version
+        (2, "silver", 10, None, True),  # identical payload: no-op
+        (3, "bronze", 20, None, True),  # new key
+    }
+
+    # third merge: history row for k=1 must pass through untouched
+    b3 = spark.createDataFrame([(3, "gold", 30)], "k long, tier string, ts long")
+    t3 = scd2_merge(t2, b3, ["k"], "ts")
+    rows3 = {
+        (r["k"], r["tier"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in t3.collect()
+    }
+    assert (1, "bronze", 10, 20, False) in rows3
+    assert (3, "bronze", 20, 30, False) in rows3 and (3, "gold", 30, None, True) in rows3
+    assert len(rows3) == 5  # k1: hist+current, k2: current, k3: hist+current
