@@ -36,7 +36,7 @@ from ipes_data_pipeline_spark.operators.normalize import (  # noqa: F401
     normalize_name,
     sanitize_filename,
 )
-from ipes_data_pipeline_spark.operators.diff import snapshot_diff
+from ipes_data_pipeline_spark.operators.diff import snapshot_diff  # noqa: F401
 from ipes_data_pipeline_spark.operators.sessionize import (  # noqa: F401
     asof_join_latest,
     sessionize,

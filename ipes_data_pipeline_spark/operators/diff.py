@@ -11,8 +11,20 @@ history (each diff touches exactly two snapshots).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def eq_all_null_safe(pairs: list[tuple[Column, Column]]) -> Column:
+    """Conjunction of NULL-SAFE equality over column pairs: NULL vs
+    NULL is equal, NULL vs value is not — the one definition both
+    :func:`snapshot_diff` and ``upsert.scd2_merge`` compare payloads
+    with (plain ``=`` would misreport both cases through three-valued
+    logic)."""
+    same = F.lit(True)
+    for a, b in pairs:
+        same = same & a.eqNullSafe(b)
+    return same
 
 
 def snapshot_diff(
@@ -45,9 +57,9 @@ def snapshot_diff(
     )
     cond = [F.col(f"__ko_{c}").eqNullSafe(F.col(f"__kn_{c}")) for c in key_cols]
     j = o.join(n, on=cond, how="full_outer")
-    same = F.lit(True)
-    for c in compare_cols:
-        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    same = eq_all_null_safe(
+        [(F.col(f"__o_{c}"), F.col(f"__n_{c}")) for c in compare_cols]
+    )
     change = (
         F.when(F.col("__in_old").isNull(), F.lit("added"))
         .when(F.col("__in_new").isNull(), F.lit("removed"))

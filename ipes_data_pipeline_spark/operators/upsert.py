@@ -38,83 +38,125 @@ def scd2_merge(
     initialize from the first batch). ``updates`` carries the key,
     payload, and ``ts_col`` (the new version's effective-from). Rules:
 
-    - unknown key → inserted as the current version
-      ``[ts, NULL)``;
-    - known key whose compared payload CHANGED (null-safe) → the open
+    - unknown key → inserted as the current version ``[ts, NULL)``;
+    - known key whose COMPARED payload changed (null-safe) → the open
       version closes at ``ts`` (``valid_to = ts``, ``is_current =
       false``) and a new current version is appended;
-    - known key with identical payload → no-op (no empty versions);
-    - closed history rows are never touched.
+    - known key with identical compared payload → no-op (no empty
+      versions);
+    - closed history rows pass through COMPLETELY untouched — every
+      payload column survives, whether compared or not.
 
-    ``compare_cols`` defaults to every update column that is neither a
-    key nor ``ts_col``. ``updates`` must have one row per key (dedupe
-    upstream — "latest per key" needs the caller's ordering rule).
+    ``compare_cols`` narrows only the CHANGE TEST (default: every
+    non-key, non-ts update column); ALL payload columns are always
+    carried, with the update's values winning on a new version.
+    Contracts enforced at execution time (``raise_error``, no extra
+    job): ``ts_col`` must be non-null, and an update's ts must not
+    precede the open version's ``valid_from`` (a late-arriving batch
+    would otherwise write inverted/overlapping intervals silently).
+    ``updates`` must have one row per key (dedupe upstream — "latest
+    per key" needs the caller's ordering rule).
 
-    Scale shape: one key-keyed join of the CURRENT slice against the
-    batch (current is a fraction of the versioned table; history is
-    union-passthrough, never joined), then a union — cost scales with
-    |current| + |batch|, not with history depth. The physical write
-    composes with :func:`upsert_partitioned`'s dynamic-partition
-    pattern.
+    Scale shape: ONE key-keyed full-outer join of the CURRENT slice
+    against the batch (history is union-passthrough, never joined);
+    the per-row verdict fans out through a single array+explode, so
+    the join executes once — cost scales with |current| + |batch|,
+    not history depth. The physical write composes with
+    :func:`upsert_partitioned`'s dynamic-partition pattern.
     """
+    from ipes_data_pipeline_spark.operators.diff import eq_all_null_safe
+
+    payload_cols = [
+        c for c in updates.columns if c not in set(key_cols) | {ts_col}
+    ]
     if compare_cols is None:
-        compare_cols = [
-            c for c in updates.columns if c not in set(key_cols) | {ts_col}
-        ]
-    out_cols = [*key_cols, *compare_cols, "valid_from", "valid_to", "is_current"]
-    fresh = updates.select(
-        *key_cols,
-        *compare_cols,
-        F.col(ts_col).alias("valid_from"),
-        F.lit(None).cast(updates.schema[ts_col].dataType).alias("valid_to"),
-        F.lit(True).alias("is_current"),
+        compare_cols = payload_cols
+    bad = set(compare_cols) - set(payload_cols)
+    if bad:
+        raise ValueError(
+            f"compare_cols {sorted(bad)} are not payload columns of the "
+            f"update batch (payload = {payload_cols})"
+        )
+    out_cols = [*key_cols, *payload_cols, "valid_from", "valid_to", "is_current"]
+    ts_type = updates.schema[ts_col].dataType
+    checked_ts = F.when(
+        F.col(ts_col).isNotNull(), F.col(ts_col)
+    ).otherwise(
+        F.raise_error(F.lit(f"scd2_merge: {ts_col} must be non-null"))
+        .cast(ts_type)
     )
     if existing is None:
-        return fresh.select(*out_cols)
+        return updates.select(
+            *key_cols,
+            *payload_cols,
+            checked_ts.alias("valid_from"),
+            F.lit(None).cast(ts_type).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
     cur = existing.where(F.col("is_current"))
     hist = existing.where(~F.col("is_current"))
     u = updates.select(
         *[F.col(c).alias(f"__u_{c}") for c in key_cols],
-        *[F.col(c).alias(f"__u_{c}") for c in compare_cols],
-        F.col(ts_col).alias("__u_ts"),
+        *[F.col(c).alias(f"__u_{c}") for c in payload_cols],
+        checked_ts.alias("__u_ts"),
+        F.lit(True).alias("__in_upd"),  # presence marker: NOT a data col
     )
     cond = [F.col(c).eqNullSafe(F.col(f"__u_{c}")) for c in key_cols]
     j = cur.join(u, on=cond, how="full_outer")
-    same = F.lit(True)
-    for c in compare_cols:
-        same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    same = eq_all_null_safe(
+        [(F.col(c), F.col(f"__u_{c}")) for c in compare_cols]
+    )
     has_cur = F.col("is_current").isNotNull()
-    has_upd = F.col("__u_ts").isNotNull()
-    # current rows that survive unchanged (no update, or identical payload)
-    keep_cur = j.where(has_cur & (~has_upd | same)).select(*out_cols)
-    # current rows closed by a differing update
-    closed = (
-        j.where(has_cur & has_upd & ~same)
-        .select(
-            *key_cols,
-            *compare_cols,
-            "valid_from",
-            F.col("__u_ts").alias("valid_to"),
-            F.lit(False).alias("is_current"),
+    has_upd = F.col("__in_upd").isNotNull()
+    # the update's ts must not precede the version it closes
+    close_ts = F.when(
+        F.col("__u_ts") >= F.col("valid_from"), F.col("__u_ts")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("scd2_merge: update ts precedes open valid_from for key "),
+                F.concat_ws(",", *[F.col(f"__u_{c}").cast("string") for c in key_cols]),
+            )
+        ).cast(ts_type)
+    )
+
+    def vrow(keys, payload, vf, vt, cur_flag):
+        return F.struct(
+            *[k.alias(c) for c, k in zip(key_cols, keys)],
+            *[p.alias(c) for c, p in zip(payload_cols, payload)],
+            vf.alias("valid_from"),
+            vt.alias("valid_to"),
+            cur_flag.alias("is_current"),
         )
+
+    cur_row = vrow(
+        [F.col(c) for c in key_cols],
+        [F.col(c) for c in payload_cols],
+        F.col("valid_from"),
+        F.col("valid_to"),
+        F.lit(True),
     )
-    # new versions: unknown key, or differing payload
-    opened = (
-        j.where(has_upd & (~has_cur | ~same))
-        .select(
-            *[F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c) for c in key_cols],
-            *[F.col(f"__u_{c}").alias(c) for c in compare_cols],
-            F.col("__u_ts").alias("valid_from"),
-            F.lit(None).cast(updates.schema[ts_col].dataType).alias("valid_to"),
-            F.lit(True).alias("is_current"),
-        )
+    closed_row = vrow(
+        [F.col(c) for c in key_cols],
+        [F.col(c) for c in payload_cols],
+        F.col("valid_from"),
+        close_ts,
+        F.lit(False),
     )
-    return (
-        hist.select(*out_cols)
-        .unionByName(keep_cur)
-        .unionByName(closed)
-        .unionByName(opened)
+    new_row = vrow(
+        [F.coalesce(F.col(f"__u_{c}"), F.col(c)) for c in key_cols],
+        [F.col(f"__u_{c}") for c in payload_cols],
+        F.col("__u_ts"),
+        F.lit(None).cast(ts_type),
+        F.lit(True),
     )
+    fanout = (
+        F.when(has_cur & (~has_upd | same), F.array(cur_row))
+        .when(has_cur & has_upd & ~same, F.array(closed_row, new_row))
+        .otherwise(F.array(new_row))  # update-only side: insert
+    )
+    merged = j.select(F.explode(fanout).alias("__v")).select("__v.*")
+    return hist.select(*out_cols).unionByName(merged.select(*out_cols))
 
 
 def upsert_partitioned(

@@ -406,7 +406,7 @@ def q149(spark, sf):
     "q150_scd2_merge",
     "governance: SCD type-2 history-keeping merge — v1 = every customer "
     "at ts 10; the update batch moves the %10 slice to segment 'MOVED' "
-    "at ts 20 and adds shifted-key customers for the %97 slice; changed "
+    "at ts 20 and adds -(key+1) customers for the %97 slice (strictly negative ids cannot collide with real keys at ANY scale factor); changed "
     "keys close their open version and append, identical payloads "
     "no-op, history is never rewritten (one current-vs-batch key join, "
     "cost scales with |current|+|batch|, not history depth)",
@@ -419,7 +419,7 @@ def q149(spark, sf):
          SELECT c_custkey AS k, 'MOVED' AS seg, CAST(20 AS BIGINT) AS ts
          FROM customer WHERE c_custkey % 10 = 0
          UNION ALL
-         SELECT c_custkey + 10000000 AS k, c_mktsegment AS seg,
+         SELECT -(c_custkey + 1) AS k, c_mktsegment AS seg,
                 CAST(20 AS BIGINT) AS ts
          FROM customer WHERE c_custkey % 97 = 0),
        changed AS (
@@ -459,7 +459,7 @@ def q150(spark, sf):
         )
         .unionAll(
             cust.where(F.col("c_custkey") % 97 == 0).select(
-                (F.col("c_custkey") + 10000000).alias("k"),
+                (-(F.col("c_custkey") + 1)).alias("k"),
                 F.col("c_mktsegment").alias("seg"),
                 F.lit(20).cast("bigint").alias("ts"),
             )

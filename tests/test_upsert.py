@@ -106,3 +106,58 @@ def test_scd2_merge_versions_history(spark):
     assert (1, "bronze", 10, 20, False) in rows3
     assert (3, "bronze", 20, 30, False) in rows3 and (3, "gold", 30, None, True) in rows3
     assert len(rows3) == 5  # k1: hist+current, k2: current, k3: hist+current
+
+
+def test_scd2_merge_carries_uncompared_payload_and_guards(spark):
+    """compare_cols narrows only the CHANGE TEST: uncompared payload
+    columns survive on every branch (history included); NULL update ts
+    and a ts preceding the open valid_from raise at execution time
+    instead of writing silent garbage."""
+    import pytest
+
+    from ipes_data_pipeline_spark.operators.upsert import scd2_merge
+
+    b1 = spark.createDataFrame(
+        [(1, "bronze", "eu", 10)], "k long, tier string, region string, ts long"
+    )
+    t1 = scd2_merge(None, b1, ["k"], "ts")
+    # tier changes (compared); region differs too but is NOT compared —
+    # it must still be carried: old value on the closed row, new value
+    # on the new version
+    b2 = spark.createDataFrame(
+        [(1, "gold", "us", 20)], "k long, tier string, region string, ts long"
+    )
+    t2 = scd2_merge(t1, b2, ["k"], "ts", compare_cols=["tier"])
+    rows = {
+        (r["k"], r["tier"], r["region"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in t2.collect()
+    }
+    assert rows == {
+        (1, "bronze", "eu", 10, 20, False),
+        (1, "gold", "us", 20, None, True),
+    }
+    # region-only change with compare_cols=["tier"]: no-op, and the
+    # surviving current row keeps its ORIGINAL region
+    b3 = spark.createDataFrame(
+        [(1, "gold", "jp", 30)], "k long, tier string, region string, ts long"
+    )
+    t3 = scd2_merge(t2, b3, ["k"], "ts", compare_cols=["tier"])
+    assert (1, "gold", "us", 20, None, True) in {
+        (r["k"], r["tier"], r["region"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in t3.collect()
+    }
+    # unknown compare column is a driver-side error
+    with pytest.raises(ValueError, match="not payload columns"):
+        scd2_merge(t2, b3, ["k"], "ts", compare_cols=["nope"])
+    # NULL ts raises at execution time
+    null_ts = spark.createDataFrame(
+        [(1, "x", "eu", None)], "k long, tier string, region string, ts long"
+    )
+    with pytest.raises(Exception, match="must be non-null"):
+        scd2_merge(t2, null_ts, ["k"], "ts").collect()
+    # late-arriving ts (before the open valid_from) raises
+    late = spark.createDataFrame(
+        [(1, "late", "eu", 5)], "k long, tier string, region string, ts long"
+    )
+    with pytest.raises(Exception, match="precedes open valid_from"):
+        scd2_merge(t2, late, ["k"], "ts").collect()
