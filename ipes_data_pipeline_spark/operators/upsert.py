@@ -178,10 +178,19 @@ def upsert_partitioned(
     a key→partition index, out of scope here).
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.parquet(target_path)
         have_table = True
-    except Exception:
+    except AnalysisException as e:
+        # ONLY path-not-found means "first use". A transient read failure
+        # (storage throttling, momentary FS error) must propagate: treating
+        # it as an empty table would dynamic-overwrite the touched
+        # partitions with just the batch rows — silent data loss.
+        cond = getattr(e, "getCondition", e.getErrorClass)() or ""
+        if "PATH_NOT_FOUND" not in cond + str(e):
+            raise
         have_table = False
 
     if have_table:

@@ -24,10 +24,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from ipes_data_pipeline_spark.operators.enrich import ENRICH_COLS
 from ipes_data_pipeline_spark.pipeline.bronze import flatten_filings
 from ipes_data_pipeline_spark.pipeline.gold import build_gold, read_cache
 from ipes_data_pipeline_spark.pipeline.silver import structure
 from ipes_data_pipeline_spark.schemas import RAW_FILING_NESTED
+
+
+def _successful_cache_rows(new_cache_rows: DataFrame) -> DataFrame:
+    """Only SUCCESSFUL enrichments may enter the cache table: a backend
+    failure yields an all-null enrichment row, and appending it would
+    (a) leave the name a permanent cache miss that re-pays the backend
+    AND re-appends every batch, and (b) fan out every later cache join
+    with duplicate rows per name — in the upsert variant that writes
+    duplicate gold ids forever. Failed names stay uncached and retry on
+    the next batch."""
+    any_value = F.coalesce(
+        *[F.col(c).cast("string") for c in ENRICH_COLS]
+    ).isNotNull()
+    return new_cache_rows.where(any_value)
 
 
 def stream_bronze(
@@ -92,15 +109,23 @@ def stream_gold_enrichment(
     cache table, enrich only misses, append new cache rows, upsert gold.
     The cache read happens inside the batch fn so batch N+1 sees batch
     N's appends (a stream-static join would snapshot the cache at query
-    start and never observe growth).
+    start and never observe growth). ``spark`` is accepted for signature
+    symmetry with the other stream builders; the batch fn deliberately
+    uses the MICRO-BATCH's own session.
     """
 
     def enrich_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         cache = read_cache(s, cache_dir)
         out = build_gold(batch_df, filings, cache, backend=backend)
-        out.new_cache_rows.coalesce(1).write.mode("append").parquet(cache_dir)
+        _successful_cache_rows(out.new_cache_rows).coalesce(1).write.mode(
+            "append"
+        ).parquet(cache_dir)
         out.enriched.write.mode("append").parquet(gold_dir)
+        # enrich_with_cache persists the fresh-enrichment frame so both
+        # writes above share one backend pass; release it or thousands
+        # of micro-batches accumulate dead cached partitions
+        out.new_cache_rows.unpersist()
 
     writer = (
         companies_stream.writeStream.foreachBatch(enrich_batch)
@@ -131,21 +156,25 @@ def stream_gold_upsert(
     so gold converges to one row per company no matter how batches
     replay. Gold is partitioned by the first hex char of the key
     (16 stable buckets): an upsert rewrites only the buckets its batch
-    touches, and the bucket of a key never changes.
+    touches, and the bucket of a key never changes. NOTE: the bucket
+    rides along as an ``id_bucket`` column when reading this gold table
+    (partition columns surface in the schema) — readers wanting the
+    append-variant's exact schema drop it.
     """
-    from pyspark.sql import functions as F
-
     from ipes_data_pipeline_spark.operators.upsert import upsert_partitioned
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         cache = read_cache(s, cache_dir)
         out = build_gold(batch_df, filings, cache, backend=backend)
-        out.new_cache_rows.coalesce(1).write.mode("append").parquet(cache_dir)
+        _successful_cache_rows(out.new_cache_rows).coalesce(1).write.mode(
+            "append"
+        ).parquet(cache_dir)
         enriched = out.enriched.withColumn(
             "id_bucket", F.substring("id", 1, 1)
         )
         upsert_partitioned(s, gold_dir, enriched, ["id"], "id_bucket")
+        out.new_cache_rows.unpersist()  # see enrich_batch
 
     writer = (
         companies_stream.writeStream.foreachBatch(upsert_batch)

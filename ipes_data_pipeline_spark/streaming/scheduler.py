@@ -44,7 +44,14 @@ def scheduled_bronze(
 ):
     """Bronze ingestion on a processing-time cadence: every tick ingests
     whatever landed since the last, exactly-once via the checkpoint."""
-    raw = spark.readStream.schema(RAW_FILING_NESTED).json(raw_dir)
+    # the same backlog valve stream_bronze carries: after an outage the
+    # first tick would otherwise ingest the ENTIRE landing dir as one
+    # unbounded micro-batch
+    raw = (
+        spark.readStream.schema(RAW_FILING_NESTED)
+        .option("maxFilesPerTrigger", 1024)
+        .json(raw_dir)
+    )
     return (
         flatten_filings(raw)
         .writeStream.format("parquet")
@@ -72,6 +79,14 @@ def run_with_config(
     carries source progress, so no file is reprocessed or lost. Returns
     the number of restarts (for tests/observability). Bounded runs use
     ``max_runtime_seconds``; production passes None and runs forever.
+
+    Robustness contracts (reference poll-loop semantics): a malformed,
+    mid-write, or briefly-missing config file keeps the LAST-GOOD
+    schedule instead of crashing the scheduler; only a change to
+    ``interval_seconds`` itself restarts the query (unrelated config
+    keys don't cold-restart ingestion); and a DEAD query is detected on
+    every poll — its exception propagates instead of the loop sleeping
+    forever while ingesting nothing.
     """
     current = load_schedule(config_path)
     query = scheduled_bronze(
@@ -85,21 +100,31 @@ def run_with_config(
             time.monotonic() - t0 < max_runtime_seconds
         ):
             time.sleep(poll_seconds)
-            new_mtime = os.path.getmtime(config_path)
-            if new_mtime != mtime:
+            if not query.isActive:
+                exc = query.exception()
+                if exc is not None:
+                    raise exc  # surface the failure, don't sleep forever
+                break  # stopped cleanly from outside
+            try:
+                new_mtime = os.path.getmtime(config_path)
+                if new_mtime == mtime:
+                    continue
                 mtime = new_mtime
                 new = load_schedule(config_path)
-                if new != current:
-                    current = new
-                    query.stop()
-                    query = scheduled_bronze(
-                        spark,
-                        raw_dir,
-                        bronze_dir,
-                        checkpoint_dir,
-                        current["interval_seconds"],
-                    )
-                    restarts += 1
+                interval = int(new["interval_seconds"])
+            except (OSError, ValueError, KeyError, TypeError, json.JSONDecodeError):
+                continue  # keep the last-good schedule
+            if interval != current["interval_seconds"]:
+                current = {"interval_seconds": interval}
+                query.stop()
+                query = scheduled_bronze(
+                    spark,
+                    raw_dir,
+                    bronze_dir,
+                    checkpoint_dir,
+                    interval,
+                )
+                restarts += 1
     finally:
         query.stop()
     return restarts

@@ -55,9 +55,15 @@ class ProgressCapture(StreamingQueryListener):
         pass
 
     def flush_history(self, spark: SparkSession, history_dir: str) -> None:
-        """Append captured progress to a Parquet history table."""
+        """Append captured progress to a Parquet history table and DRAIN
+        the buffer — periodic flushes (the natural use of an append-mode
+        history) must not rewrite already-flushed events, or history
+        totals inflate with duplicates. Snapshot-then-clear keeps events
+        arriving mid-flush for the next one; the buffer is only cleared
+        after the write succeeds (a failed flush retries the batch)."""
         if not self.events:
             return
+        snapshot = self.events[: len(self.events)]
         spark.createDataFrame(
             [
                 (
@@ -68,8 +74,9 @@ class ProgressCapture(StreamingQueryListener):
                     int(e["batch_duration_ms"] or 0),
                     int(e["state_rows"]),
                 )
-                for e in self.events
+                for e in snapshot
             ],
             "query_id string, batch_id long, ts string, num_input_rows long, "
             "batch_duration_ms long, state_rows long",
         ).coalesce(1).write.mode("append").parquet(history_dir)
+        del self.events[: len(snapshot)]

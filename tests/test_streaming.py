@@ -223,3 +223,60 @@ def test_gold_upsert_converges(spark, tmp_path):
     assert gold2.count() == n
     assert gold2.select("id").distinct().count() == n
     assert gold2.filter(F.col("industry_segment").isNull()).count() == 0
+
+
+def test_failed_enrichment_never_poisons_cache(spark, tmp_path):
+    """A backend failure yields an all-null enrichment row; that row
+    must NOT enter the cache table — a cached failure would be a
+    permanent miss that re-pays the backend AND re-appends every batch,
+    and its duplicate cache rows would fan out every later join. The
+    failed name stays uncached and succeeds on the next run."""
+    import os
+
+    from ipes_data_pipeline_spark.pipeline.bronze import flatten_filings
+    from ipes_data_pipeline_spark.pipeline.silver import structure
+    from ipes_data_pipeline_spark.schemas import ENRICHMENT_CACHE, RAW_FILING_NESTED
+    from ipes_data_pipeline_spark.streaming.medallion import stream_gold_enrichment
+    from ipes_data_pipeline_spark.operators.enrich import DeterministicMockBackend
+    from tests.fixtures import RAW_FILINGS
+
+    star = structure(
+        flatten_filings(spark.createDataFrame(RAW_FILINGS, RAW_FILING_NESTED))
+    )
+    silver_dir = str(tmp_path / "companies")
+    star.companies.write.parquet(silver_dir)
+    star.filings.write.parquet(str(tmp_path / "filings"))
+    companies = spark.read.parquet(silver_dir)
+    filings = spark.read.parquet(str(tmp_path / "filings"))
+    victim = companies.select("normalized_name").first()[0]
+    mock = DeterministicMockBackend()
+
+    def flaky(name, dockets):
+        if name == victim:
+            raise RuntimeError("backend down for this name")
+        return mock(name, dockets)
+
+    cache_dir = str(tmp_path / "cache")
+    gold_dir = str(tmp_path / "gold")
+    comp_stream = spark.readStream.schema(companies.schema).parquet(silver_dir)
+    q = stream_gold_enrichment(
+        spark, comp_stream, filings, cache_dir, gold_dir,
+        str(tmp_path / "ck1"), backend=flaky,
+    )
+    q.awaitTermination(120)
+    cache = spark.read.schema(ENRICHMENT_CACHE).parquet(cache_dir)
+    n = companies.count()
+    assert cache.count() == n - 1  # the failed name is NOT cached
+    assert cache.where(f"normalized_name = '{victim}'").count() == 0
+
+    # next run (healthy backend): the victim is re-tried, cached ONCE,
+    # and no duplicate cache rows exist for anyone
+    comp_stream = spark.readStream.schema(companies.schema).parquet(silver_dir)
+    q = stream_gold_enrichment(
+        spark, comp_stream, filings, cache_dir, gold_dir,
+        str(tmp_path / "ck2"), backend=mock,
+    )
+    q.awaitTermination(120)
+    cache = spark.read.schema(ENRICHMENT_CACHE).parquet(cache_dir)
+    assert cache.count() == n
+    assert cache.select("normalized_name").distinct().count() == n

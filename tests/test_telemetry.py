@@ -33,11 +33,17 @@ def test_progress_capture(spark, tmp_path):
         assert sum(e["num_input_rows"] for e in cap.events) == len(RAW_FILINGS)
 
         hist_dir = str(tmp_path / "history")
+        n_events = len(cap.events)
         cap.flush_history(spark, hist_dir)
         hist = spark.read.parquet(hist_dir)
-        assert hist.count() == len(cap.events)
+        assert hist.count() == n_events
         assert hist.groupBy().sum("num_input_rows").collect()[0][0] == len(
             RAW_FILINGS
         )
+        # flush DRAINS: the buffer is empty and a repeat flush appends
+        # nothing — periodic flushing must not duplicate history rows
+        assert cap.events == []
+        cap.flush_history(spark, hist_dir)
+        assert spark.read.parquet(hist_dir).count() == n_events
     finally:
         spark.streams.removeListener(cap)
