@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ipes_data_pipeline_spark.operators.enrich import TokenBucket
+from ipes_data_pipeline_spark.operators.util import cut
 
 #: transport(url) -> bytes; raise for fetch failure
 FetchFn = Callable[[str], bytes]
@@ -55,15 +56,19 @@ class HttpFetcher:
     def __call__(self, url: str) -> bytes:
         import urllib.request
 
-        err: Exception | None = None
-        for attempt in range(self.max_retries):
+        attempts = max(1, self.max_retries)  # 0 would raise None below
+        for attempt in range(attempts):
             try:
                 with urllib.request.urlopen(url, timeout=self.timeout_s) as resp:
                     return resp.read()
-            except Exception as e:  # noqa: BLE001 — retry any transport error
-                err = e
+            except Exception:  # noqa: BLE001 — retry any transport error
+                if attempt + 1 >= attempts:
+                    raise
+                # back off only BETWEEN attempts — a sleep after the
+                # final failure is dead time every FallbackFetcher doc
+                # would pay before the fallback even starts
                 time.sleep(self.backoff_s * (2**attempt))
-        raise err
+        raise AssertionError("unreachable")
 
 @dataclass
 class SessionFetcher:
@@ -113,21 +118,23 @@ class SessionFetcher:
         return state
 
     def __call__(self, url: str) -> bytes:
-        err: Exception | None = None
-        for attempt in range(self.max_retries):
+        attempts = max(1, self.max_retries)  # 0 would raise None below
+        for attempt in range(attempts):
             try:
                 with self._opener().open(url, timeout=self.timeout_s) as resp:
                     return resp.read()
-            except Exception as e:  # noqa: BLE001 — retry any transport error
-                err = e
+            except Exception:  # noqa: BLE001 — retry any transport error
+                if attempt + 1 >= attempts:
+                    raise
                 # drop the cached opener so the NEXT attempt re-visits
                 # the landing page with a fresh jar: a session cookie
                 # that expired (or was invalidated after N requests)
                 # mid-partition would otherwise 403 every remaining
-                # document through every retry
+                # document through every retry (only between attempts —
+                # the final failure keeps the opener and raises at once)
                 self._op = None
                 time.sleep(self.backoff_s * (2**attempt))
-        raise err
+        raise AssertionError("unreachable")
 
 
 @dataclass
@@ -203,7 +210,10 @@ def download_documents(
     work = queue.select(rewrite_doc_url("url").alias("url"), "file_stem")
     if manifest is not None:
         work = pending_work(work, manifest)
-    work = work.dropDuplicates(["url"])
+    # deterministic keeper: the same url queued under two stems must
+    # write the SAME filename every run (dropDuplicates picks whichever
+    # row arrives first — run-dependent paths break stem-derived joins)
+    work = work.groupBy("url").agg(F.min("file_stem").alias("file_stem"))
     if n_partitions:
         work = work.repartition(n_partitions)
 
@@ -249,7 +259,11 @@ def download_documents(
                 rows, columns=["url", "path", "n_bytes", "content_type", "ok"]
             )
 
-    return work.mapInPandas(run, schema=MANIFEST_SCHEMA_DDL)
+    # EAGER: fetching is a side effect — a lazy return would re-download
+    # every document on every action over the manifest (count + write =
+    # two full passes of network egress). The cut runs the downloads
+    # exactly once and hands back the materialized manifest.
+    return cut(work.mapInPandas(run, schema=MANIFEST_SCHEMA_DDL))
 
 
 def read_documents(spark, doc_dir: str) -> DataFrame:

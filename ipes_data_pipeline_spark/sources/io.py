@@ -107,14 +107,21 @@ def write_sized_shards(
     (sortWithinPartitions — no extra exchange) so min/max column stats
     stay tight for data-skipping readers.
     """
-    n_rows = df.count()
-    n_shards = max(1, -(-n_rows // max(1, target_rows_per_file)))
-    out = df.repartition(n_shards)
-    if sort_within_by:
-        out = out.sortWithinPartitions(*sort_within_by)
-    (
-        out.write.mode("overwrite")
-        .option("maxRecordsPerFile", target_rows_per_file)
-        .parquet(path)
-    )
+    # persist across the two actions: count() executes the full upstream
+    # plan and the write would execute it AGAIN from scratch — on a
+    # multi-join input that doubles the job
+    df = df.persist()
+    try:
+        n_rows = df.count()
+        n_shards = max(1, -(-n_rows // max(1, target_rows_per_file)))
+        out = df.repartition(n_shards)
+        if sort_within_by:
+            out = out.sortWithinPartitions(*sort_within_by)
+        (
+            out.write.mode("overwrite")
+            .option("maxRecordsPerFile", target_rows_per_file)
+            .parquet(path)
+        )
+    finally:
+        df.unpersist()
     return n_shards

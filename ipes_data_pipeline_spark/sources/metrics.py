@@ -44,7 +44,13 @@ def record_run(
     """Append one run record to the metrics table."""
     import datetime as dt
 
-    ts = dt.datetime.utcfromtimestamp(run_ts if run_ts is not None else time.time())
+    # tz-AWARE UTC: a naive datetime is reinterpreted in the session
+    # timezone at write (and utcfromtimestamp is deprecated) — the
+    # stored instant would shift by the tz offset on any session whose
+    # tz isn't UTC
+    ts = dt.datetime.fromtimestamp(
+        run_ts if run_ts is not None else time.time(), tz=dt.timezone.utc
+    )
     row = [
         (
             ts,

@@ -84,17 +84,23 @@ class HttpTransport:
         import urllib.request
 
         qs = urllib.parse.urlencode({"q": query, "limit": limit, "offset": offset})
-        url = f"{self.base_url}?{qs}"
-        err: Exception | None = None
-        for attempt in range(self.max_retries):
+        # '&' when the base already carries a query string — "base?key=v?q=…"
+        # would make the server parse key as "v?q=…" and ignore pagination
+        sep = "&" if "?" in self.base_url else "?"
+        url = f"{self.base_url}{sep}{qs}"
+        attempts = max(1, self.max_retries)  # 0 would raise None below
+        for attempt in range(attempts):
             try:
                 with urllib.request.urlopen(url, timeout=self.timeout_s) as resp:
                     payload = json.loads(resp.read().decode("utf-8"))
                 return payload.get("records", []), int(payload.get("total", 0))
             except Exception as e:  # noqa: BLE001 — retry any transport error
-                err = e
+                if attempt + 1 >= attempts:
+                    raise
+                # back off only BETWEEN attempts — sleeping after the
+                # final failure just delays the raise
                 time.sleep(self.backoff_s * (2**attempt))
-        raise err
+        raise AssertionError("unreachable")
 
 
 def materialize_pages(
@@ -177,7 +183,12 @@ def read_federated(
         for i, q in enumerate(queries)
     ]
     unioned = reduce(DataFrame.unionByName, scans)
-    w = Window.partitionBy(dedup_key).orderBy("_query_rank")
+    # tiebreak BEYOND the query rank: the same key can appear twice
+    # within one query (record updated between page fetches, overlapping
+    # pages) — without a total order, row_number picks a run-dependent
+    # winner. Ordering by the remaining payload columns pins it.
+    payload_order = [c for c in unioned.columns if c not in (dedup_key, "_query_rank")]
+    w = Window.partitionBy(dedup_key).orderBy("_query_rank", *payload_order)
     return (
         unioned.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
+from ipes_data_pipeline_spark.operators.enrich import TokenBucket
 from ipes_data_pipeline_spark.sources.rest import HttpTransport
 
 
@@ -54,6 +55,12 @@ class RestDataSourceReader(DataSourceReader):
         )
         self.pages_per_task = int(options.get("pages_per_task", "1"))
         self.backoff_s = float(options.get("backoff_s", "0.5"))
+        # politeness valve (parity with read_paginated): per-task token
+        # bucket; cluster-wide rate ≈ concurrent tasks × this rate —
+        # size to the API quota, or a large scan hammers the endpoint
+        self.requests_per_second = float(
+            options.get("requests_per_second", "0")
+        )
 
     def partitions(self) -> list[PageRange]:
         # one probe request on the driver learns the record count; the
@@ -76,12 +83,26 @@ class RestDataSourceReader(DataSourceReader):
         if partition is None or partition.start >= partition.end:
             return
         transport = HttpTransport(self.url, backoff_s=self.backoff_s)
+        bucket = (
+            TokenBucket(self.requests_per_second)
+            if self.requests_per_second > 0
+            else None
+        )
         offset = partition.start
         while offset < partition.end:
+            if bucket:
+                bucket.acquire()
             limit = min(self.page_size, partition.end - offset)
             records, _ = transport(self.query, limit, offset)
             if not records:
-                break
+                # a 200-with-empty-page inside a planned range is a SHORT
+                # read (server hiccup HttpTransport's retry never sees) —
+                # raising lets Spark task retry re-fetch the partition
+                # instead of silently returning a partial scan
+                raise RuntimeError(
+                    f"short read: empty page at offset {offset} inside "
+                    f"partition [{partition.start}, {partition.end})"
+                )
             for r in records:
                 yield tuple(r.get(f) for f in self.schema_fields)
             offset += len(records)
@@ -111,21 +132,17 @@ class RestStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:  # noqa: N802 (datasource API)
         return {"offset": 0}
 
-    def _fetch_range(self, start: int, end: int | None) -> Iterator[tuple]:
+    def _fetch_range(self, start: int, end: int) -> Iterator[tuple]:
         transport = HttpTransport(self.url, backoff_s=self.backoff_s)
         offset = start
-        while end is None or offset < end:
-            limit = self.page_size
-            if end is not None:
-                limit = min(limit, end - offset)
-            records, total = transport(self.query, limit, offset)
+        while offset < end:
+            limit = min(self.page_size, end - offset)
+            records, _ = transport(self.query, limit, offset)
             if not records:
-                break
+                break  # short read: read() commits the offset REACHED
             for r in records:
                 yield tuple(r.get(f) for f in self.fields)
             offset += len(records)
-            if end is None and offset >= total:
-                break
 
     def read(self, start: dict):
         transport = HttpTransport(self.url, backoff_s=self.backoff_s)
