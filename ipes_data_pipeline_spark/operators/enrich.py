@@ -158,6 +158,20 @@ def enrich_misses(
     return src.mapInPandas(run, schema=ENRICH_SCHEMA_DDL)
 
 
+def successful_cache_rows(new_cache_rows: DataFrame) -> DataFrame:
+    """Only SUCCESSFUL enrichments may enter the cache table: a backend
+    failure yields an all-null enrichment row, and appending it would
+    (a) leave the name a permanent cache miss that re-pays the backend
+    AND re-appends every run, and (b) fan out every later cache join
+    with duplicate rows per name — duplicate gold rows forever. Failed
+    names stay uncached and retry on the next run. Shared by the batch
+    driver (pipeline/run.py) and both streaming gold sinks."""
+    any_value = F.coalesce(
+        *[F.col(c).cast("string") for c in ENRICH_COLS]
+    ).isNotNull()
+    return new_cache_rows.where(any_value)
+
+
 @dataclass
 class EnrichmentOutput:
     enriched: DataFrame  # input columns + 5 enrichment columns

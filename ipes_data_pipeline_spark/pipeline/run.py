@@ -22,7 +22,9 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ipes_data_pipeline_spark.operators.enrich import successful_cache_rows
 from ipes_data_pipeline_spark.operators.validate import (
     company_constraints,
     validate,
@@ -39,7 +41,8 @@ from ipes_data_pipeline_spark.sources.metrics import record_run
 class PipelineResult:
     companies: DataFrame
     filings: DataFrame
-    gold: DataFrame
+    #: None when skip_gold=True and no previously-materialized gold exists
+    gold: DataFrame | None
     report: dict
     step_durations: dict[str, float] = field(default_factory=dict)
 
@@ -57,7 +60,19 @@ def run_pipeline(
 
     Layers land under ``out_root``: bronze/, silver/{companies,filings},
     gold/, enrichment_cache/, monitoring/.
+
+    ``backend=None`` enriches through the DeterministicMockBackend —
+    fine for tests/smoke runs, but the values are FABRICATED and they
+    enter the persistent enrichment cache; a warning is printed so a
+    production invocation can't do this silently. Pass a real backend
+    callable for real enrichment.
     """
+    if backend is None and not skip_gold:
+        print(
+            "run_pipeline: no enrichment backend configured — gold will be "
+            "enriched by DeterministicMockBackend (fabricated values, "
+            "cached persistently)"
+        )
     paths = {
         k: os.path.join(out_root, k)
         for k in ("bronze", "silver", "gold", "enrichment_cache", "monitoring")
@@ -91,7 +106,15 @@ def run_pipeline(
             checked.valid.write.mode("overwrite").parquet(
                 os.path.join(paths["silver"], "companies")
             )
-            star.filings.write.mode("overwrite").parquet(
+            # FK integrity: the fact table keeps only filings whose
+            # company row survived validation — a quarantined company
+            # must not leave orphan company_ids in silver/filings (the
+            # reference quarantines the whole record, filings included)
+            star.filings.join(
+                checked.valid.select(F.col("id").alias("company_id")),
+                "company_id",
+                "left_semi",
+            ).write.mode("overwrite").parquet(
                 os.path.join(paths["silver"], "filings")
             )
             report = validation_report(checked)
@@ -105,11 +128,27 @@ def run_pipeline(
                 cache = read_cache(spark, paths["enrichment_cache"])
                 out = build_gold(companies, filings, cache, backend=backend)
                 out.enriched.write.mode("overwrite").parquet(paths["gold"])
-                out.new_cache_rows.coalesce(1).write.mode("append").parquet(
-                    paths["enrichment_cache"]
-                )
+                # failed (all-null) rows must not poison the cache —
+                # same guard as the streaming sinks
+                successful_cache_rows(out.new_cache_rows).coalesce(1).write.mode(
+                    "append"
+                ).parquet(paths["enrichment_cache"])
+                # enrich_with_cache persists the fresh frame for the two
+                # writes above; release it (long-lived sessions calling
+                # run_pipeline repeatedly otherwise accumulate cached
+                # partitions)
+                out.new_cache_rows.unpersist()
 
-        gold = spark.read.parquet(paths["gold"])
+        if skip_gold:
+            # reuse a previously-materialized gold if one exists (the
+            # same contract as skip_bronze reusing bronze); a fresh lake
+            # simply has no gold yet — not an error
+            try:
+                gold = spark.read.parquet(paths["gold"])
+            except Exception:
+                gold = None
+        else:
+            gold = spark.read.parquet(paths["gold"])
         if stats:
             record_run(
                 spark,

@@ -34,10 +34,14 @@ def filter_relevant(flat: DataFrame) -> DataFrame:
     """C1 OR-of-contains relevance filter + C7 blank-name guard."""
     desc = F.lower(F.col("proceeding_description"))
     dockets_lower = F.transform(F.col("docket_numbers"), lambda d: F.lower(d))
+    # docket test is substring CONTAINMENT, like the reference's
+    # `"inbox-52.15" in docket` (structure_data.py:138) — exact element
+    # equality would drop filings whose docket merely contains the key
+    # ("INBOX-52.15(g)(3)", "INBOX-52.15-A")
     relevant = (
         desc.contains(RELEVANCE_TERMS[0])
         | desc.contains(RELEVANCE_TERMS[1])
-        | F.array_contains(dockets_lower, RELEVANCE_DOCKET)
+        | F.exists(dockets_lower, lambda d: d.contains(RELEVANCE_DOCKET))
     )
     return flat.filter(relevant & (F.length(F.trim(F.col("company_name"))) > 0))
 
@@ -120,8 +124,12 @@ def build_star(filings_flat: DataFrame, persist: bool = False) -> StarSchema:
     )
     # Final applicant gate (C5): company emitted only if it has an
     # application-type filing and is not an individual.
+    # classification input = the RAW representative name (max_by length),
+    # as the reference does (structure_data.py:218-222): suffixes like
+    # "Inc." are the strongest company signal and canonical_name has had
+    # them normalized away
     gated = (
-        per_entity.withColumn("entity_type", entity_type("canonical_name"))
+        per_entity.withColumn("entity_type", entity_type("entity_name"))
         .filter((F.col("_has_application") == 1) & (F.col("entity_type") == "Company"))
         .withColumn("id", deterministic_key("canonical_name"))
     )

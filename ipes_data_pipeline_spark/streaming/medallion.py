@@ -26,25 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from ipes_data_pipeline_spark.operators.enrich import ENRICH_COLS
+from ipes_data_pipeline_spark.operators.enrich import successful_cache_rows
 from ipes_data_pipeline_spark.pipeline.bronze import flatten_filings
 from ipes_data_pipeline_spark.pipeline.gold import build_gold, read_cache
 from ipes_data_pipeline_spark.pipeline.silver import structure
 from ipes_data_pipeline_spark.schemas import RAW_FILING_NESTED
 
-
-def _successful_cache_rows(new_cache_rows: DataFrame) -> DataFrame:
-    """Only SUCCESSFUL enrichments may enter the cache table: a backend
-    failure yields an all-null enrichment row, and appending it would
-    (a) leave the name a permanent cache miss that re-pays the backend
-    AND re-appends every batch, and (b) fan out every later cache join
-    with duplicate rows per name — in the upsert variant that writes
-    duplicate gold ids forever. Failed names stay uncached and retry on
-    the next batch."""
-    any_value = F.coalesce(
-        *[F.col(c).cast("string") for c in ENRICH_COLS]
-    ).isNotNull()
-    return new_cache_rows.where(any_value)
 
 
 def stream_bronze(
@@ -118,7 +105,7 @@ def stream_gold_enrichment(
         s = batch_df.sparkSession
         cache = read_cache(s, cache_dir)
         out = build_gold(batch_df, filings, cache, backend=backend)
-        _successful_cache_rows(out.new_cache_rows).coalesce(1).write.mode(
+        successful_cache_rows(out.new_cache_rows).coalesce(1).write.mode(
             "append"
         ).parquet(cache_dir)
         out.enriched.write.mode("append").parquet(gold_dir)
@@ -167,7 +154,7 @@ def stream_gold_upsert(
         s = batch_df.sparkSession
         cache = read_cache(s, cache_dir)
         out = build_gold(batch_df, filings, cache, backend=backend)
-        _successful_cache_rows(out.new_cache_rows).coalesce(1).write.mode(
+        successful_cache_rows(out.new_cache_rows).coalesce(1).write.mode(
             "append"
         ).parquet(cache_dir)
         enriched = out.enriched.withColumn(

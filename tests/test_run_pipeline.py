@@ -45,3 +45,30 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
     gold2 = {r["id"]: r for r in res2.gold.collect()}
     assert all(r["industry_segment"] is not None for r in gold2.values())
     assert run_history(spark, f"{out_root}/monitoring").count() == 2
+
+
+def test_skip_gold_on_fresh_lake_succeeds(spark, tmp_path):
+    """--skip-gold on a lake with no previously-materialized gold must
+    complete (gold=None), not crash after doing all the silver work —
+    and a later full run picks up from the same layers."""
+    import json
+    import os
+
+    from ipes_data_pipeline_spark.pipeline.run import run_pipeline
+    from tests.fixtures import RAW_FILINGS
+
+    raw_dir = tmp_path / "raw"
+    raw_dir.mkdir()
+    with open(raw_dir / "filings.jsonl", "w") as f:
+        for rec in RAW_FILINGS:
+            f.write(json.dumps(rec) + "\n")
+    out = str(tmp_path / "lake")
+    res = run_pipeline(spark, str(raw_dir), out, skip_gold=True, stats=False)
+    assert res.gold is None
+    assert res.companies.count() > 0
+    assert not os.path.exists(os.path.join(out, "gold"))
+    # follow-up full run completes and gold materializes
+    res2 = run_pipeline(
+        spark, str(raw_dir), out, skip_bronze=True, stats=False
+    )
+    assert res2.gold is not None and res2.gold.count() == res2.companies.count()
