@@ -105,6 +105,7 @@ def min_label_components(
     )
     if until_converged:
         labels = labels.localCheckpoint(eager=True)
+    converged = not until_converged  # fixed-unroll mode: bound is the contract
     for _ in range(iterations - 1):
         new_labels = (
             e_self.join(labels, e_self.dst == labels.node)
@@ -124,8 +125,20 @@ def min_label_components(
             )
             if changed == 0:
                 labels = new_labels
+                converged = True
                 break
         labels = new_labels
+    if not converged:
+        # until_converged promised the FIXPOINT: exhausting the bound
+        # without reaching it means some component's labels are still
+        # split — returning them silently would partially merge
+        # duplicates with no error (a 60-name chain, for example,
+        # outruns the default bound even after one contraction)
+        raise RuntimeError(
+            f"min_label_components(until_converged=True) did not converge "
+            f"within iterations={iterations}; raise the bound (component "
+            f"diameter exceeds it) or use the contracted form"
+        )
     return labels.select("node", F.col("lab").alias("canonical_id"))
 
 

@@ -188,8 +188,13 @@ def enrich_with_cache(
     """Memoized enrichment: cache hits bypass the backend entirely
     (left join); only misses (left-anti) pay the external call.
     """
-    hits = companies.join(F.broadcast(cache), "normalized_name", "left")
-    missing = hits.filter(F.col(ENRICH_COLS[0]).isNull()).select(
+    # miss detection via a PRESENCE marker, not a nullable payload
+    # column: a legitimately-cached record whose is_active is null would
+    # otherwise look like a miss every run — re-calling the backend and
+    # appending a duplicate cache row each time
+    marked = cache.withColumn("__cached", F.lit(True))
+    hits = companies.join(F.broadcast(marked), "normalized_name", "left")
+    missing = hits.filter(F.col("__cached").isNull()).select(
         "normalized_name",
         *( ["dockets"] if "dockets" in companies.columns else [] ),
     )

@@ -20,6 +20,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(cols, n_salts: int):
+    """Per-row salt in [0, n_salts): pmod of a row hash mixed with the
+    physical position. pmod, NOT abs(hash) % n — abs(Integer.MIN_VALUE)
+    overflows negative and such rows would carry a salt no exploded
+    replica matches (silently dropped from salted joins). The position
+    term (partition id + monotonically_increasing_id) spreads
+    byte-identical duplicate rows — the typical hot key in count
+    workloads — which a pure content hash would send to ONE salt,
+    rebuilding the exact bottleneck the salt exists to remove. Salts
+    only route rows; every result is salt-invariant, so the
+    position-dependence never reaches output values.
+    """
+    return F.pmod(
+        F.hash(*[F.col(c) for c in cols], F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    ).alias("_salt")
+
+
 def salted_count(
     df: DataFrame, key_cols: list[str], n_salts: int = 16
 ) -> DataFrame:
@@ -30,7 +48,7 @@ def salted_count(
     per key. Deterministic: the salt derives from a hash of the full
     row only for distribution, never for the result.
     """
-    salt = (F.abs(F.hash(*[F.col(c) for c in df.columns])) % n_salts).alias("_salt")
+    salt = _row_salt(df.columns, n_salts)
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")
@@ -44,7 +62,7 @@ def salted_count(
 def salted_sum(
     df: DataFrame, key_cols: list[str], value_col: str, n_salts: int = 16
 ) -> DataFrame:
-    salt = (F.abs(F.hash(*[F.col(c) for c in df.columns])) % n_salts).alias("_salt")
+    salt = _row_salt(df.columns, n_salts)
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")
@@ -67,10 +85,14 @@ def salted_broadcast_join(
     small side is replicated across all salts, so the hot key's rows
     join in ``n_salts`` parallel tasks instead of one.
     """
-    salt_col = (F.abs(F.hash(*[F.col(c) for c in big.columns])) % n_salts).alias(
-        "_salt"
-    )
-    salted_big = big.withColumn("_salt", salt_col)
+    if how not in ("inner", "left"):
+        # right/full outer would return every UNMATCHED small row once
+        # per salt replica (it exists in all n_salts copies and none
+        # join) — n_salts duplicates instead of one row
+        raise ValueError(
+            f"salted_broadcast_join supports how='inner'/'left', got {how!r}"
+        )
+    salted_big = big.withColumn("_salt", _row_salt(big.columns, n_salts))
     exploded_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

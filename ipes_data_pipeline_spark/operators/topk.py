@@ -31,8 +31,13 @@ def grouped_topk(
     """Exact top-k rows per group, ordered by ``order_col`` (desc by
     default) with ties broken by ascending ``tiebreak_col``."""
     cols = list(df.columns)
-    by = [order_col, tiebreak_col]
-    asc = [not descending, True]
+    # Spark's null ordering: desc() puts NULLS LAST, asc() NULLS FIRST.
+    # pandas sort_values has ONE na_position for all keys, so sort in
+    # two STABLE passes (tiebreak first, then order col) with the
+    # matching na_position each — a single-pass sort with pandas'
+    # default NaN-last would let the combiner drop a NULL row the exact
+    # window below ranks first.
+    na_order = "last" if descending else "first"
 
     def local_topk(batches):
         for pdf in batches:
@@ -41,11 +46,15 @@ def grouped_topk(
             # dropna=False: a NULL group key is a group like any other in
             # the exact window pass below; the pre-reduce must keep its
             # local top-k too or the combiner drops winners.
-            yield (
-                pdf.sort_values(by, ascending=asc)
-                .groupby(group_cols, sort=False, dropna=False)
-                .head(k)
+            ordered = pdf.sort_values(
+                tiebreak_col, ascending=True, na_position="first", kind="mergesort"
+            ).sort_values(
+                order_col,
+                ascending=not descending,
+                na_position=na_order,
+                kind="mergesort",
             )
+            yield ordered.groupby(group_cols, sort=False, dropna=False).head(k)
 
     pre = df.mapInPandas(local_topk, df.schema)
     order = [

@@ -42,10 +42,16 @@ def company_constraints() -> dict[str, Column]:
 def validate(
     df: DataFrame, constraints: dict[str, Column], name: str = "validation"
 ) -> ValidationResult:
+    # NULL-safe: a constraint evaluating to NULL (e.g. `col >= 0` on a
+    # NULL value) is a VIOLATION, not a pass — bare `~NULL` is NULL and
+    # F.when would silently classify the row valid, letting NULLs flow
+    # into columns the schema contract declares non-nullable
     violated = F.filter(
         F.array(
             *[
-                F.when(~cond, F.lit(cname)).otherwise(F.lit(None))
+                F.when(~F.coalesce(cond, F.lit(False)), F.lit(cname)).otherwise(
+                    F.lit(None)
+                )
                 for cname, cond in constraints.items()
             ]
         ),
@@ -63,9 +69,15 @@ def validate(
     )
 
 
-def validation_report(result: ValidationResult, sample_errors: int = 5) -> dict:
+def validation_report(
+    result: ValidationResult,
+    sample_errors: int = 5,
+    sample_col: str = "entity_name",
+) -> dict:
     """Metrics dict matching the reference's validation_stats record
-    (timestamp added by the telemetry sink).
+    (timestamp added by the telemetry sink). ``sample_col`` names the
+    column shown in error samples — validate() takes arbitrary
+    constraint sets, so the report must not assume the company schema.
 
     Self-contained: runs its own action on ``valid`` (which also
     populates the Observation). In the pipeline path the caller's write
@@ -74,7 +86,7 @@ def validation_report(result: ValidationResult, sample_errors: int = 5) -> dict:
     DataFrame.
     """
     quarantined = result.quarantine.select(
-        F.col("entity_name").alias("name"),
+        F.col(sample_col).alias("name"),
         F.array_join("violated_constraints", ", ").alias("error"),
     )
     samples = [r.asDict() for r in quarantined.limit(sample_errors).collect()]

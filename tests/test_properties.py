@@ -396,3 +396,42 @@ def test_asof_join_matches_naive_reference_on_random_data(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_grouped_topk_null_ordering_matches_window(spark):
+    """The pandas pre-reduce must use Spark's null ordering (desc =
+    NULLS LAST, asc = NULLS FIRST; tiebreak asc = NULLS FIRST) — a
+    NaN-always-last combiner would drop a NULL row the exact window
+    ranks first."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W2
+
+    from ipes_data_pipeline_spark.operators.topk import grouped_topk
+
+    rows = [
+        ("g", None, 5, 1),
+        ("g", 10, None, 2),
+        ("g", 10, 5, 3),
+        ("g", None, None, 4),
+        ("h", 1, 1, 5),
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, t long, id long")
+    for descending in (True, False):
+        got = {
+            tuple(r)
+            for r in grouped_topk(df, ["g"], "v", 2, "t", descending=descending)
+            .collect()
+        }
+        order = [
+            F.col("v").desc() if descending else F.col("v").asc(),
+            F.col("t").asc(),
+        ]
+        w = W2.partitionBy("g").orderBy(*order)
+        expected = {
+            tuple(r)
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .where("rn <= 2")
+            .drop("rn")
+            .collect()
+        }
+        assert got == expected, (descending, got, expected)
