@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ipes_data_pipeline_spark.operators.util import cut
+
 
 def candidate_pairs(
     df: DataFrame,
@@ -62,7 +64,7 @@ def candidate_pairs(
         # use, and the reverse direction derives lazily below as a narrow
         # projection over the checkpoint — half the materialized bytes of
         # checkpointing the doubled set.
-        .localCheckpoint(eager=True)
+        .transform(cut)
     )
     return half.unionAll(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
@@ -104,7 +106,7 @@ def min_label_components(
         F.min("dst").alias("lab")
     )
     if until_converged:
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.transform(cut)
     converged = not until_converged  # fixed-unroll mode: bound is the contract
     for _ in range(iterations - 1):
         new_labels = (
@@ -113,7 +115,7 @@ def min_label_components(
             .agg(F.min("lab").alias("lab"))
         )
         if checkpoint or until_converged:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = new_labels.transform(cut)
         if until_converged:
             # fixpoint probe: any node whose label shrank this round?
             changed = (
@@ -176,7 +178,7 @@ def min_label_components_contracted(
     l1 = (
         e_self.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("lab"))
-        .localCheckpoint(eager=True)
+        .transform(cut)
     )
     # no broadcast hints: l1 has one row per node (arbitrarily large at
     # scale) — AQE picks BHJ when it actually fits
@@ -188,7 +190,7 @@ def min_label_components_contracted(
         .select(F.col("src_lab").alias("src"), F.col("dst_lab").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut)
     )
     # Empty contraction ⇔ every component had diameter ≤ 2 ⇔ l1 is already
     # the exact component minimum. The common case for blocked entity-name

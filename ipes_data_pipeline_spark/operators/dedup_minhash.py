@@ -5,6 +5,16 @@ inside an LSH bucket (band or signature equality), so the shuffle key is
 the bucket id and no O(n²) cross join ever materializes. The refine step
 (exact Jaccard / hamming) touches only candidates. All expressions are
 JVM-side higher-order functions; oracle twins in queries/dataops.py.
+
+Skew valves default ON: every pair API ships with ``bucket_cap=256``,
+so a boilerplate-heavy corpus (many documents sharing one band value)
+gets its oversized buckets deterministically sub-salted instead of
+walking into quadratic per-bucket pair growth (measured 3.6×-wall /
+24×-pairs on a skewed corpus at sf0.1 — SCALING.md). The cap trades
+recall ONLY inside the buckets it touches; unskewed buckets are
+byte-identical. Pass ``bucket_cap=None`` for lossless blocking — the
+oracle-pinned queries do, explicitly, so their value hashes are
+cap-independent.
 """
 
 from __future__ import annotations
@@ -174,7 +184,7 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = 256,
     shingles_df: DataFrame | None = None,
     materialize: bool = True,
     reliable: bool = False,
@@ -185,8 +195,9 @@ def minhash_lsh_pairs(
     only. Callers typically refine with exact Jaccard on the candidates.
     ``hash_fn`` / ``bucket_cap``: see :func:`minhash_bands` /
     :func:`_cap_band_buckets` (production default xxhash64; oracle
-    queries pin md5; cap bounds quadratic buckets on boilerplate-heavy
-    corpora).
+    queries pin md5; the cap — ON by default at 256 — bounds quadratic
+    buckets on boilerplate-heavy corpora; pass ``None`` for lossless
+    blocking).
     """
     # Eager checkpoint: `bands` sits on BOTH sides of the self-join, and
     # without materialization the hash-heavy signature pipeline executes
@@ -235,7 +246,7 @@ def minhash_lsh_pairs_delta(
     shingle_n: int = 3,
     corpus_bands: DataFrame | None = None,
     hash_fn: str = "xxhash64",
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = 256,
     reliable: bool = False,
 ) -> DataFrame:
     """Incremental dedup: candidate pairs of a NEW batch against an
@@ -310,7 +321,7 @@ def minhash_neardup_pairs(
     band_size: int = 2,
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = 256,
     reliable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates refined by EXACT shingle-set
@@ -404,7 +415,7 @@ def simhash_neardup_pairs(
     n_bits: int = 32,
     n_bands: int = 4,
     max_hamming: int = 3,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate pairs by banded SimHash + hamming refine.
 
@@ -419,7 +430,9 @@ def simhash_neardup_pairs(
     Candidates join on (band_idx, band_bits); the refine counts
     differing bits. Shuffle key = band value; no cross join.
 
-    ``bucket_cap`` is the skew valve: on a near-homogeneous corpus the
+    ``bucket_cap`` is the skew valve (ON by default at 256; pass
+    ``None`` for lossless blocking — q121's oracle does): on a
+    near-homogeneous corpus the
     signatures concentrate into few band values and candidate pairs
     grow quadratically in bucket size (measured 4.4× superlinear at
     sf0.1 — SCALING.md). With a cap, any bucket larger than it is
@@ -442,9 +455,7 @@ def simhash_neardup_pairs(
             stacklevel=2,
         )
     band_w = n_bits // n_bands
-    sigs = simhash_signatures(df, id_col, text_col, n_bits).localCheckpoint(
-        eager=True
-    )
+    sigs = simhash_signatures(df, id_col, text_col, n_bits).transform(cut)
     bands = sigs.select(
         "id",
         "simhash",
@@ -485,7 +496,7 @@ def simhash_neardup_pairs(
             .drop("bsz")
             # pin: the salted band table sits on BOTH sides of the
             # self-join — materialize once instead of per alias.
-            .localCheckpoint(eager=True)
+            .transform(cut)
         )
     else:
         bands = bands.withColumn("sub", F.lit(0))
@@ -530,7 +541,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         distinct_tokens(F.col(text_col)).alias("toks"),
         *block_cols,
-    ).localCheckpoint(eager=True)  # both sides of the self-join
+    ).transform(cut)  # both sides of the self-join
     a, b = keyed.alias("a"), keyed.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
         F.col("a.id") < F.col("b.id")

@@ -34,7 +34,18 @@ the extra anti-join materialization offset the saved joins (wash);
 (e) driver-held ranks re-injected per round as local literal tables
 (JVM join, flat plans) — the per-round createDataFrame + collect
 round-trips cost more than the nested broadcast exchanges they replace
-(3.3 s vs 2.9 s).
+(3.3 s vs 2.9 s); (f) parallel-edge pre-aggregation to (src,dst,Σw)
+before the loop — a wash at best here (2.93 s vs 2.96 s dense): the
+q140 edge builder already groups by (src,dst), so the operator-side
+groupBy+cut buys nothing, and on a true multigraph it would CHANGE the
+fixed-point values (Σ floor(r·wᵢ/o) ≠ floor(r·Σwᵢ/o)), forcing the
+oracle to pre-aggregate too — callers that want it should aggregate
+their own edge tables, as q140 does.
+
+ACCEPTED round 5: sparse contrib-carry (see the loop comment below) —
+2.96 s → 2.42 s median at sf0.1 (scripts/bench_pagerank_variants.py),
+value-identical checksums, removes iterations-1 |nodes| left joins
+from the unrolled plan.
 """
 
 from __future__ import annotations
@@ -84,34 +95,48 @@ def pagerank(
     # barrier.
     ew = edges.join(F.broadcast(out_w) if broadcast_ranks else out_w, "src")
     nodes = cut(nodes, reliable)
+    # SPARSE rank carry (round-5 rework): the rank state between rounds
+    # is the contribution table itself — only nodes that RECEIVED mass —
+    # not the |nodes|-completed table. Nodes absent from it are exactly
+    # the no-in-edge nodes, whose rank is the constant base_u from round
+    # 1 on; the per-round edge join therefore goes LEFT with a coalesce
+    # default (1.0 in round 1 where the uniform start covers everyone,
+    # base_u afterwards) and the |nodes| left join runs ONCE at the end
+    # instead of once per round. Value-identical to the dense carry by
+    # construction (the coalesce replicates the left-join+fill), and it
+    # removes iterations-1 joins from the unrolled plan.
     rank = nodes.select("node", F.lit(1 * _SCALE).cast("long").alias("rank_u"))
+    default_u = 1 * _SCALE  # round-1 fill: uniform start (never fires)
     for _ in range(iterations):
-        # rank is |nodes|-sized — broadcast it (default) so the edge
+        # rank is ≤|nodes|-sized — broadcast it (default) so the edge
         # table never shuffles; each round is then one map-side join +
         # one dst-keyed aggregate. Pass broadcast_ranks=False when the
         # node set itself outgrows executor memory (billion-node
         # graphs) — the join then shuffles on src like any equi-join.
         rank_side = F.broadcast(rank) if broadcast_ranks else rank
-        contrib = (
-            ew.join(rank_side, ew.src == rank.node)
+        rank = (
+            ew.join(rank_side, ew.src == rank.node, "left")
             .select(
                 F.col("dst"),
-                F.expr("(rank_u * CAST(w AS BIGINT)) div out_w").alias("c_u"),
+                F.expr(
+                    f"((coalesce(rank_u, {default_u}) * CAST(w AS BIGINT)))"
+                    " div out_w"
+                ).alias("c_u"),
             )
             .groupBy("dst")
             .agg(
                 (
                     F.lit(base_u).cast("long")
                     + F.expr(f"({damping_pct} * sum(c_u)) div 100")
-                ).alias("new_rank_u")
+                ).alias("rank_u")
             )
+            .select(F.col("dst").alias("node"), "rank_u")
         )
-        rank = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
-            "node",
-            F.coalesce(F.col("new_rank_u"), F.lit(base_u).cast("long")).alias(
-                "rank_u"
-            ),
-        )
-    return rank.select(
-        "node", (F.col("rank_u").cast("double") / _SCALE).alias("rank")
+        default_u = base_u  # rounds 2+: missing src ⇔ no in-edges ⇔ base
+    return nodes.join(rank, "node", "left").select(
+        "node",
+        (
+            F.coalesce(F.col("rank_u"), F.lit(base_u).cast("long")).cast("double")
+            / _SCALE
+        ).alias("rank"),
     )

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ipes_data_pipeline_spark.operators.util import cut
+
 _B = "__rj_bucket"
 
 
@@ -113,7 +115,7 @@ def range_count(
     per = (
         points.groupBy(F.col(point_col).cast("long").alias("__p"))
         .agg(F.count(F.lit(1)).alias("__n"))
-        .localCheckpoint(eager=True)
+        .transform(cut)
     )
     bounds = per.agg(F.min("__p").alias("__lo"), F.max("__p").alias("__hi"))
     dense = (
@@ -126,7 +128,7 @@ def range_count(
     w = W.orderBy("__p").rowsBetween(W.unboundedPreceding, 0)
     prefix = dense.select(
         "__p", F.sum("__n").over(w).alias("__cum")
-    ).localCheckpoint(eager=True)
+    ).transform(cut)
 
     iv = intervals.crossJoin(F.broadcast(bounds))
     # clamp both lookups into [lo-1, hi]; keys outside the histogram

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ipes_data_pipeline_spark.operators.util import cut
+
 
 def scd2_merge(
     existing: DataFrame | None,
@@ -207,7 +209,7 @@ def upsert_partitioned(
         # target_path, which Spark's overwrite check (rightly) rejects;
         # materializing first makes the swap read-free. At very large
         # affected sets, stage to a sibling path instead.
-        merged = merged.localCheckpoint(eager=True)
+        merged = merged.transform(cut)
     else:
         merged = updates
 

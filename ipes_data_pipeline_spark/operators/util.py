@@ -5,6 +5,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+#: Session conf flipping EVERY cut site to fault-tolerant checkpoints at
+#: once — a 100 TB operator chain assembled from library defaults would
+#: otherwise silently use localCheckpoint unless `reliable=True` were
+#: threaded through every call. Cluster side: set
+#: `spark.ipes.reliableCuts=true` (plus `setCheckpointDir` to HDFS/S3)
+#: and all operators run in the durable regime unmodified.
+RELIABLE_CUTS_CONF = "spark.ipes.reliableCuts"
+
+
 def cut(df: DataFrame, reliable: bool = False) -> DataFrame:
     """Materialize ``df`` and truncate its lineage — the repo's standard
     barrier before a frame is referenced from multiple plan subtrees
@@ -22,10 +31,23 @@ def cut(df: DataFrame, reliable: bool = False) -> DataFrame:
       regime a multi-hour 100 TB run must use on every operator that
       cuts lineage, at the price of one distributed write+read.
 
+    The per-call flag is OR-ed with the session conf
+    ``spark.ipes.reliableCuts`` (default ``false``): setting the conf
+    to ``true`` promotes every cut in the session to the durable
+    regime without touching call sites. There is deliberately no
+    conf that *demotes* an explicit ``reliable=True``.
+
     Both regimes pin partition contents AND partition ids, so
     downstream ``spark_partition_id`` determinism (the prefix-sum shard
     contract — SCALING.md case study) holds identically.
     """
+    if not reliable:
+        reliable = (
+            str(
+                df.sparkSession.conf.get(RELIABLE_CUTS_CONF, "false")
+            ).lower()
+            == "true"
+        )
     if reliable:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

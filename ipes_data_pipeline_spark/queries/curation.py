@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ipes_data_pipeline_spark.functions.text import shingles, tokens
-from ipes_data_pipeline_spark.operators.util import spread
+from ipes_data_pipeline_spark.operators.util import cut, spread
 from ipes_data_pipeline_spark.queries import register, t
 
 SQL_TOKENS = (
@@ -428,7 +428,7 @@ def q98(spark, sf):
     tok_stream = (
         spread(t(spark, sf, "documents"))
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    ).localCheckpoint(eager=True)
+    ).transform(cut)
     vocab = tok_stream.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
     sp = F.round(
@@ -499,7 +499,7 @@ def q99(spark, sf):
         spread(t(spark, sf, "documents"))
         .select("doc_id", tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.explode(shingles(F.col("toks"), 3)).alias("sh3"))
-    ).localCheckpoint(eager=True)
+    ).transform(cut)
     dfc = ex.groupBy("sh3").agg(F.count(F.lit(1)).alias("df"))
     boiler = F.when(F.col("df") >= _Q99_DF_MIN, 1).otherwise(0)
     return (
@@ -614,7 +614,7 @@ def q123(spark, sf):
     tok_stream = (
         spread(t(spark, sf, "documents"))
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    ).localCheckpoint(eager=True)
+    ).transform(cut)
     tfc = tok_stream.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfs = tfc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     nd = t(spark, sf, "documents").agg(F.count(F.lit(1)).alias("n"))
@@ -627,7 +627,7 @@ def q123(spark, sf):
         tfc.join(F.broadcast(dfs.where(F.col("df").between(2, 20))), "tok")
         .crossJoin(F.broadcast(nd))
         .select("doc_id", "tok", w.alias("w"))
-        .localCheckpoint(eager=True)
+        .transform(cut)
     )
     nrm = post.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
@@ -967,7 +967,7 @@ def q144(spark, sf):
         spread(t(spark, sf, "documents"))
         .select("doc_id", tokens(F.col("text")).alias("w"))
         .select("doc_id", "w", _ngrams(F.col("w"), 2).alias("bi"))
-        .localCheckpoint(eager=True)  # feeds 3 rollups (uni/bi/heldout)
+        .transform(cut)  # feeds 3 rollups (uni/bi/heldout)
     )
     train = d.where(F.col("doc_id") % 10 != 0)
     uc = train.select(F.explode("w").alias("tok")).groupBy("tok").agg(
@@ -1063,7 +1063,7 @@ def q145(spark, sf):
         (F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("bigint") % 16).alias(
             "b"
         ),
-    ).localCheckpoint(eager=True)  # feeds the counts pass + the tf rollup
+    ).transform(cut)  # feeds the counts pass + the tf rollup
     # BOTH per-bucket distributions in ONE conditional-aggregate pass
     # (the earlier form scanned f once per split, once for distinct b,
     # and once for tf — four passes); the 16-row result is collected and
@@ -1163,7 +1163,7 @@ def q146(spark, sf):
         .select(
             "doc_id", "source", "h", "n_tokens", F.col("keep").alias("pass_quality")
         )
-        .localCheckpoint(eager=True)  # feeds keeper agg + final join
+        .transform(cut)  # feeds keeper agg + final join
     )
     k = (
         j.where("pass_quality")

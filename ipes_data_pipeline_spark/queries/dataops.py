@@ -31,7 +31,7 @@ from ipes_data_pipeline_spark.operators.dedup_minhash import (
     simhash_signatures,
 )
 from ipes_data_pipeline_spark.operators.sessionize import asof_join_latest, sessionize
-from ipes_data_pipeline_spark.operators.util import spread
+from ipes_data_pipeline_spark.operators.util import cut, spread
 from ipes_data_pipeline_spark.operators.similarity import (
     ann_topk_bruteforce,
     cosine_topk_pairs_lsh,
@@ -110,9 +110,10 @@ FROM bands a JOIN bands b
     _q42_oracle(),
 )
 def q42(spark, sf):
+    # bucket_cap=None: oracle-pinned lossless form (API default is 256)
     return minhash_lsh_pairs(
         t(spark, sf, "documents"), "doc_id", "text", n_hashes=8, band_size=2,
-        hash_fn="md5",
+        hash_fn="md5", bucket_cap=None,
     )
 
 
@@ -185,7 +186,10 @@ FROM scored WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.8
     _q42f_oracle(),
 )
 def q42f(spark, sf):
-    return minhash_neardup_pairs(t(spark, sf, "documents"), "doc_id", "text")
+    # bucket_cap=None: oracle-pinned lossless form (API default is 256)
+    return minhash_neardup_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", bucket_cap=None
+    )
 
 
 def _q42c_oracle() -> str:
@@ -240,11 +244,11 @@ def _doc_neardup_components(docs, extra_pairs=None):
 
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
-        materialize=False,
+        materialize=False, bucket_cap=None,
     ).select("id_a", "id_b")
     if extra_pairs is not None:
         pairs = pairs.union(extra_pairs).distinct()
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(cut)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -339,7 +343,7 @@ def q148(spark, sf):
     # keyed on doc id, and the final rollup is |sources| rows.
     docs = t(spark, sf, "documents")
     comp = _doc_neardup_components(docs)
-    src = docs.select("doc_id", "source").localCheckpoint(eager=True)
+    src = docs.select("doc_id", "source").transform(cut)
     j = (
         comp.select("doc_id", F.col("cluster_id").alias("keeper_id"))
         .join(src, "doc_id")
@@ -502,12 +506,14 @@ WHERE n.id % 10 = 0
 )
 def q120(spark, sf):
     docs = t(spark, sf, "documents")
+    # bucket_cap=None: oracle-pinned lossless form (API default is 256)
     return minhash_lsh_pairs_delta(
         docs.where(F.col("doc_id") % 10 == 0),
         docs.where(F.col("doc_id") % 10 != 0),
         "doc_id",
         "text",
         hash_fn="md5",
+        bucket_cap=None,
     )
 
 
@@ -546,9 +552,66 @@ def q121(spark, sf):
     # max_hamming=3 with 4 bands: any pair within radius 3 shares at
     # least one untouched band (pigeonhole), so the blocking drops
     # NOTHING — unlike MinHash bands, recall here is exactly 1.
+    # bucket_cap=None: the LOSSLESS oracle-pinned form — this query IS
+    # the recall guarantee; the deployable capped twin is q121p below.
     return simhash_neardup_pairs(
         t(spark, sf, "documents"), "doc_id", "text", n_bits=32, n_bands=4,
-        max_hamming=3,
+        max_hamming=3, bucket_cap=None,
+    )
+
+
+def _q121p_oracle(cap: int = 64) -> str:
+    """q121's banding + hamming refine with the bucket_cap skew valve ON,
+    replicated value-exactly in SQL: per-band bucket sizes, n_sub =
+    ceil(bsz/cap), sub-salt = first-8-hex of md5(id) mod n_sub (the
+    '0x'||hex→BIGINT cast matches Spark's conv(...,16,10)), and the
+    pair join additionally requires sub equality — so cross-sub pairs
+    inside oversized buckets are dropped by BOTH engines identically."""
+    base = _q43_oracle().strip()
+    head, tail = base.rsplit("SELECT id,", 1)
+    bands = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band_idx, "
+        f"substr(simhash, {b * 8 + 1}, 8) AS band_bits FROM sigs"
+        for b in range(4)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1) "
+        "THEN 1 ELSE 0 END"
+        for i in range(32)
+    )
+    salt = "('0x' || substr(md5(CAST(b.id AS VARCHAR)), 1, 8))::BIGINT"
+    return f"""{head.rstrip().removesuffix(')')}),
+sigs AS (SELECT id,{tail.strip()}),
+bands AS ({bands}),
+sz AS (SELECT band_idx, band_bits, COUNT(*) AS bsz
+       FROM bands GROUP BY band_idx, band_bits),
+sub AS (SELECT b.id, b.simhash, b.band_idx, b.band_bits,
+               {salt}
+               % GREATEST(1, CAST(CEIL(bsz / {cap}.0) AS BIGINT)) AS sub
+        FROM bands b JOIN sz
+          ON sz.band_idx = b.band_idx AND sz.band_bits = b.band_bits),
+p AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, CAST({ham} AS INT) AS hamming
+  FROM sub a JOIN sub b
+    ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+   AND a.sub = b.sub AND a.id < b.id)
+SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+"""
+
+
+@register(
+    "q121p_simhash_neardup_capped",
+    "dedup: PRODUCTION SimHash twin of q121 — identical banding + hamming "
+    "refine with the bucket_cap=64 skew valve ON: oversized band buckets "
+    "are sub-salted so per-task pair work stays bounded on boilerplate-"
+    "heavy corpora (q121 keeps the lossless recall guarantee; this is the "
+    "shape you deploy)",
+    _q121p_oracle(),
+)
+def q121p(spark, sf):
+    return simhash_neardup_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", n_bits=32, n_bands=4,
+        max_hamming=3, bucket_cap=64,
     )
 
 
@@ -1318,7 +1381,7 @@ def q102(spark, sf):
     tok_stream = (
         spread(t(spark, sf, "documents"))
         .select(F.explode(tokens(F.col("text"))).alias("tok"))
-    ).localCheckpoint(eager=True)
+    ).transform(cut)
     top = (
         tok_stream.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_exact"))
@@ -1539,7 +1602,7 @@ def q124(spark, sf):
     )
     pairs = minhash_lsh_pairs(
         t(spark, sf, "documents"), "doc_id", "text", n_hashes=8, band_size=2,
-        hash_fn="md5",
+        hash_fn="md5", bucket_cap=None,
     )
     tagged = pairs.select(
         split_of(F.col("id_a")).alias("split_a"),
@@ -1583,7 +1646,10 @@ def q125(spark, sf):
     )
 
     docs = t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
+        bucket_cap=None,
+    )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(
@@ -1639,7 +1705,7 @@ FROM l3
     _q126_oracle(),
 )
 def q126(spark, sf):
-    docs = t(spark, sf, "documents").localCheckpoint(eager=True)
+    docs = t(spark, sf, "documents").transform(cut)
     comp = _doc_neardup_components(docs)
     counts = docs.agg(
         F.count(F.lit(1)).alias("n_raw"),

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ipes_data_pipeline_spark.functions.text import tokens
-from ipes_data_pipeline_spark.operators.util import spread
+from ipes_data_pipeline_spark.operators.util import cut, spread
 from ipes_data_pipeline_spark.queries import register, t
 
 #: 2^52 — md5's first 13 hex chars as a uniform integer in [0, 2^52).
@@ -139,7 +139,7 @@ def q107(spark, sf):
     d = (
         spread(t(spark, sf, "documents"))
         .select(tokens(F.col("text")).alias("w"))
-        .localCheckpoint(eager=True)  # feeds 2 rollups with different shapes
+        .transform(cut)  # feeds 2 rollups with different shapes
     )
     uni = d.select(F.explode("w").alias("tok"))
     bigram_arr = F.when(

@@ -186,7 +186,10 @@ def q92(spark, sf):
     from ipes_data_pipeline_spark.operators.dedup_minhash import minhash_lsh_pairs
 
     docs = t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
+        bucket_cap=None,
+    )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -261,7 +264,10 @@ def q94(spark, sf):
     from ipes_data_pipeline_spark.operators.util import spread
 
     docs = t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
+        bucket_cap=None,
+    )
     sh_df = (
         spread(docs)
         .select(F.col("doc_id").alias("id"), tokens(F.col("text")).alias("toks"))

@@ -14,7 +14,7 @@ from ipes_data_pipeline_spark.operators.dedup_fuzzy import (
     candidate_pairs,
     min_label_components_contracted,
 )
-from ipes_data_pipeline_spark.operators.util import spread
+from ipes_data_pipeline_spark.operators.util import cut, spread
 from ipes_data_pipeline_spark.queries import (
     davg,
     dec,
@@ -880,7 +880,7 @@ def q104(spark, sf):
         .where(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").cast("string").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut)
     )
     bloom = (
         dim.select(F.explode(_bf_positions(F.col("v"))).alias("p"))

@@ -226,7 +226,7 @@ def test_simhash_banding_is_lossless_at_radius(spark):
     got = {
         (r["id_a"], r["id_b"])
         for r in simhash_neardup_pairs(
-            docs, "doc_id", "text", max_hamming=3
+            docs, "doc_id", "text", max_hamming=3, bucket_cap=None
         ).collect()
     }
     assert got == brute
@@ -311,7 +311,9 @@ def test_simhash_bucket_cap_is_subset_and_leaves_small_buckets_alone(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     full = {
         (r["id_a"], r["id_b"])
-        for r in simhash_neardup_pairs(docs, "doc_id", "text").collect()
+        for r in simhash_neardup_pairs(
+            docs, "doc_id", "text", bucket_cap=None
+        ).collect()
     }
     capped = {
         (r["id_a"], r["id_b"])
@@ -346,7 +348,9 @@ def test_minhash_bucket_cap_is_subset_and_leaves_small_buckets_alone(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     full = {
         (r["id_a"], r["id_b"])
-        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", bucket_cap=None
+        ).collect()
     }
     capped = {
         (r["id_a"], r["id_b"])
@@ -375,7 +379,9 @@ def test_minhash_delta_bucket_cap_subset(spark):
     new, corpus = docs.where("doc_id % 3 = 0"), docs.where("doc_id % 3 <> 0")
     full = {
         (r["new_id"], r["other_id"])
-        for r in minhash_lsh_pairs_delta(new, corpus, "doc_id", "text").collect()
+        for r in minhash_lsh_pairs_delta(
+            new, corpus, "doc_id", "text", bucket_cap=None
+        ).collect()
     }
     capped = {
         (r["new_id"], r["other_id"])
@@ -574,3 +580,60 @@ def test_minhash_empty_shingle_docs_band_on_null_components(spark):
         assert (1, 2) not in {
             (r["id_a"], r["id_b"]) for r in refined.collect()
         }  # ...but the refine's union > 0 gate drops them
+
+
+def test_default_bucket_cap_bounds_pairs_on_skewed_corpus(spark):
+    """The API DEFAULT (bucket_cap=256) is the skew valve: on a corpus
+    where one boilerplate text repeats past the cap, calling the pair
+    APIs with no arguments must (a) produce strictly fewer pairs than
+    the lossless bucket_cap=None form, (b) produce a SUBSET of it, and
+    (c) equal an explicit bucket_cap=256 — i.e. a 100 TB user who
+    takes the defaults gets bounded per-bucket work, and None is an
+    explicit opt-in reserved for the oracle-pinned queries."""
+    from ipes_data_pipeline_spark.operators.dedup_minhash import (
+        minhash_lsh_pairs,
+        simhash_neardup_pairs,
+    )
+
+    n = 300  # > 256: every band bucket of the boilerplate overflows the cap
+    rows = [(i, "terms of service apply to all users of this site") for i in range(n)]
+    rows += [(1000 + i, f"unique document number {i} about topic {i * 7}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    default_pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    lossless = minhash_lsh_pairs(docs, "doc_id", "text", bucket_cap=None)
+    explicit = minhash_lsh_pairs(docs, "doc_id", "text", bucket_cap=256)
+    n_default, n_lossless = default_pairs.count(), lossless.count()
+    assert n_lossless == n * (n - 1) // 2  # identical docs: all-pairs when uncapped
+    assert n_default < n_lossless  # the default valve must bite
+    assert default_pairs.exceptAll(lossless).count() == 0  # subset
+    assert n_default == explicit.count()  # default IS 256
+
+    sim_default = simhash_neardup_pairs(docs, "doc_id", "text")
+    sim_lossless = simhash_neardup_pairs(docs, "doc_id", "text", bucket_cap=None)
+    assert sim_default.count() < sim_lossless.count()
+    assert sim_default.exceptAll(sim_lossless).count() == 0
+
+
+def test_q121p_capped_twin_subset_recall_vs_q121(spark):
+    """q121p (deployable, bucket_cap=64) vs q121 (lossless oracle form)
+    on the real skewed fixture corpus: the capped output is a strict
+    subset, pairs it keeps carry IDENTICAL hamming values, and recall
+    loss is confined to oversized buckets (every surviving pair is
+    still within the hamming radius)."""
+    from ipes_data_pipeline_spark.queries import REGISTRY, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    full = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in REGISTRY["q121_simhash_neardup"].spark(spark, sf).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in REGISTRY["q121p_simhash_neardup_capped"].spark(spark, sf).collect()
+    }
+    assert set(capped) <= set(full)
+    assert all(full[p] == h for p, h in capped.items())
+    assert all(h <= 3 for h in capped.values())
+    assert capped  # the valve doesn't empty the result

@@ -72,3 +72,59 @@ def test_knn_bucketed_reliable_matches_local(spark, ckdir):
     local = knn_graph_bucketed(emb, "vec_id", "embedding", k=3)
     reli = knn_graph_bucketed(emb, "vec_id", "embedding", k=3, reliable=True)
     assert _rows(local, "id", "neighbor_id") == _rows(reli, "id", "neighbor_id")
+
+
+def _ck_files(ckdir):
+    import os
+
+    return sum(len(fs) for _, _, fs in os.walk(ckdir))
+
+
+def test_cut_honors_session_conf(spark, ckdir):
+    """spark.ipes.reliableCuts=true promotes a default cut() to a REAL
+    checkpoint (files land in the checkpoint dir); off → local blocks
+    only. The per-call reliable=True is never demoted by the conf."""
+    from ipes_data_pipeline_spark.operators.util import RELIABLE_CUTS_CONF, cut
+
+    df = spark.range(100)
+    before = _ck_files(ckdir)
+    cut(df)
+    assert _ck_files(ckdir) == before  # default: localCheckpoint, no files
+    spark.conf.set(RELIABLE_CUTS_CONF, "true")
+    try:
+        cut(df)
+        assert _ck_files(ckdir) > before  # conf promoted the cut
+    finally:
+        spark.conf.unset(RELIABLE_CUTS_CONF)
+
+
+def test_session_conf_runs_queries_reliably_with_identical_values(spark, ckdir):
+    """The 100 TB story: ONE cluster-side conf flips every cut site in
+    an operator chain assembled from library defaults — no call-site
+    threading. q131 (prefix-sum shards), q39 (fuzzy dedup components)
+    and q140 (pagerank rounds) run UNMODIFIED under the conf, write
+    real checkpoint files, and produce row-identical values."""
+    from ipes_data_pipeline_spark.operators.util import RELIABLE_CUTS_CONF
+    from ipes_data_pipeline_spark.queries import REGISTRY, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "q131_source_token_budget",
+        "q39_fuzzy_dedup",
+        "q140_pagerank",
+    ]
+    baseline = {}
+    for n in names:
+        df = REGISTRY[n].spark(spark, sf)
+        baseline[n] = [tuple(r) for r in df.orderBy(*df.columns).collect()]
+    before = _ck_files(ckdir)
+    spark.conf.set(RELIABLE_CUTS_CONF, "true")
+    try:
+        for n in names:
+            df = REGISTRY[n].spark(spark, sf)
+            rows = [tuple(r) for r in df.orderBy(*df.columns).collect()]
+            assert rows == baseline[n], n
+        assert _ck_files(ckdir) > before  # the cuts really checkpointed
+    finally:
+        spark.conf.unset(RELIABLE_CUTS_CONF)
