@@ -398,6 +398,19 @@ def simhash_signatures(
     Tokens AND their md5s are staged in their own projections; the 32
     per-bit aggregates then reference the hash array attribute instead
     of re-tokenizing and re-hashing 32× (md5 is the dominant cost).
+
+    Round-5 measurement, recorded so the next tuning pass doesn't
+    re-walk it: the q42f trick (explode + conditional-SUM aggregates
+    instead of array HOFs) does NOT transfer here — at sf1 (50k docs)
+    the exploded form measured ~2× SLOWER end-to-end through
+    simhash_neardup_pairs (35.2 s vs 14.8 s) and slower on signatures
+    alone (7.6 s vs 4.6 s cold / 1.5 s warm). The difference from
+    minhash: there each shingle pays N_SALTS hash passes and hashing
+    dominated, so moving it into codegen won; here md5 runs once per
+    token either way, token arrays are short (~54), and the explode's
+    row blowup + aggregate shuffle costs more than 32 interpreted
+    folds over a 54-element array. HOF-interpreter cost scales with
+    array length — the rework is right for long arrays, wrong here.
     """
     toks_df = spread(df).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")

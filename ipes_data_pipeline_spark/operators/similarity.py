@@ -199,26 +199,103 @@ def knn_graph_bucketed(
             )
             for i in range(nbits)
         ]
-        probe = keyed.select(
-            "id", "v", "nrm", F.explode(F.array(*flips)).alias("bkt")
-        )
-    else:
-        probe = keyed
-    a, b = probe.alias("a"), keyed.alias("b")
-    pairs = a.join(
-        b, on=[F.col("a.bkt") == F.col("b.bkt"), F.col("a.id") != F.col("b.id")]
-    ).select(
-        F.col("a.id").alias("id"),
-        F.col("b.id").alias("neighbor_id"),
-        (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
-            "cos_sim"
-        ),
+    # Round-5 rework: score each bucket in ONE Arrow task (numpy Gram,
+    # probe-chunked) instead of a per-pair JVM join. The join form paid
+    # an INTERPRETED zip_with+aggregate fold per candidate pair — at 10×
+    # the fixture corpus (20k vecs, 16 buckets ⇒ 25M in-bucket pairs)
+    # that was 136 s, 4× slower than the brute-force baseline it exists
+    # to replace (scripts: sf1 scaling bench, round 5). The kernel
+    # accumulates per-dimension in order (the exact IEEE fold of dot())
+    # and pre-reduces to k candidates per probe per bucket with Spark's
+    # ordering semantics (NaN-first desc cos, asc neighbor id), so the
+    # emitted values and the final window's verdicts are bit-identical
+    # to the join form — the q118 SQL oracle is unchanged. Per-task
+    # memory: chunk × |bucket| doubles (see _GRAM_CHUNK_CELLS); the
+    # shuffle carries ≤ k rows per probe per bucket, not the pair set.
+    # (At larger corpora ALSO grow `dims` — bucket count must scale
+    # with |corpus| / target_bucket_size or in-bucket Gram work grows
+    # quadratically, 136 s → this kernel only flattens the constant.)
+    import numpy as np
+    import pandas as pd
+
+    corpus = keyed.select("id", "v", "nrm", "bkt").withColumn(
+        "is_corpus", F.lit(True)
     )
+    if multi_probe:
+        # home-bucket rows serve both roles; flipped copies (flips[0] is
+        # the identity — skip it) probe that bucket without joining it
+        extra = keyed.select(
+            "id", "v", "nrm", F.explode(F.array(*flips[1:])).alias("bkt")
+        ).withColumn("is_corpus", F.lit(False))
+        union = corpus.unionByName(extra)
+    else:
+        union = corpus
+
+    kk = k
+    chunk_cells = _GRAM_CHUNK_CELLS
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_c = pdf["is_corpus"].to_numpy()
+        c_ids = pdf["id"].to_numpy(dtype=np.int64)[is_c]
+        if len(c_ids) == 0:
+            return pd.DataFrame(
+                {"id": pd.array([], dtype="int64"),
+                 "neighbor_id": pd.array([], dtype="int64"),
+                 "cos_sim": pd.array([], dtype="float64")}
+            )
+        # ascending-id corpus order makes the stable top-k sort break
+        # cosine ties toward the LOWER neighbor id, like the window
+        c_ord = np.argsort(c_ids, kind="stable")
+        c_ids = c_ids[c_ord]
+        C = np.stack(pdf["v"].to_numpy()[is_c][c_ord]).astype(np.float64)
+        c_nrm = pdf["nrm"].to_numpy(dtype=np.float64)[is_c][c_ord]
+        p_ids_all = pdf["id"].to_numpy(dtype=np.int64)
+        P_all = pdf["v"].to_numpy()
+        p_nrm_all = pdf["nrm"].to_numpy(dtype=np.float64)
+        out_id, out_nb, out_cos = [], [], []
+        n_c = len(c_ids)
+        chunk = max(1, chunk_cells // max(n_c, 1))
+        for a0 in range(0, len(p_ids_all), chunk):
+            b0 = min(a0 + chunk, len(p_ids_all))
+            p_ids = p_ids_all[a0:b0]
+            P = np.stack(P_all[a0:b0]).astype(np.float64)
+            # per-dimension accumulation IN ORDER — dot()'s exact fold
+            block = np.zeros((len(p_ids), n_c))
+            for d in range(P.shape[1]):
+                block += np.outer(P[:, d], C[:, d])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = block / np.outer(p_nrm_all[a0:b0], c_nrm)
+            # Spark sorts NaN ABOVE every double under desc — rank NaN
+            # as +inf; the emitted cos stays NaN
+            rank = np.where(np.isnan(cos), np.inf, cos)
+            rank[p_ids[:, None] == c_ids[None, :]] = -np.inf  # self
+            top = np.argsort(-rank, axis=1, kind="stable")[:, :kk]
+            rows = np.arange(len(p_ids))[:, None]
+            sel_rank = rank[rows, top]
+            valid = sel_rank > -np.inf
+            out_id.append(np.repeat(p_ids, valid.sum(axis=1)))
+            out_nb.append(c_ids[top][valid])
+            out_cos.append(cos[rows, top][valid])
+        return pd.DataFrame(
+            {
+                "id": np.concatenate(out_id),
+                "neighbor_id": np.concatenate(out_nb),
+                "cos_sim": np.concatenate(out_cos),
+            }
+        )
+
+    candidates = union.groupBy("bkt").applyInPandas(
+        bucket_topk, "id long, neighbor_id long, cos_sim double"
+    )
+    if multi_probe:
+        # a (probe, neighbor) pair can surface from several probed
+        # buckets with the identical cosine — keep one
+        candidates = candidates.dropDuplicates(["id", "neighbor_id"])
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy("id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
+        candidates.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
     )

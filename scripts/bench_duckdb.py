@@ -31,8 +31,12 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
         )
+    subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    headline = (
+        [q for q in subset_env.split(",") if q] if subset_env else HEADLINE
+    )
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         sql = REGISTRY[name].oracle
         if sql is None:
             continue
