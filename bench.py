@@ -75,6 +75,7 @@ HEADLINE = [
     "q109_udtf_top_tokens",
     "q110_variant_json",
     "q130_semdedup",
+    "q130p_semdedup_sqrtn",
     "q131_source_token_budget",
     "q133_hybrid_neardup",
     "q134_bm25_topk",

@@ -668,10 +668,25 @@ def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
     return _with_cells(emb, rows).select("id", "c_id")
 
 
+#: cell count above which assignment switches to the Arrow kernel —
+#: the HOF fold's interpreter cost is rows × cells × dim, fine at the
+#: oracle-pinned 8 cells but 2.8M interpreted 64-element folds for
+#: q130p's sqrt(N) cells at sf1 (measured 32 s; the Arrow kernel runs
+#: the same corpus in ~2 s). 16 keeps every 8-cell oracle query on the
+#: proven HOF plan while sqrt(N) sizing (>=23 even at 500 vectors)
+#: always takes the vectorized path.
+_ARROW_ASSIGN_MIN_CELLS = 16
+
+
 def _with_cells(emb: DataFrame, cent: list) -> DataFrame:
     """``(id, c_id, v)``: nearest-cell assignment with the centroid
     table shipped as ONE broadcast row holding an
     ``array<struct<c_id, c_vec>>``.
+
+    Dispatches to :func:`_with_cells_arrow` when ``len(cent) >=
+    _ARROW_ASSIGN_MIN_CELLS`` — same argmin, same IEEE fold, same
+    tie-break, vectorized per Arrow batch instead of interpreted per
+    (row, centroid). A pytest pins the two paths value-identical.
 
     Per input row, ``array_min`` over ``transform(cents, c ->
     struct(d2(v, c.c_vec), c.c_id))`` picks the lexicographic minimum —
@@ -687,6 +702,8 @@ def _with_cells(emb: DataFrame, cent: list) -> DataFrame:
       per-round recompilation dominated the whole Lloyd loop at
       fixture scale).
     """
+    if len(cent) >= _ARROW_ASSIGN_MIN_CELLS:
+        return _with_cells_arrow(emb, cent)
     spark = emb.sparkSession
     cent_row = spark.createDataFrame(
         [(cent,)], "cents array<struct<c_id:long,c_vec:array<double>>>"
@@ -710,6 +727,61 @@ def _with_cells(emb: DataFrame, cent: list) -> DataFrame:
     return emb.crossJoin(F.broadcast(cent_row)).select(
         "id", F.array_min(cand)["c_id"].alias("c_id"), "v"
     )
+
+
+def _with_cells_arrow(emb: DataFrame, cent: list) -> DataFrame:
+    """Vectorized twin of :func:`_with_cells`: centroids ride in the
+    task closure (cells × dim doubles — the same broadcast-scale
+    contract as the one-row HOF form), assignment is numpy per Arrow
+    batch. Still zero shuffle: ``mapInPandas`` is a map stage.
+
+    Value parity with the HOF form, argued term by term:
+
+    - d2 accumulates per-dimension IN ORDER (``acc += diff²`` for d =
+      0..dim-1) — the exact left-to-right double fold of the
+      ``zip_with`` + ``aggregate`` expression and of the SQL oracle;
+    - centroids are sorted ascending by c_id, so ``argmin``'s
+      first-minimum rule IS the (d2, c_id) lexicographic tie-break of
+      ``array_min`` (which is order-independent, making the defensive
+      sort safe for any caller);
+    - a NaN d2 (NaN vector component) ranks +inf — Spark orders NaN
+      above every double, so such a centroid loses to any finite one
+      and an all-NaN row falls to the lowest c_id, exactly array_min.
+    """
+    import numpy as np
+    import pandas as pd
+
+    order = sorted(range(len(cent)), key=lambda i: cent[i][0])
+    c_ids = np.array([cent[i][0] for i in order], dtype=np.int64)
+    cmat = np.array([cent[i][1] for i in order], dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "id": pd.array([], dtype="int64"),
+                        "c_id": pd.array([], dtype="int64"),
+                        "v": pdf["v"],
+                    }
+                )
+                continue
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            d2 = np.zeros((len(mat), len(c_ids)))
+            for d in range(cmat.shape[1]):
+                diff = mat[:, d, None] - cmat[None, :, d]
+                d2 += diff * diff
+            rank = np.where(np.isnan(d2), np.inf, d2)
+            best = np.argmin(rank, axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "c_id": c_ids[best],
+                    "v": pdf["v"],
+                }
+            )
+
+    return emb.mapInPandas(assign, "id long, c_id long, v array<double>")
 
 
 def ann_topk_ivf_kmeans_lloyd(

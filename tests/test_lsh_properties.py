@@ -637,3 +637,67 @@ def test_q121p_capped_twin_subset_recall_vs_q121(spark):
     assert all(full[p] == h for p, h in capped.items())
     assert all(h <= 3 for h in capped.values())
     assert capped  # the valve doesn't empty the result
+
+
+def test_with_cells_arrow_matches_hof_assignment(spark):
+    """_with_cells dispatches to the numpy Arrow kernel above
+    _ARROW_ASSIGN_MIN_CELLS; below it, the interpreted-HOF fold. The
+    two must be VALUE-IDENTICAL (same argmin, same IEEE per-dimension
+    fold, same (d2, c_id) tie-break, same NaN-loses rule) — q130p's
+    sqrt(N) sizing always takes the Arrow path while the 8-cell oracle
+    queries take the HOF path, so neither gate covers the other."""
+    from pyspark.sql import functions as F
+
+    from ipes_data_pipeline_spark.operators.similarity import (
+        _lloyd_centroid_list,
+        _with_cells,
+        _with_cells_arrow,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    # 23 = ceil(sqrt(500)): q130p's sizing at this fixture, and enough
+    # cells that equidistant ties + empty cells actually occur
+    cent = _lloyd_centroid_list(emb, n_cells=23, n_iter=2)
+    # force the HOF body for the same centroid list by moving the
+    # dispatch threshold out of the way
+    import ipes_data_pipeline_spark.operators.similarity as sim
+
+    old = sim._ARROW_ASSIGN_MIN_CELLS
+    try:
+        sim._ARROW_ASSIGN_MIN_CELLS = 10**9  # force HOF
+        hof_rows = sorted(
+            (r["id"], r["c_id"]) for r in _with_cells(emb, cent).collect()
+        )
+    finally:
+        sim._ARROW_ASSIGN_MIN_CELLS = old
+    arrow_rows = sorted(
+        (r["id"], r["c_id"]) for r in _with_cells_arrow(emb, cent).collect()
+    )
+    assert hof_rows == arrow_rows
+
+
+def test_with_cells_arrow_nan_and_tie_semantics(spark):
+    """Synthetic pins of the two subtle rules: a NaN-component vector
+    must fall to the LOWEST c_id (every d2 NaN -> all rank +inf,
+    array_min's NaN-is-greatest + c_id tie-break), and an exactly
+    equidistant vector must pick the lower c_id."""
+    from ipes_data_pipeline_spark.operators.similarity import (
+        _with_cells_arrow,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [float("nan"), 0.0]),   # all d2 NaN -> lowest c_id
+            (2, [0.5, 0.5]),            # equidistant -> lower c_id
+            (3, [0.9, 0.1]),            # plain nearest
+        ],
+        "id long, v array<double>",
+    )
+    cent = [(10, [1.0, 0.0]), (20, [0.0, 1.0])]
+    got = {r["id"]: r["c_id"] for r in _with_cells_arrow(emb, cent).collect()}
+    assert got == {1: 10, 2: 10, 3: 10}
