@@ -35,24 +35,49 @@ def main() -> None:
     headline = (
         [q for q in subset_env.split(",") if q] if subset_env else HEADLINE
     )
+    # Per-query cap (seconds): a watchdog thread interrupts the
+    # connection so ONE quadratic oracle (q39's levenshtein self-join
+    # at sf1) can't eat the whole-run timeout and lose every timing.
+    cap = float(os.environ.get("SPARK_GRAFT_DUCK_QUERY_CAP", "0") or 0)
+    partial = os.environ.get("SPARK_GRAFT_DUCK_PARTIAL", "")
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def _flush() -> None:
+        payload = {
+            "metric": "duckdb_headline_total_wall",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+        }
+        if errors:
+            payload["errors"] = errors
+        if partial:
+            with open(partial, "w") as f:
+                json.dump(payload, f)
+        return payload
+
+    import threading
+
     for name in headline:
         sql = REGISTRY[name].oracle
         if sql is None:
             continue
+        timer = None
+        if cap:
+            timer = threading.Timer(cap, con.interrupt)
+            timer.start()
         t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "duckdb_headline_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-            }
-        )
-    )
+        try:
+            con.execute(sql).fetchall()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — record, keep benching
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+        finally:
+            if timer:
+                timer.cancel()
+        _flush()
+    print(json.dumps(_flush()))
 
 
 if __name__ == "__main__":
