@@ -43,6 +43,10 @@ HEADLINE = [
     "q45_embedding_neardup_lsh",
     "q46_ann_topk",
     "q114_knn_graph",
+    # q118 (fixed 16 buckets, oracle-pinned) is registry-only at scale:
+    # in-bucket Gram work grows N²/16 (149× wall for 10× rows at sf10 —
+    # SCALING.md); the benched shape is the count-adaptive twin.
+    "q118a_knn_graph_autoplanes",
     "q48_quality_score",
     "q50_fingerprint",
     "q52_sessionize",

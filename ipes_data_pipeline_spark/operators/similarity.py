@@ -151,14 +151,42 @@ def knn_graph(
     )
 
 
+# Plane pool for count-adaptive bucketing (dims=None). The first four
+# ARE the historical fixed default, so auto mode at small N (P clamps
+# to 4) produces bit-identical buckets to the oracle-pinned q118. 20
+# planes cap the bucket space at ~1M buckets; past that (N ≈ 256·2^20
+# ≈ 268M vectors per partition-group) shard the corpus first.
+_AUTO_PLANES: tuple[int, ...] = (
+    1, 9, 17, 25, 5, 13, 21, 29, 33, 41, 49, 57, 37, 45, 53, 61, 3, 11, 19, 27,
+)
+
+
+def auto_plane_count(n: int, target_bucket: int = 256) -> int:
+    """ceil(log2(N / target_bucket)) clamped to [4, len(_AUTO_PLANES)].
+
+    Keeps E[bucket size] ≈ target_bucket as the corpus grows, so the
+    per-bucket Gram work in :func:`knn_graph_bucketed` stays constant
+    per row instead of growing linearly with N (quadratic total). The
+    formula is SQL-expressible (the q118a oracle computes the same P
+    with LEAST/GREATEST/ceil/log2 and truncates the sign string), which
+    is what keeps the adaptive path value-checkable.
+    """
+    import math
+
+    if n <= 0:
+        return 4
+    return min(len(_AUTO_PLANES), max(4, math.ceil(math.log2(n / float(target_bucket)))))
+
+
 def knn_graph_bucketed(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 5,
-    dims: tuple[int, ...] = (1, 9, 17, 25),
+    dims: tuple[int, ...] | None = (1, 9, 17, 25),
     multi_probe: bool = False,
     reliable: bool = False,
+    target_bucket: int = 256,
 ) -> DataFrame:
     """Approximate k-NN graph with a sign-LSH-sharded corpus — the
     scale path for :func:`knn_graph` when the corpus does NOT fit
@@ -177,7 +205,19 @@ def knn_graph_bucketed(
     Deterministic either way: same bucketing + fold order in any
     engine, so unlike most ANN indexes the single-probe form carries a
     value-level SQL oracle (q118).
+
+    ``dims=None`` (the production setting, q118a) picks the plane count
+    from the corpus: P = :func:`auto_plane_count` planes taken as a
+    prefix of ``_AUTO_PLANES``. Fixed plane counts are the measured
+    sf10 failure mode — 16 buckets over 200k vectors put ~12.5k rows
+    per bucket and the in-bucket Gram grew exactly N²/16 (149× wall for
+    10× rows, BENCH_sf10.json); adaptive P holds bucket size at
+    ~target_bucket so total pair work is ~N·target_bucket — linear. The
+    count() here is one cheap metadata-bound job and its value only
+    picks a PLAN, mirroring how AQE sizes shuffles at runtime.
     """
+    if dims is None:
+        dims = _AUTO_PLANES[: auto_plane_count(df.count(), target_bucket)]
     keyed = cut(
         df.select(
             F.col(id_col).alias("id"),

@@ -33,6 +33,7 @@ from ipes_data_pipeline_spark.operators.dedup_minhash import (
 from ipes_data_pipeline_spark.operators.sessionize import asof_join_latest, sessionize
 from ipes_data_pipeline_spark.operators.util import cut, spread
 from ipes_data_pipeline_spark.operators.similarity import (
+    _AUTO_PLANES,
     ann_topk_bruteforce,
     cosine_topk_pairs_lsh,
     knn_graph,
@@ -741,6 +742,48 @@ SELECT id, neighbor_id, cos_sim FROM r WHERE rn <= 5
 def q118(spark, sf):
     return knn_graph_bucketed(
         t(spark, sf, "embeddings"), "vec_id", "embedding", k=5
+    )
+
+
+def _q118a_oracle() -> str:
+    # Replicates auto_plane_count in SQL: the full 20-plane sign string
+    # is truncated to P = clamp(ceil(log2(N/256)), 4, 20) chars, so the
+    # adaptive bucketing stays value-checkable at ANY corpus size. The
+    # first 4 planes are q118's fixed dims — at fixture scale (P clamps
+    # to 4) q118a is bit-identical to q118, which pins the twin's
+    # semantics to the already-verified oracle.
+    bits = " || ".join(
+        f"CASE WHEN embedding[{d}] > 0 THEN '1' ELSE '0' END"
+        for d in _AUTO_PLANES
+    )
+    return f"""
+WITH nn AS (SELECT LEAST({len(_AUTO_PLANES)}, GREATEST(4,
+              CAST(ceil(log2(GREATEST(count(*), 1) / 256.0)) AS INT))) AS p
+            FROM embeddings),
+e AS (SELECT vec_id AS id, embedding AS v,
+             substring(({bits}), 1, nn.p) AS bkt
+      FROM embeddings, nn),
+p AS (
+  SELECT a.id AS id, b.id AS neighbor_id, {_sql_cosine('a.v', 'b.v')} AS cos_sim
+  FROM e a JOIN e b ON a.bkt = b.bkt AND a.id <> b.id),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM p)
+SELECT id, neighbor_id, cos_sim FROM r WHERE rn <= 5
+"""
+
+
+@register(
+    "q118a_knn_graph_autoplanes",
+    "similarity search: q118 production twin — sign-LSH k-NN graph with "
+    "count-adaptive plane count (bucket size pinned at ~256 rows as the "
+    "corpus grows; the sf10-measured fix for fixed-bucket quadratic work)",
+    _q118a_oracle(),
+)
+def q118a(spark, sf):
+    return knn_graph_bucketed(
+        t(spark, sf, "embeddings"), "vec_id", "embedding", k=5, dims=None
     )
 
 

@@ -701,3 +701,39 @@ def test_with_cells_arrow_nan_and_tie_semantics(spark):
     cent = [(10, [1.0, 0.0]), (20, [0.0, 1.0])]
     got = {r["id"]: r["c_id"] for r in _with_cells_arrow(emb, cent).collect()}
     assert got == {1: 10, 2: 10, 3: 10}
+
+
+def test_auto_plane_count_boundaries():
+    """P = clamp(ceil(log2(N/256)), 4, 20): the clamp floor keeps small
+    corpora on q118's fixed 4-plane bucketing; the growth rule holds
+    E[bucket size] at ~256; the ceiling matches the plane pool."""
+    from ipes_data_pipeline_spark.operators.similarity import (
+        _AUTO_PLANES,
+        auto_plane_count,
+    )
+
+    assert auto_plane_count(0) == 4
+    assert auto_plane_count(1) == 4
+    assert auto_plane_count(256 * 16) == 4        # exactly 2^4 buckets
+    assert auto_plane_count(256 * 16 + 1) == 5    # first step past it
+    assert auto_plane_count(200_000) == 10        # the sf10 corpus
+    assert auto_plane_count(10**12) == len(_AUTO_PLANES)
+    # target_bucket is a real lever, not a constant
+    assert auto_plane_count(256 * 16, target_bucket=128) == 5
+
+
+def test_knn_autoplanes_clamps_to_fixed_at_fixture_scale(spark, sf_dir):
+    """dims=None at fixture N (< 4096 vectors) must reproduce q118's
+    fixed-plane result EXACTLY — the auto pool's first four planes are
+    the historical default, so the clamped twin is bit-identical."""
+    from ipes_data_pipeline_spark.operators.similarity import (
+        knn_graph_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fixed = knn_graph_bucketed(emb, "vec_id", "embedding", k=5)
+    auto = knn_graph_bucketed(emb, "vec_id", "embedding", k=5, dims=None)
+    key = lambda r: (r["id"], r["neighbor_id"], round(r["cos_sim"], 12))
+    assert sorted(map(key, auto.collect())) == sorted(
+        map(key, fixed.collect())
+    )
