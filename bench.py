@@ -80,6 +80,7 @@ HEADLINE = [
     "q110_variant_json",
     "q130_semdedup",
     "q130p_semdedup_sqrtn",
+    "q130a_semdedup_autocells",
     "q131_source_token_budget",
     "q133_hybrid_neardup",
     "q134_bm25_topk",

@@ -354,6 +354,45 @@ def q130p(spark, sf):
     )
 
 
+# Count-adaptive cell count: cells = N / target keeps the AVERAGE cell
+# size — and with it the per-task Gram work — constant as the corpus
+# grows, turning Σ|cell|² ≈ N·target into LINEAR pair growth (the sf10
+# decade measured q130's fixed-8-cells at 62× wall for 10× rows and
+# q130p's √N cells at 54×; constant cell size is the gear the operator
+# docstring says to shift into). GREATEST(8, ·) keeps tiny fixtures on
+# the q130 cell floor, which pins the twin bit-identical to the
+# already-verified oracle at sf≤0.1 (the q118a pattern).
+_SQL_LINEAR_CELLS = (
+    "(SELECT GREATEST(8, CAST(ceil(COUNT(*) / 256.0) AS BIGINT)) "
+    "FROM embeddings)"
+)
+
+
+@register(
+    "q130a_semdedup_autocells",
+    "dedup: q130 production twin #2 — SemDeDup with n_cells = "
+    "ceil(N/256) (constant ~256-row cells as the corpus grows). With "
+    "cells proportional to N, in-cell pairs Sigma|cell|^2 ~ 256*N grow "
+    "LINEARLY and per-task Gram blocks stay constant-size — the regime "
+    "a 100 TB corpus runs (SemDeDup at LAION scale fixes cluster SIZE "
+    "to bound per-task work; finer cells trade a little dedup recall "
+    "for it, exactly like q118a's bucket sizing). Value-checked at any "
+    "N: the Lloyd chain is bit-stable for ANY cell count and the SQL "
+    "twin sizes cells with the same ceil(COUNT(*)/256.0) scalar",
+    _q130_oracle(n_cells=_SQL_LINEAR_CELLS),  # type: ignore[arg-type]
+)
+def q130a(spark, sf):
+    import math
+
+    from ipes_data_pipeline_spark.operators.similarity import semdedup
+
+    emb = t(spark, sf, "embeddings")
+    n_cells = max(8, math.ceil(emb.count() / 256.0))
+    return semdedup(
+        emb, "vec_id", "embedding", n_cells=n_cells, threshold=0.3
+    )
+
+
 def _q71_oracle() -> str:
     # Identical gap (30 min) to the batch twin q55, so the streaming
     # result under AvailableNow is value-checkable against the same

@@ -25,6 +25,17 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Partitions must scale with input bytes, not stay pinned at the
+    # core count: the sf10 decade measured the wide exploded-
+    # intermediate plans (shingle/band rows) going superlinear when
+    # every exchange kept 32 partitions (SCALING.md round-5 A/B: q133
+    # 393->201 s / 347->145 s with 256 initial partitions, q39 a wash,
+    # q42f dominated by single-JVM memory noise). AQE makes a high
+    # initial count free for small stages: parallelismFirst coalesces
+    # them back to default parallelism, so sf0.1 plans are unchanged.
+    # Streaming state-store layout is untouched (it follows
+    # spark.sql.shuffle.partitions, which stays at the core count).
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     # Arrow for every pandas boundary (toPandas, pandas UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The testdata's events.parquet stores TIMESTAMP(NANOS); Spark's reader

@@ -737,3 +737,73 @@ def test_knn_autoplanes_clamps_to_fixed_at_fixture_scale(spark, sf_dir):
     assert sorted(map(key, auto.collect())) == sorted(
         map(key, fixed.collect())
     )
+
+
+def test_semdedup_autocells_clamps_to_fixed_at_fixture_scale(spark, sf_dir):
+    """q130a's ceil(N/256) sizing clamps to the 8-cell floor for N <=
+    2048, so at fixture scale the count-adaptive twin must reproduce
+    q130's fixed-cell verdicts EXACTLY (same pinning argument as the
+    q118a plane clamp). Above the floor the only change is n_cells —
+    a lever semdedup's bit-stable Lloyd chain already value-checks at
+    any count (q130p's sqrt(N) sizing)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ipes_data_pipeline_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    auto_cells = max(8, math.ceil(n / 256.0))
+    assert auto_cells == 8  # fixture is under the floor by design
+    fixed = semdedup(emb, "vec_id", "embedding", threshold=0.3)
+    auto = semdedup(
+        emb, "vec_id", "embedding", n_cells=auto_cells, threshold=0.3
+    )
+    key = lambda r: (r["id"], r["c_id"], r["dominator"], r["keep"])
+    assert sorted(map(key, auto.collect())) == sorted(
+        map(key, fixed.collect())
+    )
+
+
+def test_semdedup_finer_cells_verdicts_stay_internally_consistent(spark):
+    """Above the floor (synthetic 600 x 4 corpus forced to 12 cells —
+    the ceil(3000/256) shape scaled down): every dropped vector's
+    dominator must be a SMALLER-id SAME-CELL vector, and every kept
+    vector must have no such dominator — i.e. finer cells change which
+    pairs are COMPARED (recall lever), never the drop rule itself."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 4)
+    rows = [
+        (int(i), [float(x) for x in base[i % 60] + rng.randn(4) * 0.01])
+        for i in range(600)
+    ]
+    emb = spark.createDataFrame(rows, "id long, v array<double>")
+
+    from ipes_data_pipeline_spark.operators.similarity import semdedup
+
+    out = semdedup(emb, "id", "v", n_cells=12, threshold=0.9).collect()
+    by_cell: dict[int, list] = {}
+    for r in out:
+        by_cell.setdefault(r["c_id"], []).append(r)
+    assert len(by_cell) > 8  # the finer sizing actually took effect
+    vec = {i: np.array(v) for i, v in rows}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b) / (na * nb) if na and nb else float("nan")
+
+    for cell in by_cell.values():
+        ids = sorted(r["id"] for r in cell)
+        for r in cell:
+            sims = [
+                i
+                for i in ids
+                if i < r["id"] and cos(vec[i], vec[r["id"]]) >= 0.9
+            ]
+            if r["keep"]:
+                assert r["dominator"] is None and not sims
+            else:
+                assert r["dominator"] == min(sims)
