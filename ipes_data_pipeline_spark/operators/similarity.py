@@ -534,9 +534,21 @@ def _lloyd_centroid_list(
     n_cells: int,
     n_iter: int,
     max_train_bytes: int = 1 << 28,
+    train_limit: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """The Lloyd loop itself: ``emb(id, v: array<double>)`` → sorted
     ``[(c_id, centroid)]`` after ``n_iter`` rounds.
+
+    ``train_limit`` bounds the TRAINING set to the ``train_limit``
+    smallest-id rows (deterministic, SQL-expressible as ``ORDER BY id
+    LIMIT n`` — a TakeOrderedAndProject, no full sort): the FAISS
+    ``max_points_per_centroid`` practice. Without it, per-round Lloyd
+    work is O(N × cells × dim), which the round-5 sf10 campaign
+    measured turning the count-adaptive q130a twin QUADRATIC overall
+    (632 s — worse than the fixed-cell form it was meant to fix) the
+    moment cells grew with N. Centroid init (smallest ``n_cells`` ids)
+    is a prefix of the training sample, so fixture-scale corpora under
+    the limit are bit-identical with or without it.
 
     Two regimes, identical arithmetic (a pytest asserts they produce
     the same list on the fixture corpus):
@@ -569,6 +581,8 @@ def _lloyd_centroid_list(
     Sharing the list (not a DataFrame) lets callers like
     :func:`semdedup` skip a createDataFrame→collect round-trip.
     """
+    if train_limit is not None:
+        emb = emb.orderBy("id").limit(train_limit)
     stats = emb.agg(
         F.count(F.lit(1)).alias("n"),
         F.first(F.size("v"), ignorenulls=True).alias("dim"),
@@ -807,12 +821,26 @@ def _with_cells_arrow(emb: DataFrame, cent: list) -> DataFrame:
                 )
                 continue
             mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            d2 = np.zeros((len(mat), len(c_ids)))
-            for d in range(cmat.shape[1]):
-                diff = mat[:, d, None] - cmat[None, :, d]
-                d2 += diff * diff
-            rank = np.where(np.isnan(d2), np.inf, d2)
-            best = np.argmin(rank, axis=1)
+            # Row-blocked per-dimension fold with preallocated buffers:
+            # arithmetic is element-for-element identical to the naive
+            # `d2 += diff * diff` loop (same per-element op order, so
+            # IEEE results — and oracle verdicts — cannot move), but a
+            # 512-row block keeps diff/d2 resident in cache instead of
+            # streaming an N × cells temporary through DRAM per
+            # dimension (3× less memory traffic; this fold is the
+            # dominant cost of count-adaptive cell assignment at sf10).
+            best = np.empty(len(mat), dtype=np.int64)
+            blk = 512
+            for s in range(0, len(mat), blk):
+                m = mat[s : s + blk]
+                d2 = np.zeros((len(m), len(c_ids)))
+                diff = np.empty_like(d2)
+                for d in range(cmat.shape[1]):
+                    np.subtract(m[:, d, None], cmat[None, :, d], out=diff)
+                    np.multiply(diff, diff, out=diff)
+                    np.add(d2, diff, out=d2)
+                np.copyto(d2, np.inf, where=np.isnan(d2))
+                best[s : s + blk] = np.argmin(d2, axis=1)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy(),
@@ -873,6 +901,7 @@ def semdedup(
     n_iter: int = 3,
     threshold: float = 0.4,
     centroids: list[tuple[int, list[float]]] | None = None,
+    train_limit: int | None = None,
 ) -> DataFrame:
     """Semantic dedup, SemDeDup-shaped (Abbas et al. 2023, arXiv
     2303.09540): cluster embeddings, then prune within clusters only —
@@ -900,6 +929,10 @@ def semdedup(
     fold was measured 100× slower at 250k pairs), so the verdicts stay
     bit-identical cross-engine while task memory stays |cell| × chunk
     (``_GRAM_CHUNK_CELLS``-capped), never |cell|².
+
+    ``train_limit`` bounds Lloyd training to the smallest-id sample
+    (see :func:`_lloyd_centroid_list`) — mandatory once ``n_cells``
+    grows with the corpus, or training itself goes quadratic.
     """
     import numpy as np
     import pandas as pd
@@ -912,7 +945,7 @@ def semdedup(
     rows = (
         centroids
         if centroids is not None
-        else _lloyd_centroid_list(emb, n_cells, n_iter)
+        else _lloyd_centroid_list(emb, n_cells, n_iter, train_limit=train_limit)
     )
     if not rows:  # empty input: one verdict row per input vector = none
         return df.sparkSession.createDataFrame(

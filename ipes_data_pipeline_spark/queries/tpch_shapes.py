@@ -221,7 +221,9 @@ def _sql_lloyd_assign(src: str, cent: str, alias: str) -> str:
     FROM {src} e CROSS JOIN {cent} c) WHERE rn = 1)"""
 
 
-def _sql_lloyd_cells(n_cells: int | str = 8, n_iter: int = 3) -> str:
+def _sql_lloyd_cells(
+    n_cells: int | str = 8, n_iter: int = 3, train_limit: int | None = None
+) -> str:
     """Unrolled deterministic Lloyd rounds (the q42c unroll trick applied
     to k-means): init = n_cells smallest ids, assignment = argmin
     squared-L2 with centroid-id tie-break, update = per-dimension
@@ -229,21 +231,31 @@ def _sql_lloyd_cells(n_cells: int | str = 8, n_iter: int = 3) -> str:
     bit-stable cross-engine. Returns the CTE chain from ``emb`` through
     ``cells(id, c_id)`` — the shared prefix of every query over learned
     cells (q72 ANN, q130 semdedup)."""
+    # train_limit bounds the TRAINING rows to the smallest ids (the
+    # operator's FAISS-style sampling rule); the final assignment still
+    # covers the full corpus. trn == emb when unbounded, so existing
+    # oracle texts are unchanged.
+    src = "emb" if train_limit is None else "trn"
     rounds = []
     for r in range(n_iter):
-        rounds.append(_sql_lloyd_assign("emb", f"c{r}", f"a{r + 1}"))
+        rounds.append(_sql_lloyd_assign(src, f"c{r}", f"a{r + 1}"))
         rounds.append(f"""m{r + 1} AS (
   SELECT a.c_id, t.i AS pos,
          CAST(SUM(CAST(e.v[t.i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
-  FROM a{r + 1} a JOIN emb e USING (id) CROSS JOIN range(1, 65) t(i)
+  FROM a{r + 1} a JOIN {src} e USING (id) CROSS JOIN range(1, 65) t(i)
   GROUP BY a.c_id, t.i)""")
         rounds.append(
             f"c{r + 1} AS (SELECT c_id, list(m ORDER BY pos) AS c_vec "
             f"FROM m{r + 1} GROUP BY c_id)"
         )
     chain = ",\n".join(rounds)
+    trn = (
+        ""
+        if train_limit is None
+        else f"trn AS (SELECT id, v FROM emb ORDER BY id LIMIT {train_limit}),\n"
+    )
     return f"""emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c0 AS (SELECT id AS c_id, v AS c_vec FROM emb ORDER BY id LIMIT {n_cells}),
+{trn}c0 AS (SELECT id AS c_id, v AS c_vec FROM {src} ORDER BY id LIMIT {n_cells}),
 {chain},
 {_sql_lloyd_assign("emb", f"c{n_iter}", "cells")}"""
 
@@ -286,12 +298,17 @@ def q72(spark, sf):
     )
 
 
-def _q130_oracle(n_cells: int | str = 8, n_iter: int = 3, tau: float = 0.3) -> str:
+def _q130_oracle(
+    n_cells: int | str = 8,
+    n_iter: int = 3,
+    tau: float = 0.3,
+    train_limit: int | None = None,
+) -> str:
     from ipes_data_pipeline_spark.queries.dataops import _sql_cosine
 
     cos = _sql_cosine(a="a.v", b="b.v")
     return f"""
-WITH {_sql_lloyd_cells(n_cells, n_iter)},
+WITH {_sql_lloyd_cells(n_cells, n_iter, train_limit)},
 v AS (SELECT e.id, e.v, s.c_id FROM cells s JOIN emb e USING (id)),
 p AS (SELECT a.id AS id_a, b.id AS id_b
       FROM v a JOIN v b ON a.c_id = b.c_id AND a.id < b.id
@@ -329,18 +346,32 @@ _SQL_SQRTN_CELLS = (
 )
 
 
+#: FAISS-style bounded Lloyd training for the production twins: train
+#: centroids on the 16384 smallest-id vectors, assign the full corpus.
+#: Without it the round-5 sf10 campaign measured Lloyd itself going
+#: quadratic once cells grow with N (q130a full-training: 632 s —
+#: worse than the fixed-cell form it was meant to fix); with it,
+#: training is O(train_limit × cells × dim) regardless of corpus size.
+#: Fixture corpora are under the limit, so verdicts there are
+#: bit-identical with or without it.
+_TRAIN_LIMIT = 16384
+
+
 @register(
     "q130p_semdedup_sqrtn",
     "dedup: q130 production twin — SemDeDup with n_cells = ceil(sqrt(N)) "
-    "(the IVF sizing rule) instead of the oracle-pinned 8. With cells "
-    "fixed, Sigma|cell|^2 grows as N^2/cells: the round-5 sf1 bench "
-    "measured q130 8x wall for 10x rows. sqrt(N) cells bound both the "
-    "assignment work (N*sqrt(N)) and the in-cell Gram pairs (N^1.5) — "
-    "this twin is the shape a 100 TB corpus runs; q130 stays as the "
-    "fixed-cell oracle anchor. Still value-checked: the Lloyd chain is "
-    "bit-stable for ANY cell count, and the SQL twin sizes cells with "
-    "the same ceil(sqrt(COUNT(*))) via a scalar-subquery LIMIT",
-    _q130_oracle(n_cells=_SQL_SQRTN_CELLS),  # type: ignore[arg-type]
+    "(the IVF sizing rule) instead of the oracle-pinned 8, Lloyd trained "
+    "on the 16384 smallest-id vectors (FAISS max_points_per_centroid "
+    "practice; fixture scale is under the limit, so verdicts are "
+    "unchanged there). sqrt(N) cells bound the assignment work "
+    "(N*sqrt(N)) and the in-cell Gram pairs (N^1.5); bounded training "
+    "keeps the Lloyd rounds corpus-size-free. q130 stays as the fixed-"
+    "cell full-training oracle anchor. Still value-checked: the Lloyd "
+    "chain is bit-stable for ANY cell count and training subset, and "
+    "the SQL twin applies the same ORDER BY id LIMIT sampling",
+    _q130_oracle(
+        n_cells=_SQL_SQRTN_CELLS, train_limit=_TRAIN_LIMIT
+    ),  # type: ignore[arg-type]
 )
 def q130p(spark, sf):
     import math
@@ -350,7 +381,12 @@ def q130p(spark, sf):
     emb = t(spark, sf, "embeddings")
     n_cells = max(8, math.ceil(math.sqrt(emb.count())))
     return semdedup(
-        emb, "vec_id", "embedding", n_cells=n_cells, threshold=0.3
+        emb,
+        "vec_id",
+        "embedding",
+        n_cells=n_cells,
+        threshold=0.3,
+        train_limit=_TRAIN_LIMIT,
     )
 
 
@@ -371,15 +407,22 @@ _SQL_LINEAR_CELLS = (
 @register(
     "q130a_semdedup_autocells",
     "dedup: q130 production twin #2 — SemDeDup with n_cells = "
-    "ceil(N/256) (constant ~256-row cells as the corpus grows). With "
-    "cells proportional to N, in-cell pairs Sigma|cell|^2 ~ 256*N grow "
-    "LINEARLY and per-task Gram blocks stay constant-size — the regime "
-    "a 100 TB corpus runs (SemDeDup at LAION scale fixes cluster SIZE "
-    "to bound per-task work; finer cells trade a little dedup recall "
-    "for it, exactly like q118a's bucket sizing). Value-checked at any "
-    "N: the Lloyd chain is bit-stable for ANY cell count and the SQL "
-    "twin sizes cells with the same ceil(COUNT(*)/256.0) scalar",
-    _q130_oracle(n_cells=_SQL_LINEAR_CELLS),  # type: ignore[arg-type]
+    "ceil(N/256) (constant ~256-row cells as the corpus grows) and "
+    "Lloyd trained on the 16384 smallest-id vectors. Constant cell "
+    "size makes in-cell pairs Sigma|cell|^2 ~ 256*N grow LINEARLY and "
+    "per-task Gram blocks constant-size; bounded training is REQUIRED "
+    "here — with cells ~ N, full-corpus Lloyd is O(N^2/256) per round "
+    "and the sf10 campaign measured it at 632 s, worse than the fixed-"
+    "cell form (SCALING.md). Assignment remains O(N x cells) per pass "
+    "(distributed, Arrow kernel) — the flat-index cost every IVF pays; "
+    "past the scale where that dominates, the sublinear cell-finder "
+    "(hierarchical quantizer) or q130p's sqrt(N) sizing is the gear. "
+    "Value-checked at any N: the Lloyd chain is bit-stable for ANY "
+    "cell count and training subset; the SQL twin applies the same "
+    "ceil(COUNT(*)/256.0) scalar and ORDER BY id LIMIT sampling",
+    _q130_oracle(
+        n_cells=_SQL_LINEAR_CELLS, train_limit=_TRAIN_LIMIT
+    ),  # type: ignore[arg-type]
 )
 def q130a(spark, sf):
     import math
@@ -389,7 +432,12 @@ def q130a(spark, sf):
     emb = t(spark, sf, "embeddings")
     n_cells = max(8, math.ceil(emb.count() / 256.0))
     return semdedup(
-        emb, "vec_id", "embedding", n_cells=n_cells, threshold=0.3
+        emb,
+        "vec_id",
+        "embedding",
+        n_cells=n_cells,
+        threshold=0.3,
+        train_limit=_TRAIN_LIMIT,
     )
 
 

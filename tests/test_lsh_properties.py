@@ -807,3 +807,30 @@ def test_semdedup_finer_cells_verdicts_stay_internally_consistent(spark):
                 assert r["dominator"] is None and not sims
             else:
                 assert r["dominator"] == min(sims)
+
+
+def test_lloyd_train_limit_is_smallest_id_prefix_and_fixture_noop(spark):
+    """train_limit=L must train on exactly the L smallest-id rows (the
+    SQL twin's ORDER BY id LIMIT L), and be a no-op when N <= L — the
+    bit-identical-at-fixture-scale claim both production twins make."""
+    import numpy as np
+
+    from ipes_data_pipeline_spark.operators.similarity import (
+        _lloyd_centroid_list,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(4)]) for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "id long, v array<double>")
+
+    limited = _lloyd_centroid_list(emb, n_cells=10, n_iter=2, train_limit=150)
+    manual = _lloyd_centroid_list(
+        emb.filter("id < 150"), n_cells=10, n_iter=2
+    )
+    assert limited == manual
+
+    noop = _lloyd_centroid_list(emb, n_cells=10, n_iter=2, train_limit=1000)
+    full = _lloyd_centroid_list(emb, n_cells=10, n_iter=2)
+    assert noop == full
