@@ -1195,3 +1195,199 @@ def q146(spark, sf):
         "cum_tokens",
         F.coalesce(F.col("cum_tokens") <= 300, F.lit(False)).alias("selected"),
     )
+
+
+# ------------------------------------- paragraph-level exact dedup (CCNet)
+
+_PARA_W = 20  # tokens per paragraph unit; the splitter is pluggable
+
+
+def _q157_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+ks AS (SELECT doc_id, w,
+              unnest(range(0, CAST(ceil(len(w) / {_PARA_W}.0) AS BIGINT))) AS k
+       FROM d WHERE len(w) > 0),
+p AS (SELECT doc_id, CAST(k AS BIGINT) AS para_idx,
+             array_to_string(
+               w[CAST(k * {_PARA_W} + 1 AS INT) : CAST(k * {_PARA_W} + {_PARA_W} AS INT)],
+               ' ') AS para
+      FROM ks),
+firsts AS (
+  SELECT doc_id, para_idx, para FROM (
+    SELECT doc_id, para_idx, para,
+           ROW_NUMBER() OVER (PARTITION BY para
+                              ORDER BY doc_id, para_idx) AS rn
+    FROM p) z
+  WHERE rn = 1),
+kept AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                md5(string_agg(para, ' ' ORDER BY para_idx)) AS kept_md5
+         FROM firsts GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras
+        FROM p GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_paras,
+       COALESCE(kept.n_kept, 0) AS n_kept, kept.kept_md5 AS kept_md5
+FROM tot LEFT JOIN kept USING (doc_id)
+"""
+
+
+@register(
+    "q157_paragraph_dedup",
+    "curation: corpus-wide exact paragraph dedup (CCNet/RefinedWeb line "
+    "dedup) - keep each paragraph's first (doc_id, position) occurrence, "
+    "reassemble surviving docs",
+    _q157_oracle(),
+)
+def q157(spark, sf):
+    # CCNet-style exact paragraph dedup: the unit is a tumbling
+    # _PARA_W-token window (this corpus has no newlines; a real pipeline
+    # swaps in split-on-\n\n - every downstream step is unit-agnostic).
+    # First-occurrence selection is MIN(struct(doc_id, para_idx)) per
+    # paragraph - a hash aggregate with map-side partial combine, which
+    # is the scale-safe form: the window-function phrasing (row_number
+    # over paragraph partitions) funnels each paragraph's occurrence
+    # list through one task with no partial aggregation, so a
+    # boilerplate paragraph repeated 10^8 times makes one straggler.
+    # The aggregate output IS the kept set - no join back to the
+    # exploded stream. Three shuffles total (by para, by doc_id for
+    # reassembly, by doc_id for totals - AQE plans the last two
+    # exchanges at doc granularity, both tiny after the first combine).
+    d = spread(t(spark, sf, "documents")).select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    n_paras = F.ceil(F.size("w") / F.lit(_PARA_W)).cast("bigint")
+    ks = F.when(F.size("w") > 0, F.sequence(F.lit(0).cast("bigint"), n_paras - 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    p = (
+        d.select("doc_id", "w", F.explode(ks).alias("k"))
+        .select(
+            "doc_id",
+            F.col("k").alias("para_idx"),
+            F.concat_ws(
+                " ",
+                F.slice("w", (F.col("k") * _PARA_W + 1).cast("int"), _PARA_W),
+            ).alias("para"),
+        )
+        .transform(cut)  # feeds firsts + totals with different keys
+    )
+    firsts = (
+        p.groupBy("para")
+        .agg(F.min(F.struct("doc_id", "para_idx")).alias("f"))
+        .select(
+            F.col("f.doc_id").alias("doc_id"),
+            F.col("f.para_idx").alias("para_idx"),
+            "para",
+        )
+    )
+    kept = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                    lambda s: s["para"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    tot = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return tot.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        "kept_md5",
+    )
+
+
+# --------------------------- perplexity-bucketed mixing (CCNet head/mid/tail)
+
+
+def _q158_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+tk AS (SELECT doc_id, unnest(w) AS tok FROM d),
+tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, tok),
+vocab AS (SELECT tok, SUM(tf) AS cnt FROM tfc GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS n FROM vocab),
+s AS (SELECT tok, CAST(ROUND(LN(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) AS sp
+      FROM vocab, tot),
+scored AS (
+  SELECT tfc.doc_id,
+         CAST(CAST(SUM(CAST(tf AS DECIMAL(9,0)) * sp) AS DOUBLE)
+                / CAST(SUM(tf) AS DOUBLE) AS DOUBLE) AS mean_surprisal
+  FROM tfc JOIN s USING (tok) GROUP BY tfc.doc_id),
+b AS (SELECT doc_id, mean_surprisal,
+             CAST(NTILE(3) OVER (ORDER BY mean_surprisal, doc_id) AS INT)
+               AS bucket
+      FROM scored)
+SELECT doc_id, bucket, mean_surprisal,
+       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+          < CASE bucket WHEN 1 THEN 4503599627370496
+                        WHEN 2 THEN 2251799813685248
+                        ELSE 562949953421312 END) AS kept
+FROM b
+"""
+
+
+@register(
+    "q158_perplexity_bucket_mix",
+    "mixing: CCNet head/middle/tail perplexity terciles with per-tercile "
+    "content-addressed downsampling (keep 100%/50%/12.5%)",
+    _q158_oracle(),
+)
+def q158(spark, sf):
+    # The CCNet mixing step: bucket the corpus into LM-score terciles
+    # and keep buckets at different rates (head kept whole, tail
+    # decimated). Score = q98's corpus-unigram surprisal (LM-free, one
+    # tokenize pass). The keep decision is a pure function of doc_id
+    # (md5 bits vs an exact integer threshold = rate * 2^52) - stable
+    # under reshuffles and appends, no RNG state.
+    # Scale note: the exact-tercile NTILE sorts (doc_id, score) pairs
+    # through one window partition - fine for an oracle-pinned fixture,
+    # and the pairs are 16 bytes/doc, but the 100 TB production form
+    # replaces it with approx_percentile cutoffs (a mergeable one-pass
+    # sketch) and assigns buckets by comparison; only the boundary docs
+    # can differ, which is the documented trade.
+    tok_stream = (
+        spread(t(spark, sf, "documents"))
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    ).transform(cut)
+    vocab = tok_stream.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    sp = F.round(
+        F.ln(F.col("n").cast("double") / F.col("cnt").cast("double")), 6
+    ).cast("decimal(18,6)")
+    s = vocab.crossJoin(F.broadcast(total)).select("tok", sp.alias("sp"))
+    scored = (
+        tok_stream.join(F.broadcast(s), "tok")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum("sp").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_surprisal")
+        )
+    )
+    b = scored.select(
+        "doc_id",
+        "mean_surprisal",
+        F.ntile(3)
+        .over(W.orderBy("mean_surprisal", "doc_id"))
+        .cast("int")
+        .alias("bucket"),
+    )
+    bits = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    thresh = (
+        F.when(F.col("bucket") == 1, F.lit(4503599627370496))
+        .when(F.col("bucket") == 2, F.lit(2251799813685248))
+        .otherwise(F.lit(562949953421312))
+    )
+    return b.select(
+        "doc_id", "bucket", "mean_surprisal", (bits < thresh).alias("kept")
+    )

@@ -21,7 +21,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from ipes_data_pipeline_spark.queries import register, sql_davg, sql_dsum, t
-from ipes_data_pipeline_spark.queries import davg, dsum
+from ipes_data_pipeline_spark.queries import davg, dec, dsum
 
 
 @register(
@@ -155,21 +155,41 @@ def q69(spark, sf):
 
 
 def _run_available_now(stream_df, mode: str = "complete"):
-    """Run a bounded streaming query to a memory sink, return the result."""
+    """Run a bounded streaming query to a memory sink, return the result.
+
+    State partition sizing: a stateful streaming query creates one state
+    store per shuffle partition (FOUR per partition for a stream-stream
+    join: keyed + watermark index on each side), and every micro-batch
+    pays a per-store snapshot/commit regardless of row volume. At
+    fixture scale that fixed cost dominates — q115 measured 9.4 s at 4
+    state partitions vs 84 s at 32 on the same input — so bounded demo
+    runs plan with a small state-partition count. The knob is
+    ``spark.ipes.streamStatePartitions`` (default 8 here): on a real
+    cluster you size it to the expected keyed-state volume (it is
+    frozen into the checkpoint at first start), e.g. 2-4x executor
+    cores for a 100 TB keyed stream. Values are partition-count
+    independent; only wall clock moves.
+    """
     import uuid
 
     spark = stream_df.sparkSession
     name = f"srq_{uuid.uuid4().hex[:10]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    state_parts = spark.conf.get("spark.ipes.streamStatePartitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -752,3 +772,238 @@ def q140(spark, sf):
         .distinct()
     )
     return pagerank(nodes, edges, iterations=3, damping_pct=85)
+
+
+# ------------------------------------------------- round-5 TPC-H shapes
+# The remaining canonical decorrelation/pushdown patterns expressible
+# over the testdata's table subset (no partsupp, so Q2/Q11/Q16/Q20 are
+# out of reach). Reference parity: these widen the warehouse surface the
+# reference's query layer exercises via its SQL frontend; each shape is
+# the textbook plan problem, solved the way Catalyst wants it solved.
+
+
+@register(
+    "q151_tpch_q4_shape",
+    "TPC-H Q4 shape: EXISTS decorrelation - order-priority distribution "
+    "for orders with a returned line, one quarter",
+    """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1996-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_returnflag = 'R')
+       GROUP BY o.o_orderpriority""",
+)
+def q151(spark, sf):
+    # Q4's plan problem: EXISTS must become a left-semi hash join (one
+    # probe per order, no per-row re-scan) with BOTH filters pushed to
+    # their scans. lineitem keeps only (l_orderkey) past the filter, so
+    # the semi-join build side is one pruned column.
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q152_tpch_q5_shape",
+    "TPC-H Q5 shape: local-supplier volume - 6-way join closed by the "
+    "customer-nation = supplier-nation equality, per-nation revenue",
+    f"""SELECT n.n_name,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name""",
+)
+def q152(spark, sf):
+    # Q5's signature is the cycle-closing predicate s_nationkey =
+    # c_nationkey: it rides the supplier hash join as a second equi-key
+    # instead of becoming a post-join filter. nation+region broadcast;
+    # the fact-side join order (orders before lineitem) keeps the
+    # largest build side at |orders|, never |lineitem|.
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "q153_tpch_q13_shape",
+    "TPC-H Q13 shape: customer order-count distribution - filtered LEFT "
+    "join (predicate inside the join condition) + two-level aggregate",
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+       FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+             FROM customer c
+             LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                               AND o.o_orderstatus <> 'F'
+             GROUP BY c.c_custkey) per_cust
+       GROUP BY c_count""",
+)
+def q153(spark, sf):
+    # Q13's trap: the status predicate must live IN the left-join
+    # condition (filtering afterwards would delete the zero-order
+    # customers the query exists to count). COUNT(o_orderkey) counts
+    # only matched rows - null-aware for free. The outer aggregate is a
+    # few-hundred-group hash agg over the first one's output.
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q154_tpch_q15_shape",
+    "TPC-H Q15 shape: top supplier by quarterly revenue - reused agg "
+    "view + global-max scalar subquery, decimal-exact so ties are exact",
+    f"""WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
+)
+def q154(spark, sf):
+    # Q15's decorrelation: the scalar MAX over the same view becomes a
+    # 1-row broadcast joined back - the revenue aggregate is computed
+    # once and reused for both roles (Spark reuses the exchange; no
+    # second lineitem scan in the adaptive plan). Revenue is a
+    # decimal-exact sum, so "equal to the max" is well-defined
+    # cross-engine - with doubles this query would be flaky by design.
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("m"))
+    s = t(spark, sf, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("m"))
+        .join(s, s.s_suppkey == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q155_tpch_q17_shape",
+    "TPC-H Q17 shape: correlated per-group average decorrelated to a "
+    "grouped join - small-quantity-order revenue for one brand",
+    f"""WITH lim AS (
+          SELECT l_partkey, 0.2 * {sql_davg('l_quantity')} AS qlim
+          FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / 7.0 AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN lim ON lim.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23' AND l.l_quantity < lim.qlim""",
+)
+def q155(spark, sf):
+    # Q17's correlated scalar subquery (avg quantity of THIS part)
+    # decorrelates to one grouped aggregate joined back on the part key
+    # - lineitem is scanned twice, never per-row. The brand filter
+    # broadcast-semi-prunes both sides before the shuffle. The average
+    # is decimal-sum / count (identical IEEE division operands in both
+    # engines), so the < comparison is deterministic cross-engine.
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+    lim = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity"))).alias("qlim")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(lim, li.l_partkey == lim.l_partkey)
+        .where(li.l_quantity < F.col("qlim"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q156_tpch_q19_shape",
+    "TPC-H Q19 shape: disjunctive OR-of-ANDs predicate - brand/size/"
+    "quantity bands, revenue over the union of three windows",
+    f"""SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)""",
+)
+def q156(spark, sf):
+    # Q19's optimizer test: from the OR-of-ANDs Catalyst must derive the
+    # table-local residuals - part rows outside brand {12,23,34} x size
+    # 1..15 and lineitem rows outside quantity 1..30 can't satisfy ANY
+    # disjunct, so each scan is pre-filtered before the join and the
+    # full disjunction evaluates only on join survivors. Expressed as
+    # one declarative filter; the derived predicates show up in the
+    # scan's PushedFilters, not in hand-written plumbing.
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(band).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
