@@ -100,6 +100,14 @@ HEADLINE = [
     "q148_dedup_impact_by_source",
     "q149_snapshot_diff",
     "q150_scd2_merge",
+    "q151_tpch_q4_shape",
+    "q152_tpch_q5_shape",
+    "q153_tpch_q13_shape",
+    "q154_tpch_q15_shape",
+    "q155_tpch_q17_shape",
+    "q156_tpch_q19_shape",
+    "q157_paragraph_dedup",
+    "q158_perplexity_bucket_mix",
 ]
 
 

@@ -903,18 +903,23 @@ def q153(spark, sf):
 )
 def q154(spark, sf):
     # Q15's decorrelation: the scalar MAX over the same view becomes a
-    # 1-row broadcast joined back - the revenue aggregate is computed
-    # once and reused for both roles (Spark reuses the exchange; no
-    # second lineitem scan in the adaptive plan). Revenue is a
-    # decimal-exact sum, so "equal to the max" is well-defined
-    # cross-engine - with doubles this query would be flaky by design.
+    # 1-row broadcast joined back. The rev view feeds two plan subtrees
+    # (the max and the join), and exchange reuse does NOT dedupe them
+    # (verified: the adaptive final plan scanned lineitem twice), so the
+    # supplier-level aggregate - |suppliers| rows, the natural barrier -
+    # is cut once and both consumers read the materialized blocks.
+    # Revenue is a decimal-exact sum, so "equal to the max" is
+    # well-defined cross-engine - with doubles this query would be
+    # flaky by design.
+    from ipes_data_pipeline_spark.operators.util import cut
+
     li = t(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
-    )
+    ).transform(cut)
     top = rev.agg(F.max("total_revenue").alias("m"))
     s = t(spark, sf, "supplier")
     return (

@@ -327,3 +327,58 @@ def test_asof_join_single_key_shuffle(spark, sf_dir):
     assert p.count("hashpartitioning(") == 1
     for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert join_op not in p
+
+
+def test_q151_exists_becomes_semi_join_with_pruned_build(spark, sf_dir):
+    # EXISTS must plan as a left-semi hash join; the lineitem build side
+    # carries only the join key + filter column, with the returnflag
+    # predicate pushed into the scan.
+    df = q(spark, "q151_tpch_q4_shape", sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert_pushed_filters(df, "EqualTo(l_returnflag,R)")
+    li_schema = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "l_orderkey" in ln
+    ]
+    assert li_schema, f"no lineitem ReadSchema in plan:\n{plan}"
+    assert "l_returnflag" in li_schema[0]
+    for col in ("l_quantity", "l_extendedprice", "l_shipdate"):
+        assert col not in li_schema[0], f"{col} not pruned: {li_schema[0]}"
+
+
+def test_q156_disjunction_derives_scan_residuals(spark, sf_dir):
+    # From the OR-of-ANDs Catalyst must derive table-local residuals:
+    # the lineitem scan gets the quantity envelope, the part scan gets
+    # the size envelope - neither table streams unfiltered rows into
+    # the join.
+    df = q(spark, "q156_tpch_q19_shape", sf_dir)
+    assert_pushed_filters(
+        df,
+        "GreaterThanOrEqual(l_quantity,1.0)",
+        "LessThanOrEqual(l_quantity,30.0)",
+        "GreaterThanOrEqual(p_size,1)",
+    )
+    assert_no_cartesian(df)
+
+
+def test_q154_rev_view_computed_once(spark, sf_dir):
+    # The quarterly revenue view feeds both the global max and the
+    # equality join; without the cut() barrier the adaptive plan scanned
+    # lineitem twice. After the cut, the executed plan must contain no
+    # lineitem file scan at all (both consumers read the materialized
+    # supplier-level aggregate).
+    df = q(spark, "q154_tpch_q15_shape", sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in final
+
+
+def test_q157_first_occurrence_is_partial_aggregate(spark, sf_dir):
+    # Paragraph first-occurrence selection must be a min(struct) hash
+    # aggregate (map-side partial combine - skew-safe on boilerplate
+    # paragraphs), never a row_number window over paragraph partitions.
+    plan = formatted_plan(q(spark, "q157_paragraph_dedup", sf_dir))
+    assert "partial_min" in plan
+    assert "row_number" not in plan
