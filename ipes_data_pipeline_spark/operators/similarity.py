@@ -1116,3 +1116,125 @@ def ann_topk_ivf(
         .orderBy(F.desc("cos_sim"), F.asc("id"))
         .limit(k)
     )
+
+
+def _d2_fold(v, cv):
+    """Sequential squared-L2 fold over paired arrays — the exact IEEE
+    op order of the SQL oracle's ``list_reduce`` (and of every other d2
+    in this module: see :func:`_with_cells`)."""
+    diff2 = F.zip_with(
+        v,
+        cv,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 16,
+    n_iter: int = 3,
+    train_limit: int | None = None,
+) -> DataFrame:
+    """Product-quantization ANN with an asymmetric-distance (ADC) scan
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011) — the memory gear of the ANN family: vectors live as
+    ``m`` one-byte codes instead of ``dim`` floats (64 doubles -> 4
+    codes here = 128x), which is what makes a 100 TB embedding corpus
+    scannable at all.
+
+    Index build: the vector is split into ``m`` subvectors; each
+    subspace trains its own deterministic Lloyd codebook of ``ksub``
+    centroids (:func:`_lloyd_centroid_list` — min-id seeds, decimal
+    means, bounded by ``train_limit`` exactly like the IVF family) and
+    every vector is encoded as its per-subspace nearest-centroid ids
+    (:func:`_with_cells` — a zero-shuffle map stage per subspace).
+
+    Query (ADC): the query is NOT encoded; per subspace a ``ksub``-row
+    distance table d2(q_sub, centroid) is computed once, and the
+    approximate distance of a database vector is the sum of ``m`` table
+    lookups — no float vector is touched during the scan. Here the
+    lookup is a broadcast join of the (m x ksub)-row table against the
+    exploded code stream, then one map-side-combined SUM per id and a
+    TakeOrderedAndProject: shuffle volume is |corpus| single-decimal
+    rows, scan volume is codes only.
+
+    Cross-engine value-checkability (q159): codebooks are bit-stable
+    (the q72 Lloyd argument, per subspace), encode assignments are the
+    pinned argmin fold, each table entry is rounded to DECIMAL(18,6)
+    (Spark round == DuckDB ROUND: half away from zero on the
+    non-negative domain), and the m-term ADC sum is exact decimal —
+    summation order cannot move it.
+
+    ``query_df`` must hold exactly ONE query row (the q72 contract);
+    batch queries compose by looping, or carry a q_id through the
+    distance table and group by (q_id, id).
+
+    At 100 TB: codebooks are m x ksub x dsub doubles (driver-sized
+    forever); training reads ``train_limit`` rows; encode is one map
+    pass over the corpus; the ADC scan reads 1/32nd the bytes of a
+    float scan and its only exchange carries one decimal per vector.
+    Recall is the PQ trade (codes quantize): composes with the IVF
+    cells (:func:`ann_topk_ivf_kmeans_lloyd`) for IVFPQ, where the
+    scan also prunes to n_probe cells.
+    """
+    emb = cut(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )  # referenced by m training collects + m encode passes
+    first = emb.select(F.size("v").alias("d")).first()
+    dim = first["d"] if first else 0
+    if not dim:
+        return df.sparkSession.createDataFrame([], "id long, adc_d2 double")
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
+    dsub = dim // m
+    q = query_df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    spark = df.sparkSession
+    codes_parts, dtab_parts = [], []
+    for j in range(m):
+        sub = emb.select(
+            "id", F.slice("v", j * dsub + 1, dsub).alias("v")
+        )
+        cent = _lloyd_centroid_list(
+            sub, ksub, n_iter, train_limit=train_limit
+        )
+        if not cent:
+            return spark.createDataFrame([], "id long, adc_d2 double")
+        codes_parts.append(
+            _with_cells(sub, cent).select(
+                "id", F.lit(j).alias("sub_j"), F.col("c_id").alias("code")
+            )
+        )
+        cent_df = spark.createDataFrame(cent, "c_id long, c_vec array<double>")
+        qsub = q.select(F.slice("v", j * dsub + 1, dsub).alias("qv"))
+        dtab_parts.append(
+            cent_df.crossJoin(F.broadcast(qsub)).select(
+                F.lit(j).alias("sub_j"),
+                F.col("c_id").alias("code"),
+                F.round(_d2_fold(F.col("qv"), F.col("c_vec")), 6)
+                .cast("decimal(18,6)")
+                .alias("d2"),
+            )
+        )
+    codes = codes_parts[0]
+    for c in codes_parts[1:]:
+        codes = codes.unionAll(c)
+    dtab = dtab_parts[0]
+    for d in dtab_parts[1:]:
+        dtab = dtab.unionAll(d)
+    return (
+        codes.join(F.broadcast(dtab), ["sub_j", "code"])
+        .groupBy("id")
+        .agg(F.sum("d2").cast("double").alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.asc("id"))
+        .limit(k)
+    )

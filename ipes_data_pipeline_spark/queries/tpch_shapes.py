@@ -1012,3 +1012,75 @@ def q156(spark, sf):
     return j.where(band).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
     )
+
+
+# ------------------------------------------- product-quantization ANN
+
+
+def _q159_oracle(
+    m: int = 4, dsub: int = 16, ksub: int = 16, n_iter: int = 3,
+    qid: int = 7, k: int = 10,
+) -> str:
+    """Per-subspace deterministic Lloyd codebooks + ADC sum — the PQ
+    twin of the q72 chain, one `_sql_lloyd_assign` family per subspace
+    over the sliced vectors."""
+    from ipes_data_pipeline_spark.queries.prep import _SQL_L2
+
+    ctes = [
+        "emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)"
+    ]
+    parts = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        s = f"s{j}"
+        ctes.append(f"{s} AS (SELECT id, v[{lo}:{hi}] AS v FROM emb)")
+        ctes.append(
+            f"{s}c0 AS (SELECT id AS c_id, v AS c_vec FROM {s} "
+            f"ORDER BY id LIMIT {ksub})"
+        )
+        for r in range(n_iter):
+            ctes.append(_sql_lloyd_assign(s, f"{s}c{r}", f"{s}a{r + 1}"))
+            ctes.append(f"""{s}m{r + 1} AS (
+  SELECT a.c_id, t.i AS pos,
+         CAST(SUM(CAST(e.v[t.i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+  FROM {s}a{r + 1} a JOIN {s} e USING (id) CROSS JOIN range(1, {dsub + 1}) t(i)
+  GROUP BY a.c_id, t.i)""")
+            ctes.append(
+                f"{s}c{r + 1} AS (SELECT c_id, list(m ORDER BY pos) AS c_vec "
+                f"FROM {s}m{r + 1} GROUP BY c_id)"
+            )
+        ctes.append(_sql_lloyd_assign(s, f"{s}c{n_iter}", f"{s}codes"))
+        d2 = _SQL_L2.format(a="q.v", b="c.c_vec")
+        ctes.append(f"{s}q AS (SELECT v[{lo}:{hi}] AS v FROM emb WHERE id = {qid})")
+        ctes.append(
+            f"{s}dt AS (SELECT c.c_id, CAST(ROUND({d2}, 6) AS DECIMAL(18,6)) AS d2 "
+            f"FROM {s}c{n_iter} c CROSS JOIN {s}q q)"
+        )
+        parts.append(
+            f"SELECT sc.id, dt.d2 FROM {s}codes sc "
+            f"JOIN {s}dt dt ON sc.c_id = dt.c_id"
+        )
+    union = " UNION ALL ".join(parts)
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT id, CAST(SUM(d2) AS DOUBLE) AS adc_d2
+FROM ({union}) u
+GROUP BY id ORDER BY adc_d2 ASC, id ASC LIMIT {k}"""
+
+
+@register(
+    "q159_pq_ann",
+    "similarity search: product-quantization ANN with ADC scan (Jegou "
+    "2011) - per-subspace deterministic Lloyd codebooks, vectors live "
+    "as m=4 codes, distance = sum of m table lookups; value-checks "
+    "cross-engine like q72",
+    _q159_oracle(),
+)
+def q159(spark, sf):
+    from ipes_data_pipeline_spark.operators.similarity import pq_topk
+
+    emb = t(spark, sf, "embeddings")
+    return pq_topk(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 7), k=10
+    )
