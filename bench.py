@@ -108,6 +108,7 @@ HEADLINE = [
     "q156_tpch_q19_shape",
     "q157_paragraph_dedup",
     "q158_perplexity_bucket_mix",
+    "q159_pq_ann",
 ]
 
 
