@@ -763,19 +763,11 @@ def _with_cells(emb: DataFrame, cent: list) -> DataFrame:
         [(cent,)], "cents array<struct<c_id:long,c_vec:array<double>>>"
     )
 
-    def d2(v, cv):
-        diff2 = F.zip_with(
-            v,
-            cv,
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        )
-        return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
-
     cand = F.transform(
         F.col("cents"),
         lambda c: F.struct(
-            d2(F.col("v"), c["c_vec"]).alias("d2"), c["c_id"].alias("c_id")
+            _d2_fold(F.col("v"), c["c_vec"]).alias("d2"),
+            c["c_id"].alias("c_id"),
         ),
     )
     return emb.crossJoin(F.broadcast(cent_row)).select(
@@ -1172,7 +1164,9 @@ def pq_topk(
     non-negative domain), and the m-term ADC sum is exact decimal —
     summation order cannot move it.
 
-    ``query_df`` must hold exactly ONE query row (the q72 contract);
+    ``query_df`` must hold exactly ONE query row — enforced (the query
+    vector is collected once to the driver, which both pins the
+    contract and avoids re-executing the query plan per subspace);
     batch queries compose by looping, or carry a q_id through the
     distance table and group by (q_id, id).
 
@@ -1184,21 +1178,40 @@ def pq_topk(
     cells (:func:`ann_topk_ivf_kmeans_lloyd`) for IVFPQ, where the
     scan also prunes to n_probe cells.
     """
-    emb = cut(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-    )  # referenced by m training collects + m encode passes
-    first = emb.select(F.size("v").alias("d")).first()
-    dim = first["d"] if first else 0
+    emb = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    spark = df.sparkSession
+
+    def _empty():  # preserves the caller's id type
+        return emb.select(
+            "id", F.lit(None).cast("double").alias("adc_d2")
+        ).where(F.lit(False))
+
+    # validate BEFORE the eager cut — at corpus scale a full
+    # materialization must not be spent on an argument error; max()
+    # skips null vectors (a null-vector first row must not read as an
+    # empty corpus)
+    dim = emb.agg(F.max(F.size("v"))).first()[0] or 0
     if not dim:
-        return df.sparkSession.createDataFrame([], "id long, adc_d2 double")
+        return _empty()
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
     dsub = dim // m
-    q = query_df.select(F.col(vec_col).cast("array<double>").alias("v"))
-    spark = df.sparkSession
+    # ONE execution of the query plan; also enforces the one-row contract
+    qrows = query_df.select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    if len(qrows) != 1:
+        raise ValueError(
+            f"pq_topk expects exactly one query row, got {len(qrows)}"
+        )
+    qv = [float(x) for x in qrows[0]["v"]]
+    if len(qv) != dim:
+        raise ValueError(f"query dim {len(qv)} != corpus dim {dim}")
+    q_row = spark.createDataFrame([(qv,)], "qv array<double>")
+    emb = cut(emb)  # referenced by m training collects + m encode passes
     codes_parts, dtab_parts = [], []
     for j in range(m):
         sub = emb.select(
@@ -1208,14 +1221,14 @@ def pq_topk(
             sub, ksub, n_iter, train_limit=train_limit
         )
         if not cent:
-            return spark.createDataFrame([], "id long, adc_d2 double")
+            return _empty()
         codes_parts.append(
             _with_cells(sub, cent).select(
                 "id", F.lit(j).alias("sub_j"), F.col("c_id").alias("code")
             )
         )
         cent_df = spark.createDataFrame(cent, "c_id long, c_vec array<double>")
-        qsub = q.select(F.slice("v", j * dsub + 1, dsub).alias("qv"))
+        qsub = q_row.select(F.slice("qv", j * dsub + 1, dsub).alias("qv"))
         dtab_parts.append(
             cent_df.crossJoin(F.broadcast(qsub)).select(
                 F.lit(j).alias("sub_j"),

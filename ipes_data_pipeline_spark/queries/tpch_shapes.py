@@ -187,7 +187,12 @@ def _run_available_now(stream_df, mode: str = "complete"):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            # Timed out: stop the orphan (or the memory table keeps
+            # mutating under the caller) and fail loudly — a partial
+            # table would surface as a baffling oracle value diff.
+            q.stop()
+            raise TimeoutError(f"bounded streaming query {name} exceeded 120s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -241,6 +246,31 @@ def _sql_lloyd_assign(src: str, cent: str, alias: str) -> str:
     FROM {src} e CROSS JOIN {cent} c) WHERE rn = 1)"""
 
 
+def _sql_lloyd_rounds(
+    src: str, n_iter: int, dim: int = 64, prefix: str = ""
+) -> list[str]:
+    """The per-round assign/mean/rebuild CTE triple, shared by every
+    Lloyd-trained oracle (q72/q130 full-vector chains via
+    :func:`_sql_lloyd_cells`, q159's per-subspace codebooks).
+    ``prefix`` namespaces the CTEs so several chains coexist in one
+    WITH; defaults reproduce the historical q72/q130 text byte-for-byte."""
+    rounds = []
+    for r in range(n_iter):
+        rounds.append(
+            _sql_lloyd_assign(src, f"{prefix}c{r}", f"{prefix}a{r + 1}")
+        )
+        rounds.append(f"""{prefix}m{r + 1} AS (
+  SELECT a.c_id, t.i AS pos,
+         CAST(SUM(CAST(e.v[t.i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+  FROM {prefix}a{r + 1} a JOIN {src} e USING (id) CROSS JOIN range(1, {dim + 1}) t(i)
+  GROUP BY a.c_id, t.i)""")
+        rounds.append(
+            f"{prefix}c{r + 1} AS (SELECT c_id, list(m ORDER BY pos) AS c_vec "
+            f"FROM {prefix}m{r + 1} GROUP BY c_id)"
+        )
+    return rounds
+
+
 def _sql_lloyd_cells(
     n_cells: int | str = 8, n_iter: int = 3, train_limit: int | None = None
 ) -> str:
@@ -256,19 +286,7 @@ def _sql_lloyd_cells(
     # covers the full corpus. trn == emb when unbounded, so existing
     # oracle texts are unchanged.
     src = "emb" if train_limit is None else "trn"
-    rounds = []
-    for r in range(n_iter):
-        rounds.append(_sql_lloyd_assign(src, f"c{r}", f"a{r + 1}"))
-        rounds.append(f"""m{r + 1} AS (
-  SELECT a.c_id, t.i AS pos,
-         CAST(SUM(CAST(e.v[t.i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
-  FROM a{r + 1} a JOIN {src} e USING (id) CROSS JOIN range(1, 65) t(i)
-  GROUP BY a.c_id, t.i)""")
-        rounds.append(
-            f"c{r + 1} AS (SELECT c_id, list(m ORDER BY pos) AS c_vec "
-            f"FROM m{r + 1} GROUP BY c_id)"
-        )
-    chain = ",\n".join(rounds)
+    chain = ",\n".join(_sql_lloyd_rounds(src, n_iter))
     trn = (
         ""
         if train_limit is None
@@ -1022,7 +1040,7 @@ def _q159_oracle(
     qid: int = 7, k: int = 10,
 ) -> str:
     """Per-subspace deterministic Lloyd codebooks + ADC sum — the PQ
-    twin of the q72 chain, one `_sql_lloyd_assign` family per subspace
+    twin of the q72 chain: one `_sql_lloyd_rounds` family per subspace
     over the sliced vectors."""
     from ipes_data_pipeline_spark.queries.prep import _SQL_L2
 
@@ -1039,17 +1057,7 @@ def _q159_oracle(
             f"{s}c0 AS (SELECT id AS c_id, v AS c_vec FROM {s} "
             f"ORDER BY id LIMIT {ksub})"
         )
-        for r in range(n_iter):
-            ctes.append(_sql_lloyd_assign(s, f"{s}c{r}", f"{s}a{r + 1}"))
-            ctes.append(f"""{s}m{r + 1} AS (
-  SELECT a.c_id, t.i AS pos,
-         CAST(SUM(CAST(e.v[t.i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
-  FROM {s}a{r + 1} a JOIN {s} e USING (id) CROSS JOIN range(1, {dsub + 1}) t(i)
-  GROUP BY a.c_id, t.i)""")
-            ctes.append(
-                f"{s}c{r + 1} AS (SELECT c_id, list(m ORDER BY pos) AS c_vec "
-                f"FROM {s}m{r + 1} GROUP BY c_id)"
-            )
+        ctes.extend(_sql_lloyd_rounds(s, n_iter, dim=dsub, prefix=s))
         ctes.append(_sql_lloyd_assign(s, f"{s}c{n_iter}", f"{s}codes"))
         d2 = _SQL_L2.format(a="q.v", b="c.c_vec")
         ctes.append(f"{s}q AS (SELECT v[{lo}:{hi}] AS v FROM emb WHERE id = {qid})")

@@ -435,3 +435,25 @@ def test_grouped_topk_null_ordering_matches_window(spark):
             .collect()
         }
         assert got == expected, (descending, got, expected)
+
+
+def test_pq_topk_contract_and_recall(spark):
+    """PQ ADC top-k: the one-row query contract is enforced, distances
+    are non-negative and ascending, and the quantized top-1 for a query
+    that IS a corpus vector must place that vector first (its own
+    reconstruction error is minimal by construction on this separated
+    fixture)."""
+    import pytest
+
+    from ipes_data_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q7 = emb.filter("vec_id = 7")
+    top = S.pq_topk(emb, "vec_id", "embedding", q7, k=5).collect()
+    assert len(top) == 5
+    dists = [r["adc_d2"] for r in top]
+    assert dists == sorted(dists) and all(d >= 0.0 for d in dists)
+    assert top[0]["id"] == 7
+
+    with pytest.raises(ValueError, match="exactly one query row"):
+        S.pq_topk(emb, "vec_id", "embedding", emb.limit(2), k=5)
