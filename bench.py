@@ -109,6 +109,7 @@ HEADLINE = [
     "q157_paragraph_dedup",
     "q158_perplexity_bucket_mix",
     "q159_pq_ann",
+    "q160_ivfpq_ann",
 ]
 
 

@@ -1210,20 +1210,46 @@ def pq_topk(
     qv = [float(x) for x in qrows[0]["v"]]
     if len(qv) != dim:
         raise ValueError(f"query dim {len(qv)} != corpus dim {dim}")
-    q_row = spark.createDataFrame([(qv,)], "qv array<double>")
     emb = cut(emb)  # referenced by m training collects + m encode passes
+    adc = _pq_adc_scan(emb, emb, qv, m, dsub, ksub, n_iter, train_limit)
+    if adc is None:
+        return _empty()
+    return adc.orderBy(F.asc("adc_d2"), F.asc("id")).limit(k)
+
+
+def _pq_adc_scan(
+    train_src: DataFrame,
+    encode_src: DataFrame,
+    qv: list[float],
+    m: int,
+    dsub: int,
+    ksub: int,
+    n_iter: int,
+    train_limit: int | None,
+) -> DataFrame | None:
+    """The PQ core shared by :func:`pq_topk` and :func:`ivfpq_topk`:
+    train per-subspace codebooks on ``train_src``, encode ``encode_src``
+    (both ``(id, v)`` frames; they differ when an IVF stage pruned the
+    scan set), build the query's m distance tables, and return the
+    un-truncated ``(id, adc_d2)`` frame. ``None`` when a subspace
+    trains empty (empty corpus)."""
+    spark = train_src.sparkSession
+    q_row = spark.createDataFrame([(qv,)], "qv array<double>")
     codes_parts, dtab_parts = [], []
     for j in range(m):
-        sub = emb.select(
+        sub = train_src.select(
             "id", F.slice("v", j * dsub + 1, dsub).alias("v")
         )
         cent = _lloyd_centroid_list(
             sub, ksub, n_iter, train_limit=train_limit
         )
         if not cent:
-            return _empty()
+            return None
+        sub_enc = encode_src.select(
+            "id", F.slice("v", j * dsub + 1, dsub).alias("v")
+        )
         codes_parts.append(
-            _with_cells(sub, cent).select(
+            _with_cells(sub_enc, cent).select(
                 "id", F.lit(j).alias("sub_j"), F.col("c_id").alias("code")
             )
         )
@@ -1248,6 +1274,91 @@ def pq_topk(
         codes.join(F.broadcast(dtab), ["sub_j", "code"])
         .groupBy("id")
         .agg(F.sum("d2").cast("double").alias("adc_d2"))
-        .orderBy(F.asc("adc_d2"), F.asc("id"))
-        .limit(k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    n_iter: int = 3,
+    train_limit: int | None = None,
+) -> DataFrame:
+    """IVFPQ: the coarse IVF stage prunes the scan to the query's
+    ``n_probe`` nearest learned cells, then the PQ/ADC stage
+    (:func:`_pq_adc_scan`) scores only the survivors — FAISS's
+    ``IndexIVFPQ`` composition, which is THE standard shape for
+    billion-vector search: the IVF cut bounds scan rows
+    (~``n_probe/n_cells`` of the corpus), the codes bound scan bytes
+    (m per vector), and both index structures (coarse centroids +
+    subspace codebooks) stay driver-sized forever.
+
+    Determinism = the q72 coarse chain + the q159 PQ chain, composed:
+    cells rank by the same sequential-fold squared L2 with c_id
+    tie-break (the probe list is therefore bit-stable), and the ADC sum
+    is exact decimal — hence the cross-engine value oracle (q160).
+
+    This is the non-residual form (global codebooks over raw vectors).
+    Faithful IVFPQ quantizes per-cell RESIDUALS (v - coarse_centroid),
+    buying accuracy at the cost of per-cell distance tables; the
+    residual subtraction is exact IEEE and would oracle the same way —
+    it is the documented next gear, not a semantics change.
+    """
+    emb = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def _empty():
+        return emb.select(
+            "id", F.lit(None).cast("double").alias("adc_d2")
+        ).where(F.lit(False))
+
+    dim = emb.agg(F.max(F.size("v"))).first()[0] or 0
+    if not dim:
+        return _empty()
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
+    dsub = dim // m
+    qrows = query_df.select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    if len(qrows) != 1:
+        raise ValueError(
+            f"ivfpq_topk expects exactly one query row, got {len(qrows)}"
+        )
+    qv = [float(x) for x in qrows[0]["v"]]
+    if len(qv) != dim:
+        raise ValueError(f"query dim {len(qv)} != corpus dim {dim}")
+    emb = cut(emb)  # coarse training + assignment + m PQ passes
+    coarse = _lloyd_centroid_list(emb, n_cells, n_iter, train_limit=train_limit)
+    if not coarse:
+        return _empty()
+    # rank cells driver-side with the pinned sequential fold (the SQL
+    # oracle's list_reduce order), ties to the lower c_id — the probe
+    # list is a pure function of (query, centroids)
+    def _d2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    probes = [
+        cid
+        for _, cid in sorted((_d2(qv, cv), cid) for cid, cv in coarse)[:n_probe]
+    ]
+    cand = (
+        _with_cells(emb, coarse)
+        .where(F.col("c_id").isin(probes))
+        .select("id", "v")
+    )
+    adc = _pq_adc_scan(emb, cand, qv, m, dsub, ksub, n_iter, train_limit)
+    if adc is None:
+        return _empty()
+    return adc.orderBy(F.asc("adc_d2"), F.asc("id")).limit(k)

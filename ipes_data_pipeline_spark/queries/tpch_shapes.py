@@ -1092,3 +1092,66 @@ def q159(spark, sf):
     return pq_topk(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 7), k=10
     )
+
+
+def _q160_oracle(
+    n_cells: int = 8, n_probe: int = 2, m: int = 4, dsub: int = 16,
+    ksub: int = 16, n_iter: int = 3, qid: int = 7, k: int = 10,
+) -> str:
+    """IVFPQ = the q72 coarse chain + the q159 subspace chains, composed:
+    probe cells ranked by centroid distance, codes semi-joined to the
+    probed candidates, ADC sum over the survivors."""
+    from ipes_data_pipeline_spark.queries.prep import _SQL_L2
+
+    ctes = [_sql_lloyd_cells(n_cells, n_iter)]
+    qd2 = _SQL_L2.format(a="q.v", b="c.c_vec")
+    ctes.append(f"qv AS (SELECT id, v FROM emb WHERE id = {qid})")
+    ctes.append(
+        f"qcells AS (SELECT c.c_id FROM c{n_iter} c CROSS JOIN qv q "
+        f"ORDER BY {qd2} ASC, c.c_id ASC LIMIT {n_probe})"
+    )
+    ctes.append("cand AS (SELECT s.id FROM cells s JOIN qcells USING (c_id))")
+    parts = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        s = f"s{j}"
+        ctes.append(f"{s} AS (SELECT id, v[{lo}:{hi}] AS v FROM emb)")
+        ctes.append(
+            f"{s}c0 AS (SELECT id AS c_id, v AS c_vec FROM {s} "
+            f"ORDER BY id LIMIT {ksub})"
+        )
+        ctes.extend(_sql_lloyd_rounds(s, n_iter, dim=dsub, prefix=s))
+        ctes.append(_sql_lloyd_assign(s, f"{s}c{n_iter}", f"{s}codes"))
+        d2 = _SQL_L2.format(a="q.v", b="c.c_vec")
+        ctes.append(f"{s}q AS (SELECT v[{lo}:{hi}] AS v FROM emb WHERE id = {qid})")
+        ctes.append(
+            f"{s}dt AS (SELECT c.c_id, CAST(ROUND({d2}, 6) AS DECIMAL(18,6)) AS d2 "
+            f"FROM {s}c{n_iter} c CROSS JOIN {s}q q)"
+        )
+        parts.append(
+            f"SELECT sc.id, dt.d2 FROM {s}codes sc "
+            f"JOIN {s}dt dt ON sc.c_id = dt.c_id"
+        )
+    union = " UNION ALL ".join(parts)
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT u.id AS id, CAST(SUM(u.d2) AS DOUBLE) AS adc_d2
+FROM ({union}) u JOIN cand ON u.id = cand.id
+GROUP BY u.id ORDER BY adc_d2 ASC, u.id ASC LIMIT {k}"""
+
+
+@register(
+    "q160_ivfpq_ann",
+    "similarity search: IVFPQ ANN (FAISS IndexIVFPQ shape) - coarse "
+    "learned cells prune the scan to n_probe=2 of 8 cells, PQ codes "
+    "bound scan bytes, ADC sum scores survivors; q72's coarse chain "
+    "composed with q159's subspace chains, value-checked cross-engine",
+    _q160_oracle(),
+)
+def q160(spark, sf):
+    from ipes_data_pipeline_spark.operators.similarity import ivfpq_topk
+
+    emb = t(spark, sf, "embeddings")
+    return ivfpq_topk(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 7), k=10
+    )

@@ -457,3 +457,27 @@ def test_pq_topk_contract_and_recall(spark):
 
     with pytest.raises(ValueError, match="exactly one query row"):
         S.pq_topk(emb, "vec_id", "embedding", emb.limit(2), k=5)
+
+
+def test_ivfpq_probe_all_equals_pq(spark):
+    """IVFPQ with n_probe = n_cells degenerates to the plain PQ ADC
+    scan (the coarse stage prunes nothing): outputs must be identical
+    row for row. With n_probe=1 the result is a subset of the corpus
+    scored by the same tables and the self-query still lands first
+    (its own cell is by definition the nearest probe)."""
+    from ipes_data_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q7 = emb.filter("vec_id = 7")
+    full = [tuple(r) for r in S.pq_topk(emb, "vec_id", "embedding", q7, k=8).collect()]
+    all_probe = [
+        tuple(r)
+        for r in S.ivfpq_topk(
+            emb, "vec_id", "embedding", q7, k=8, n_cells=8, n_probe=8
+        ).collect()
+    ]
+    assert full == all_probe
+    one = S.ivfpq_topk(
+        emb, "vec_id", "embedding", q7, k=8, n_cells=8, n_probe=1
+    ).collect()
+    assert one and one[0]["id"] == 7
