@@ -108,6 +108,7 @@ HEADLINE = [
     "q156_tpch_q19_shape",
     "q157_paragraph_dedup",
     "q158_perplexity_bucket_mix",
+    "q158p_perplexity_bucket_scalable",
     "q159_pq_ann",
     "q160_ivfpq_ann",
 ]

@@ -1349,10 +1349,10 @@ def q158(spark, sf):
     # under reshuffles and appends, no RNG state.
     # Scale note: the exact-tercile NTILE sorts (doc_id, score) pairs
     # through one window partition - fine for an oracle-pinned fixture,
-    # and the pairs are 16 bytes/doc, but the 100 TB production form
-    # replaces it with approx_percentile cutoffs (a mergeable one-pass
-    # sketch) and assigns buckets by comparison; only the boundary docs
-    # can differ, which is the documented trade.
+    # and the pairs are 16 bytes/doc, but the 100 TB production form is
+    # q158p: tercile cutoffs from a mergeable score histogram, buckets
+    # assigned by comparison; only boundary docs can differ, which is
+    # the documented trade (the q121/q121p twin pattern).
     tok_stream = (
         spread(t(spark, sf, "documents"))
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
@@ -1390,4 +1390,125 @@ def q158(spark, sf):
     )
     return b.select(
         "doc_id", "bucket", "mean_surprisal", (bits < thresh).alias("kept")
+    )
+
+
+_Q158P_W = 0.01  # histogram bucket width in surprisal units
+
+
+def _q158p_oracle() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+tk AS (SELECT doc_id, unnest(w) AS tok FROM d),
+tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, tok),
+vocab AS (SELECT tok, SUM(tf) AS cnt FROM tfc GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS n FROM vocab),
+s AS (SELECT tok, CAST(ROUND(LN(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) AS sp
+      FROM vocab, tot),
+scored AS (
+  SELECT tfc.doc_id,
+         CAST(CAST(SUM(CAST(tf AS DECIMAL(9,0)) * sp) AS DOUBLE)
+                / CAST(SUM(tf) AS DOUBLE) AS DOUBLE) AS mean_surprisal
+  FROM tfc JOIN s USING (tok) GROUP BY tfc.doc_id),
+sb AS (SELECT doc_id, mean_surprisal,
+              CAST(FLOOR(mean_surprisal / {_Q158P_W}) AS BIGINT) AS b
+       FROM scored),
+h AS (SELECT b, COUNT(*) AS cnt FROM sb GROUP BY b),
+c AS (SELECT b, cnt, CAST(SUM(cnt) OVER (ORDER BY b) AS BIGINT) AS cum FROM h),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sb),
+cut AS (SELECT
+          (SELECT MIN(b) FROM c, n WHERE cum >= CAST(CEIL(n_docs / 3.0) AS BIGINT)) AS c1,
+          (SELECT MIN(b) FROM c, n WHERE cum >= CAST(CEIL(2 * n_docs / 3.0) AS BIGINT)) AS c2)
+SELECT sb.doc_id,
+       CAST(CASE WHEN sb.b <= cut.c1 THEN 1
+                 WHEN sb.b <= cut.c2 THEN 2 ELSE 3 END AS INT) AS bucket,
+       sb.mean_surprisal,
+       (('0x' || substr(md5(CAST(sb.doc_id AS VARCHAR)), 1, 13))::BIGINT
+          < CASE WHEN sb.b <= cut.c1 THEN 4503599627370496
+                 WHEN sb.b <= cut.c2 THEN 2251799813685248
+                 ELSE 562949953421312 END) AS kept
+FROM sb CROSS JOIN cut
+"""
+
+
+@register(
+    "q158p_perplexity_bucket_scalable",
+    "mixing: q158's production twin - tercile cutoffs from a mergeable "
+    "score histogram (q103's sketch pattern) instead of a global NTILE "
+    "sort; bucket-granular boundaries, no single-partition window",
+    _q158p_oracle(),
+)
+def q158p(spark, sf):
+    # The deployable form q158's docstring promises: the exact-NTILE
+    # tercile needs a global sort through one window partition, while
+    # this twin reduces scores to a fixed-width histogram (mergeable,
+    # sketch-sized - the q103 pattern), picks the tercile cutoff
+    # BUCKETS from the cumulative counts, and assigns terciles by
+    # comparison in the same scan that scored the docs. Boundaries are
+    # bucket-granular (docs inside the cutoff bucket all land in the
+    # lower tercile) - the declared approximation, analogous to
+    # q121p's capped recall. Plan: the q98 surprisal chain + one
+    # |buckets|-row aggregate + a 1-row broadcast of the cutoffs; the
+    # only corpus-cardinality exchange is the per-doc score groupBy the
+    # exact form needs too.
+    tok_stream = (
+        spread(t(spark, sf, "documents"))
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    ).transform(cut)
+    vocab = tok_stream.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    sp = F.round(
+        F.ln(F.col("n").cast("double") / F.col("cnt").cast("double")), 6
+    ).cast("decimal(18,6)")
+    s = vocab.crossJoin(F.broadcast(total)).select("tok", sp.alias("sp"))
+    scored = (
+        tok_stream.join(F.broadcast(s), "tok")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum("sp").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_surprisal")
+        )
+    )
+    sb = scored.select(
+        "doc_id",
+        "mean_surprisal",
+        F.floor(F.col("mean_surprisal") / F.lit(_Q158P_W))
+        .cast("bigint")
+        .alias("b"),
+    ).transform(cut)  # feeds the histogram AND the final assignment
+    h = sb.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    c = h.withColumn(
+        "cum", F.sum("cnt").over(W.orderBy("b")).cast("long")
+    )
+    n = sb.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tgt = c.crossJoin(F.broadcast(n))
+    c1 = tgt.where(
+        F.col("cum") >= F.ceil(F.col("n_docs") / 3.0).cast("long")
+    ).agg(F.min("b").alias("c1"))
+    c2 = tgt.where(
+        F.col("cum") >= F.ceil(2 * F.col("n_docs") / 3.0).cast("long")
+    ).agg(F.min("b").alias("c2"))
+    cuts = F.broadcast(c1.crossJoin(c2))
+    bucket = (
+        F.when(F.col("b") <= F.col("c1"), F.lit(1))
+        .when(F.col("b") <= F.col("c2"), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("int")
+    )
+    bits = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    thresh = (
+        F.when(F.col("b") <= F.col("c1"), F.lit(4503599627370496))
+        .when(F.col("b") <= F.col("c2"), F.lit(2251799813685248))
+        .otherwise(F.lit(562949953421312))
+    )
+    return sb.crossJoin(cuts).select(
+        "doc_id",
+        bucket.alias("bucket"),
+        "mean_surprisal",
+        (bits < thresh).alias("kept"),
     )
