@@ -1123,6 +1123,43 @@ def _d2_fold(v, cv):
     return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _pq_prep(df, id_col, vec_col, query_df, m, op):
+    """Shared validation prologue of :func:`pq_topk` / :func:`ivfpq_topk`:
+    returns ``(emb, empty_fn, dsub, qv)`` with ``dsub = 0`` signalling an
+    empty corpus (caller returns ``empty_fn()``). Validates BEFORE any
+    eager materialization — at corpus scale a full cut() must not be
+    spent on an argument error; max(size) skips null vectors (a
+    null-vector first row must not read as an empty corpus); the query
+    vector is collected ONCE (enforcing the one-row contract and
+    avoiding re-executing the query plan per subspace)."""
+    emb = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def _empty():  # preserves the caller's id type
+        return emb.select(
+            "id", F.lit(None).cast("double").alias("adc_d2")
+        ).where(F.lit(False))
+
+    dim = emb.agg(F.max(F.size("v"))).first()[0] or 0
+    if not dim:
+        return emb, _empty, 0, []
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
+    qrows = query_df.select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    if len(qrows) != 1:
+        raise ValueError(
+            f"{op} expects exactly one query row, got {len(qrows)}"
+        )
+    qv = [float(x) for x in qrows[0]["v"]]
+    if len(qv) != dim:
+        raise ValueError(f"query dim {len(qv)} != corpus dim {dim}")
+    return emb, _empty, dim // m, qv
+
+
 def pq_topk(
     df: DataFrame,
     id_col: str,
@@ -1178,38 +1215,9 @@ def pq_topk(
     cells (:func:`ann_topk_ivf_kmeans_lloyd`) for IVFPQ, where the
     scan also prunes to n_probe cells.
     """
-    emb = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    spark = df.sparkSession
-
-    def _empty():  # preserves the caller's id type
-        return emb.select(
-            "id", F.lit(None).cast("double").alias("adc_d2")
-        ).where(F.lit(False))
-
-    # validate BEFORE the eager cut — at corpus scale a full
-    # materialization must not be spent on an argument error; max()
-    # skips null vectors (a null-vector first row must not read as an
-    # empty corpus)
-    dim = emb.agg(F.max(F.size("v"))).first()[0] or 0
-    if not dim:
+    emb, _empty, dsub, qv = _pq_prep(df, id_col, vec_col, query_df, m, "pq_topk")
+    if not dsub:
         return _empty()
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
-    dsub = dim // m
-    # ONE execution of the query plan; also enforces the one-row contract
-    qrows = query_df.select(
-        F.col(vec_col).cast("array<double>").alias("v")
-    ).collect()
-    if len(qrows) != 1:
-        raise ValueError(
-            f"pq_topk expects exactly one query row, got {len(qrows)}"
-        )
-    qv = [float(x) for x in qrows[0]["v"]]
-    if len(qv) != dim:
-        raise ValueError(f"query dim {len(qv)} != corpus dim {dim}")
     emb = cut(emb)  # referenced by m training collects + m encode passes
     adc = _pq_adc_scan(emb, emb, qv, m, dsub, ksub, n_iter, train_limit)
     if adc is None:
@@ -1310,50 +1318,34 @@ def ivfpq_topk(
     residual subtraction is exact IEEE and would oracle the same way —
     it is the documented next gear, not a semantics change.
     """
-    emb = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    emb, _empty, dsub, qv = _pq_prep(
+        df, id_col, vec_col, query_df, m, "ivfpq_topk"
     )
-
-    def _empty():
-        return emb.select(
-            "id", F.lit(None).cast("double").alias("adc_d2")
-        ).where(F.lit(False))
-
-    dim = emb.agg(F.max(F.size("v"))).first()[0] or 0
-    if not dim:
+    if not dsub:
         return _empty()
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
-    dsub = dim // m
-    qrows = query_df.select(
-        F.col(vec_col).cast("array<double>").alias("v")
-    ).collect()
-    if len(qrows) != 1:
-        raise ValueError(
-            f"ivfpq_topk expects exactly one query row, got {len(qrows)}"
-        )
-    qv = [float(x) for x in qrows[0]["v"]]
-    if len(qv) != dim:
-        raise ValueError(f"query dim {len(qv)} != corpus dim {dim}")
     emb = cut(emb)  # coarse training + assignment + m PQ passes
     coarse = _lloyd_centroid_list(emb, n_cells, n_iter, train_limit=train_limit)
     if not coarse:
         return _empty()
     # rank cells driver-side with the pinned sequential fold (the SQL
     # oracle's list_reduce order), ties to the lower c_id — the probe
-    # list is a pure function of (query, centroids)
+    # list is a pure function of (query, centroids). A NaN d2 ranks
+    # +inf (the _with_cells_arrow rule and DuckDB's NULLS-LAST-like
+    # NaN ordering); Python tuple sort would otherwise place it
+    # arbitrarily because every NaN comparison is False.
     def _d2(a: list[float], b: list[float]) -> float:
         acc = 0.0
         for x, y in zip(a, b):
             acc += (x - y) * (x - y)
-        return acc
+        return acc if acc == acc else float("inf")
 
     probes = [
         cid
         for _, cid in sorted((_d2(qv, cv), cid) for cid, cv in coarse)[:n_probe]
     ]
-    cand = (
+    # the pruned candidate set feeds m encode branches — cut it once or
+    # the full-corpus coarse assignment re-executes per subspace
+    cand = cut(
         _with_cells(emb, coarse)
         .where(F.col("c_id").isin(probes))
         .select("id", "v")

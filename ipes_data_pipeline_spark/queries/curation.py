@@ -1305,7 +1305,11 @@ def q157(spark, sf):
 # --------------------------- perplexity-bucketed mixing (CCNet head/mid/tail)
 
 
-def _q158_oracle() -> str:
+def _sql_surprisal_scored() -> str:
+    """The corpus-unigram surprisal chain through ``scored(doc_id,
+    mean_surprisal)`` — shared verbatim by the q158/q158p oracle twins
+    so their scores cannot drift (the q159/q160 `_sql_pq_subspace`
+    rule applied here)."""
     toks = SQL_TOKENS.format(c="text")
     return f"""
 WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
@@ -1320,7 +1324,37 @@ scored AS (
   SELECT tfc.doc_id,
          CAST(CAST(SUM(CAST(tf AS DECIMAL(9,0)) * sp) AS DOUBLE)
                 / CAST(SUM(tf) AS DOUBLE) AS DOUBLE) AS mean_surprisal
-  FROM tfc JOIN s USING (tok) GROUP BY tfc.doc_id),
+  FROM tfc JOIN s USING (tok) GROUP BY tfc.doc_id)"""
+
+
+def _surprisal_scored(spark, sf):
+    """Spark twin of :func:`_sql_surprisal_scored`: ``(doc_id,
+    mean_surprisal)`` with q98's plan shape (checkpointed token stream
+    feeding the vocab rollup and the score-back join), shared by
+    q158/q158p so the twins score bit-identically by construction."""
+    tok_stream = (
+        spread(t(spark, sf, "documents"))
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    ).transform(cut)
+    vocab = tok_stream.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    sp = F.round(
+        F.ln(F.col("n").cast("double") / F.col("cnt").cast("double")), 6
+    ).cast("decimal(18,6)")
+    s = vocab.crossJoin(F.broadcast(total)).select("tok", sp.alias("sp"))
+    return (
+        tok_stream.join(F.broadcast(s), "tok")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum("sp").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_surprisal")
+        )
+    )
+
+
+def _q158_oracle() -> str:
+    return f"""{_sql_surprisal_scored()},
 b AS (SELECT doc_id, mean_surprisal,
              CAST(NTILE(3) OVER (ORDER BY mean_surprisal, doc_id) AS INT)
                AS bucket
@@ -1353,25 +1387,7 @@ def q158(spark, sf):
     # q158p: tercile cutoffs from a mergeable score histogram, buckets
     # assigned by comparison; only boundary docs can differ, which is
     # the documented trade (the q121/q121p twin pattern).
-    tok_stream = (
-        spread(t(spark, sf, "documents"))
-        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    ).transform(cut)
-    vocab = tok_stream.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("n"))
-    sp = F.round(
-        F.ln(F.col("n").cast("double") / F.col("cnt").cast("double")), 6
-    ).cast("decimal(18,6)")
-    s = vocab.crossJoin(F.broadcast(total)).select("tok", sp.alias("sp"))
-    scored = (
-        tok_stream.join(F.broadcast(s), "tok")
-        .groupBy("doc_id")
-        .agg(
-            (
-                F.sum("sp").cast("double") / F.count(F.lit(1)).cast("double")
-            ).alias("mean_surprisal")
-        )
-    )
+    scored = _surprisal_scored(spark, sf)
     b = scored.select(
         "doc_id",
         "mean_surprisal",
@@ -1397,30 +1413,17 @@ _Q158P_W = 0.01  # histogram bucket width in surprisal units
 
 
 def _q158p_oracle() -> str:
-    toks = SQL_TOKENS.format(c="text")
-    return f"""
-WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
-tk AS (SELECT doc_id, unnest(w) AS tok FROM d),
-tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, tok),
-vocab AS (SELECT tok, SUM(tf) AS cnt FROM tfc GROUP BY tok),
-tot AS (SELECT SUM(cnt) AS n FROM vocab),
-s AS (SELECT tok, CAST(ROUND(LN(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)), 6)
-                       AS DECIMAL(18,6)) AS sp
-      FROM vocab, tot),
-scored AS (
-  SELECT tfc.doc_id,
-         CAST(CAST(SUM(CAST(tf AS DECIMAL(9,0)) * sp) AS DOUBLE)
-                / CAST(SUM(tf) AS DOUBLE) AS DOUBLE) AS mean_surprisal
-  FROM tfc JOIN s USING (tok) GROUP BY tfc.doc_id),
+    return f"""{_sql_surprisal_scored()},
 sb AS (SELECT doc_id, mean_surprisal,
               CAST(FLOOR(mean_surprisal / {_Q158P_W}) AS BIGINT) AS b
        FROM scored),
 h AS (SELECT b, COUNT(*) AS cnt FROM sb GROUP BY b),
 c AS (SELECT b, cnt, CAST(SUM(cnt) OVER (ORDER BY b) AS BIGINT) AS cum FROM h),
-n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sb),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs FROM h),
 cut AS (SELECT
-          (SELECT MIN(b) FROM c, n WHERE cum >= CAST(CEIL(n_docs / 3.0) AS BIGINT)) AS c1,
-          (SELECT MIN(b) FROM c, n WHERE cum >= CAST(CEIL(2 * n_docs / 3.0) AS BIGINT)) AS c2)
+          MIN(CASE WHEN cum >= CAST(CEIL(n_docs / 3.0) AS BIGINT) THEN b END) AS c1,
+          MIN(CASE WHEN cum >= CAST(CEIL(2 * n_docs / 3.0) AS BIGINT) THEN b END) AS c2
+        FROM c CROSS JOIN n)
 SELECT sb.doc_id,
        CAST(CASE WHEN sb.b <= cut.c1 THEN 1
                  WHEN sb.b <= cut.c2 THEN 2 ELSE 3 END AS INT) AS bucket,
@@ -1453,26 +1456,7 @@ def q158p(spark, sf):
     # |buckets|-row aggregate + a 1-row broadcast of the cutoffs; the
     # only corpus-cardinality exchange is the per-doc score groupBy the
     # exact form needs too.
-    tok_stream = (
-        spread(t(spark, sf, "documents"))
-        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    ).transform(cut)
-    vocab = tok_stream.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("n"))
-    sp = F.round(
-        F.ln(F.col("n").cast("double") / F.col("cnt").cast("double")), 6
-    ).cast("decimal(18,6)")
-    s = vocab.crossJoin(F.broadcast(total)).select("tok", sp.alias("sp"))
-    scored = (
-        tok_stream.join(F.broadcast(s), "tok")
-        .groupBy("doc_id")
-        .agg(
-            (
-                F.sum("sp").cast("double") / F.count(F.lit(1)).cast("double")
-            ).alias("mean_surprisal")
-        )
-    )
-    sb = scored.select(
+    sb = _surprisal_scored(spark, sf).select(
         "doc_id",
         "mean_surprisal",
         F.floor(F.col("mean_surprisal") / F.lit(_Q158P_W))
@@ -1483,15 +1467,30 @@ def q158p(spark, sf):
     c = h.withColumn(
         "cum", F.sum("cnt").over(W.orderBy("b")).cast("long")
     )
-    n = sb.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # n_docs from the histogram (sketch-sized), both cutoffs in ONE
+    # pass over it — the materialized corpus frame is read exactly
+    # twice in the whole plan: the histogram build and the final
+    # assignment projection.
+    n = h.agg(F.sum("cnt").cast("long").alias("n_docs"))
     tgt = c.crossJoin(F.broadcast(n))
-    c1 = tgt.where(
-        F.col("cum") >= F.ceil(F.col("n_docs") / 3.0).cast("long")
-    ).agg(F.min("b").alias("c1"))
-    c2 = tgt.where(
-        F.col("cum") >= F.ceil(2 * F.col("n_docs") / 3.0).cast("long")
-    ).agg(F.min("b").alias("c2"))
-    cuts = F.broadcast(c1.crossJoin(c2))
+    cuts = F.broadcast(
+        tgt.agg(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(F.col("n_docs") / 3.0).cast("long"),
+                    F.col("b"),
+                )
+            ).alias("c1"),
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(2 * F.col("n_docs") / 3.0).cast("long"),
+                    F.col("b"),
+                )
+            ).alias("c2"),
+        )
+    )
     bucket = (
         F.when(F.col("b") <= F.col("c1"), F.lit(1))
         .when(F.col("b") <= F.col("c2"), F.lit(2))

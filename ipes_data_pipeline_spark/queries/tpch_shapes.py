@@ -1048,40 +1048,52 @@ def q156(spark, sf):
 # ------------------------------------------- product-quantization ANN
 
 
+def _sql_pq_subspace(
+    j: int, dsub: int, ksub: int, n_iter: int, qid: int
+) -> tuple[list[str], str]:
+    """One PQ subspace's CTE family (slice → codebook rounds → codes →
+    query distance table) and its ADC part-select — shared verbatim by
+    the q159 and q160 oracles so the two chains cannot drift."""
+    from ipes_data_pipeline_spark.queries.prep import _SQL_L2
+
+    lo, hi = j * dsub + 1, (j + 1) * dsub
+    s = f"s{j}"
+    ctes = [f"{s} AS (SELECT id, v[{lo}:{hi}] AS v FROM emb)"]
+    ctes.append(
+        f"{s}c0 AS (SELECT id AS c_id, v AS c_vec FROM {s} "
+        f"ORDER BY id LIMIT {ksub})"
+    )
+    ctes.extend(_sql_lloyd_rounds(s, n_iter, dim=dsub, prefix=s))
+    ctes.append(_sql_lloyd_assign(s, f"{s}c{n_iter}", f"{s}codes"))
+    d2 = _SQL_L2.format(a="q.v", b="c.c_vec")
+    ctes.append(f"{s}q AS (SELECT v[{lo}:{hi}] AS v FROM emb WHERE id = {qid})")
+    ctes.append(
+        f"{s}dt AS (SELECT c.c_id, CAST(ROUND({d2}, 6) AS DECIMAL(18,6)) AS d2 "
+        f"FROM {s}c{n_iter} c CROSS JOIN {s}q q)"
+    )
+    part = (
+        f"SELECT sc.id, dt.d2 FROM {s}codes sc "
+        f"JOIN {s}dt dt ON sc.c_id = dt.c_id"
+    )
+    return ctes, part
+
+
 def _q159_oracle(
     m: int = 4, dsub: int = 16, ksub: int = 16, n_iter: int = 3,
     qid: int = 7, k: int = 10,
 ) -> str:
     """Per-subspace deterministic Lloyd codebooks + ADC sum — the PQ
-    twin of the q72 chain: one `_sql_lloyd_rounds` family per subspace
+    twin of the q72 chain: one `_sql_pq_subspace` family per subspace
     over the sliced vectors."""
-    from ipes_data_pipeline_spark.queries.prep import _SQL_L2
-
     ctes = [
         "emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings)"
     ]
     parts = []
     for j in range(m):
-        lo, hi = j * dsub + 1, (j + 1) * dsub
-        s = f"s{j}"
-        ctes.append(f"{s} AS (SELECT id, v[{lo}:{hi}] AS v FROM emb)")
-        ctes.append(
-            f"{s}c0 AS (SELECT id AS c_id, v AS c_vec FROM {s} "
-            f"ORDER BY id LIMIT {ksub})"
-        )
-        ctes.extend(_sql_lloyd_rounds(s, n_iter, dim=dsub, prefix=s))
-        ctes.append(_sql_lloyd_assign(s, f"{s}c{n_iter}", f"{s}codes"))
-        d2 = _SQL_L2.format(a="q.v", b="c.c_vec")
-        ctes.append(f"{s}q AS (SELECT v[{lo}:{hi}] AS v FROM emb WHERE id = {qid})")
-        ctes.append(
-            f"{s}dt AS (SELECT c.c_id, CAST(ROUND({d2}, 6) AS DECIMAL(18,6)) AS d2 "
-            f"FROM {s}c{n_iter} c CROSS JOIN {s}q q)"
-        )
-        parts.append(
-            f"SELECT sc.id, dt.d2 FROM {s}codes sc "
-            f"JOIN {s}dt dt ON sc.c_id = dt.c_id"
-        )
+        sub_ctes, part = _sql_pq_subspace(j, dsub, ksub, n_iter, qid)
+        ctes.extend(sub_ctes)
+        parts.append(part)
     union = " UNION ALL ".join(parts)
     body = ",\n".join(ctes)
     return f"""WITH {body}
@@ -1126,25 +1138,9 @@ def _q160_oracle(
     ctes.append("cand AS (SELECT s.id FROM cells s JOIN qcells USING (c_id))")
     parts = []
     for j in range(m):
-        lo, hi = j * dsub + 1, (j + 1) * dsub
-        s = f"s{j}"
-        ctes.append(f"{s} AS (SELECT id, v[{lo}:{hi}] AS v FROM emb)")
-        ctes.append(
-            f"{s}c0 AS (SELECT id AS c_id, v AS c_vec FROM {s} "
-            f"ORDER BY id LIMIT {ksub})"
-        )
-        ctes.extend(_sql_lloyd_rounds(s, n_iter, dim=dsub, prefix=s))
-        ctes.append(_sql_lloyd_assign(s, f"{s}c{n_iter}", f"{s}codes"))
-        d2 = _SQL_L2.format(a="q.v", b="c.c_vec")
-        ctes.append(f"{s}q AS (SELECT v[{lo}:{hi}] AS v FROM emb WHERE id = {qid})")
-        ctes.append(
-            f"{s}dt AS (SELECT c.c_id, CAST(ROUND({d2}, 6) AS DECIMAL(18,6)) AS d2 "
-            f"FROM {s}c{n_iter} c CROSS JOIN {s}q q)"
-        )
-        parts.append(
-            f"SELECT sc.id, dt.d2 FROM {s}codes sc "
-            f"JOIN {s}dt dt ON sc.c_id = dt.c_id"
-        )
+        sub_ctes, part = _sql_pq_subspace(j, dsub, ksub, n_iter, qid)
+        ctes.extend(sub_ctes)
+        parts.append(part)
     union = " UNION ALL ".join(parts)
     body = ",\n".join(ctes)
     return f"""WITH {body}
