@@ -73,6 +73,144 @@ def parse_llm_json(raw: str) -> dict | None:
     return clamp_enums(rec)
 
 
+#: Reference system message (enrich_data.py:89-92) — JSON-only contract.
+CHAT_SYSTEM_PROMPT = (
+    "You are a telecom industry analyst. Respond only with valid JSON, "
+    "no markdown or other formatting."
+)
+
+
+def build_research_prompt(name: str, dockets: list[str]) -> str:
+    """The reference's research prompt (enrich_data.py:40-80): company
+    name + up to three dockets, asking for the five enrichment fields
+    as bare JSON. Kept verbatim in shape so a model tuned against the
+    reference pipeline answers identically here."""
+    docket_info = ", ".join(dockets[:3]) if dockets else "Unknown"
+    segs = ", ".join(f'"{s}"' for s in INDUSTRY_SEGMENTS)
+    poss = ", ".join(f'"{p}"' for p in MARKET_POSITIONS)
+    return (
+        "Research the following company that filed for VoIP/IPES "
+        "numbering authorization with the FCC:\n\n"
+        f"Company Name: {name}\n"
+        f"FCC Docket(s): {docket_info}\n\n"
+        "Based on your knowledge, provide the following information in "
+        "JSON format:\n\n"
+        "1. is_active (boolean): Is this company still operating?\n"
+        "2. activity_signal (string): Brief evidence for your "
+        "is_active determination.\n"
+        f"3. industry_segment (string): Categorize as one of: {segs}\n"
+        "4. product_summary (string): 1-2 sentence description of what "
+        "they offer.\n"
+        f"5. market_position (string): Estimated scale as one of: {poss}\n\n"
+        "Respond ONLY with valid JSON in this exact format, no other "
+        'text:\n{"is_active": true, "activity_signal": "...", '
+        '"industry_segment": "...", "product_summary": "...", '
+        '"market_position": "..."}'
+    )
+
+
+@dataclass
+class ChatHttpBackend:
+    """Production enrichment backend: POSTs to an OpenAI-compatible
+    chat-completions endpoint and parses the reply into the five
+    enrichment fields (reference ``enrich_data.py:84-128``).
+
+    Request/response contract matched to the reference:
+
+    - body ``{model, messages:[system,user], max_tokens, temperature}``
+      with ``Authorization: Bearer <api_key>`` (:102-108);
+    - reply content read from ``choices[0].message.content`` (:110-111);
+    - markdown-fence strip + JSON parse + required-field check via
+      :func:`parse_llm_json` (:113-121) — an unparseable or
+      field-missing reply raises ``ValueError``, which
+      :func:`enrich_misses` converts into the all-null failure row the
+      cache layer already refuses to memoize
+      (:func:`successful_cache_rows`).
+
+    Transport behavior beyond the reference (it aborted on any error):
+    bounded retry with exponential backoff on 429/5xx/connection
+    errors, honoring ``Retry-After`` when the server sends one;
+    non-retryable HTTP errors (400/401/403/404) raise immediately.
+    Plain-field dataclass → pickles into executor tasks; urllib is
+    stdlib (no dependency). Politeness/quota is the caller's
+    ``calls_per_second`` token bucket — this class does exactly one
+    logical call per invocation.
+    """
+
+    base_url: str
+    model: str
+    api_key: str = ""
+    max_tokens: int = 300
+    temperature: float = 0.3
+    max_retries: int = 3
+    backoff_s: float = 0.2
+    timeout_s: float = 60.0
+    system_prompt: str = CHAT_SYSTEM_PROMPT
+
+    def __call__(self, name: str, dockets: list[str]) -> dict:
+        payload = {
+            "model": self.model,
+            "messages": [
+                {"role": "system", "content": self.system_prompt},
+                {
+                    "role": "user",
+                    "content": build_research_prompt(name, dockets),
+                },
+            ],
+            "max_tokens": self.max_tokens,
+            "temperature": self.temperature,
+        }
+        content = self._post(payload)
+        rec = parse_llm_json(content)
+        if rec is None:
+            raise ValueError(
+                f"unparseable enrichment response for {name!r}: "
+                f"{content[:200]!r}"
+            )
+        return rec
+
+    def _post(self, payload: dict) -> str:
+        import urllib.error
+        import urllib.request
+
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        data = json.dumps(payload).encode("utf-8")
+        attempts = max(1, self.max_retries)
+        for attempt in range(attempts):
+            try:
+                req = urllib.request.Request(
+                    self.base_url, data=data, headers=headers, method="POST"
+                )
+                with urllib.request.urlopen(
+                    req, timeout=self.timeout_s
+                ) as resp:
+                    body = json.loads(resp.read().decode("utf-8"))
+                return (
+                    body.get("choices", [{}])[0]
+                    .get("message", {})
+                    .get("content", "")
+                )
+            except urllib.error.HTTPError as e:
+                retryable = e.code == 429 or e.code >= 500
+                if not retryable or attempt + 1 >= attempts:
+                    raise
+                delay = self.backoff_s * (2**attempt)
+                retry_after = (e.headers or {}).get("Retry-After")
+                if retry_after:
+                    try:
+                        delay = max(delay, float(retry_after))
+                    except ValueError:
+                        pass
+                time.sleep(delay)
+            except Exception:  # noqa: BLE001 — connection-level, retry
+                if attempt + 1 >= attempts:
+                    raise
+                time.sleep(self.backoff_s * (2**attempt))
+        raise AssertionError("unreachable")
+
+
 class DeterministicMockBackend:
     """Network-free backend: enrichment is a pure hash of the name."""
 

@@ -419,8 +419,9 @@ def cosine_pairs_bucketed(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    dims: tuple[int, ...] = (1, 9, 17, 25),
+    dims: tuple[int, ...] | None = (1, 9, 17, 25),
     threshold: float = 0.3,
+    target_bucket: int = 256,
 ) -> DataFrame:
     """All same-sign-bucket pairs with cosine ≥ ``threshold``:
     ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``.
@@ -435,9 +436,20 @@ def cosine_pairs_bucketed(
     Shuffle key = bucket; per-task memory = |bucket| × chunk (capped,
     see ``_GRAM_CHUNK_CELLS``) — qualifying PAIRS stream out per chunk,
     so only the ≥ threshold survivors are ever held.
+
+    ``dims=None`` picks the plane count from the corpus exactly like
+    :func:`knn_graph_bucketed` (P = :func:`auto_plane_count`, planes a
+    prefix of ``_AUTO_PLANES``): fixed plane counts are the measured
+    sf10 failure mode for this family too — 16 buckets over 200k
+    vectors made q133's embedding stage the round-6 scaling campaign's
+    heaviest remaining quadratic. At small N (P clamps to 4) auto mode
+    is bit-identical to the fixed default.
     """
     import numpy as np
     import pandas as pd
+
+    if dims is None:
+        dims = _AUTO_PLANES[: auto_plane_count(df.count(), target_bucket)]
 
     keyed = df.select(
         F.col(id_col).alias("id"),
@@ -1142,7 +1154,17 @@ def _pq_prep(df, id_col, vec_col, query_df, m, op):
             "id", F.lit(None).cast("double").alias("adc_d2")
         ).where(F.lit(False))
 
-    dim = emb.agg(F.max(F.size("v"))).first()[0] or 0
+    # Genuinely skip null vectors regardless of the session's
+    # spark.sql.legacy.sizeOfNull (under the legacy default size(null)
+    # is -1, so a bare max(size(v)) over an all-null corpus would yield
+    # -1 — truthy — and fail the divisibility check instead of taking
+    # the documented empty-corpus return).
+    dim = (
+        emb.agg(
+            F.max(F.when(F.col("v").isNotNull(), F.size("v")))
+        ).first()[0]
+        or 0
+    )
     if not dim:
         return emb, _empty, 0, []
     if dim % m:
@@ -1154,7 +1176,12 @@ def _pq_prep(df, id_col, vec_col, query_df, m, op):
         raise ValueError(
             f"{op} expects exactly one query row, got {len(qrows)}"
         )
-    qv = [float(x) for x in qrows[0]["v"]]
+    qraw = qrows[0]["v"]
+    if qraw is None or any(x is None for x in qraw):
+        raise ValueError(
+            f"{op} query vector must be non-null with no null elements"
+        )
+    qv = [float(x) for x in qraw]
     if len(qv) != dim:
         raise ValueError(f"query dim {len(qv)} != corpus dim {dim}")
     return emb, _empty, dim // m, qv

@@ -193,6 +193,22 @@ def q42f(spark, sf):
     )
 
 
+@register(
+    "q42p_dedup_minhash_deployed",
+    "dedup: DEPLOYABLE MinHash path — q42f's xxhash64 LSH + exact-"
+    "Jaccard refine with the bucket_cap=256 skew valve ON (the API "
+    "default, previously exercised by no registered query). Oracle = "
+    "q42f's md5 twin: the refined output is hash-family-independent "
+    "(q42f's argument) and the cap is provably inert at gate scale "
+    "(max 16-hash band bucket there is 4 rows — measured, round 6), "
+    "so the capped xxhash64 output value-checks against the uncapped "
+    "md5 SQL exactly",
+    _q42f_oracle(),
+)
+def q42p(spark, sf):
+    return minhash_neardup_pairs(t(spark, sf, "documents"), "doc_id", "text")
+
+
 def _q42c_oracle() -> str:
     """End-to-end doc dedup: q42's candidate pairs → 3-round min-label
     components → (doc, keeper). Both engines unroll the same rounds."""
@@ -230,7 +246,7 @@ def q42c(spark, sf):
     )
 
 
-def _doc_neardup_components(docs, extra_pairs=None):
+def _doc_neardup_components(docs, extra_pairs=None, bucket_cap=None):
     """The shared md5-banded near-dup component chain (q42c's recipe,
     also the backbone of q126/q133/q147/q148): LSH candidate pairs
     (md5 family, 8 hashes, band size 2 — the oracle-portable
@@ -240,12 +256,15 @@ def _doc_neardup_components(docs, extra_pairs=None):
     references its edge set once per round, and an un-materialized
     pair family re-runs per round), then 3 min-label rounds. Returns
     ``(doc_id, cluster_id)`` with cluster_id = the min doc id reachable
-    in 3 hops."""
+    in 3 hops. ``bucket_cap``: None = the oracle-pinned lossless
+    blocking (q42c and the consumers whose SQL twins splice
+    _q42_oracle); 256 = the production skew valve (q133a, whose twin
+    splices the capped sz/sub CTEs instead)."""
     from ipes_data_pipeline_spark.operators.dedup_fuzzy import min_label_components
 
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
-        materialize=False, bucket_cap=None,
+        materialize=False, bucket_cap=bucket_cap,
     ).select("id_a", "id_b")
     if extra_pairs is not None:
         pairs = pairs.union(extra_pairs).distinct()
@@ -1829,6 +1848,88 @@ def q133(spark, sf):
     ).select("id_a", "id_b")
     return _doc_neardup_components(
         t(spark, sf, "documents"), extra_pairs=emb_pairs
+    )
+
+
+def _q133a_oracle(tau: float = 0.3, cap: int = 256) -> str:
+    """q133's union graph with BOTH scale valves replicated in SQL:
+    the text side's band buckets are sub-salted past ``cap`` rows
+    (q121p's construction: n_sub = ceil(bsz/cap), salt = first-8-hex
+    of md5(id), pair join requires sub equality) and the embedding
+    side's plane count adapts to the corpus (q118a's construction:
+    the 20-plane sign string truncated to p = clamp(ceil(log2(N/256)),
+    4, 20) chars). At gate scale no bucket exceeds cap and p clamps to
+    4, so this is value-identical to q133 — which pins the twin to the
+    already-verified oracle while keeping the capped/adaptive SQL
+    semantics exact at any scale."""
+    base = _q42_oracle().strip().removeprefix("WITH").rsplit("SELECT DISTINCT", 1)[0]
+    bits = " || ".join(
+        f"CASE WHEN v[{d}] > 0 THEN '1' ELSE '0' END" for d in _AUTO_PLANES
+    )
+    salt = "('0x' || substr(md5(CAST(b.id AS VARCHAR)), 1, 8))::BIGINT"
+    rounds = "".join(
+        f""",
+  l{i + 1} AS (
+    SELECT e.src AS node, MIN(l.lab) AS lab
+    FROM e_self e JOIN l{i} l ON l.node = e.dst
+    GROUP BY e.src)"""
+        for i in range(3)
+    )
+    return f"""
+WITH {base.strip().rstrip(',')},
+szt AS (SELECT band_idx, band_key, COUNT(*) AS bsz
+        FROM bands GROUP BY band_idx, band_key),
+subt AS (SELECT b.id, b.band_idx, b.band_key,
+                {salt}
+                % GREATEST(1, CAST(CEIL(bsz / {cap}.0) AS BIGINT)) AS sub
+         FROM bands b JOIN szt
+           ON szt.band_idx = b.band_idx AND szt.band_key = b.band_key),
+half_t AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM subt a JOIN subt b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.sub = b.sub AND a.id < b.id),
+nn AS (SELECT LEAST({len(_AUTO_PLANES)}, GREATEST(4,
+          CAST(ceil(log2(GREATEST(count(*), 1) / 256.0)) AS INT))) AS p
+       FROM embeddings),
+ev AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eb AS (SELECT id, v, substring(({bits}), 1, nn.p) AS bkt FROM ev, nn),
+half_e AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM eb a JOIN eb b ON a.bkt = b.bkt AND a.id < b.id
+  WHERE {_sql_cosine('a.v', 'b.v')} >= {tau}),
+half AS (SELECT src, dst FROM half_t UNION SELECT src, dst FROM half_e),
+e0 AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+e_self AS (SELECT src, dst FROM e0
+           UNION ALL SELECT doc_id, doc_id FROM documents),
+l0 AS (SELECT doc_id AS node, doc_id AS lab FROM documents){rounds}
+SELECT node AS doc_id, lab AS cluster_id FROM l3
+"""
+
+
+@register(
+    "q133a_hybrid_neardup_adaptive",
+    "dedup: q133 production twin — hybrid near-dup with BOTH scale "
+    "valves on: text band buckets capped at 256 (sub-salted past that) "
+    "and the embedding sign-LSH plane count adapting to the corpus "
+    "(bucket size pinned ~256). The round-6 sf10 campaign measured "
+    "q133's fixed 16-bucket embedding stage as the engine's heaviest "
+    "remaining quadratic; q133 stays registered as the lossless oracle "
+    "anchor (the q118/q118a, q121/q121p pattern)",
+    _q133a_oracle(),
+)
+def q133a(spark, sf):
+    from ipes_data_pipeline_spark.operators.similarity import cosine_pairs_bucketed
+
+    emb_pairs = cosine_pairs_bucketed(
+        t(spark, sf, "embeddings"),
+        "vec_id",
+        "embedding",
+        dims=None,
+        threshold=0.3,
+    ).select("id_a", "id_b")
+    return _doc_neardup_components(
+        t(spark, sf, "documents"), extra_pairs=emb_pairs, bucket_cap=256
     )
 
 

@@ -834,3 +834,63 @@ def test_lloyd_train_limit_is_smallest_id_prefix_and_fixture_noop(spark):
     noop = _lloyd_centroid_list(emb, n_cells=10, n_iter=2, train_limit=1000)
     full = _lloyd_centroid_list(emb, n_cells=10, n_iter=2)
     assert noop == full
+
+
+def test_q133a_twin_identical_at_fixture_scale(spark, sf_dir):
+    """q133a (capped text bands + adaptive embedding planes) must
+    reproduce q133's clusters EXACTLY at fixture scale: no band bucket
+    reaches the 256 cap and the plane count clamps to q133's fixed 4,
+    so both valves are provably inert — which pins the twin's semantics
+    to the already-oracle-verified q133 (the q118/q118a argument)."""
+    from ipes_data_pipeline_spark.queries import REGISTRY, load_all
+
+    load_all()
+    a = REGISTRY["q133_hybrid_neardup"].spark(spark, sf_dir)
+    b = REGISTRY["q133a_hybrid_neardup_adaptive"].spark(spark, sf_dir)
+    key = lambda r: (r["doc_id"], r["cluster_id"])  # noqa: E731
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_cosine_pairs_autoplanes_refine_fixed_buckets(spark):
+    """dims=None takes a PREFIX of the plane pool whose first four ARE
+    the fixed default, so auto buckets refine fixed buckets: the auto
+    pair set must be a SUBSET of the fixed pair set (candidates only
+    ever split, never merge), and every surviving pair keeps the same
+    cosine value. Corpus is sized past 256*16 so auto genuinely picks
+    more planes (P=5) instead of clamping."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ipes_data_pipeline_spark.operators.similarity import (
+        auto_plane_count,
+        cosine_pairs_bucketed,
+    )
+
+    n = 256 * 16 + 64  # just past the P=4 clamp boundary
+    assert auto_plane_count(n) == 5
+    emb = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(32)),
+                lambda d: F.cos(F.col("id") * d * 0.37),
+            ).alias("v"),
+        )
+    )
+    fixed = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_pairs_bucketed(
+            emb, "id", "v", threshold=0.99
+        ).collect()
+    }
+    auto = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_pairs_bucketed(
+            emb, "id", "v", dims=None, threshold=0.99
+        ).collect()
+    }
+    assert set(auto) <= set(fixed)
+    for k, v in auto.items():
+        assert math.isclose(v, fixed[k], rel_tol=0, abs_tol=0.0)

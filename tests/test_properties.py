@@ -459,6 +459,49 @@ def test_pq_topk_contract_and_recall(spark):
         S.pq_topk(emb, "vec_id", "embedding", emb.limit(2), k=5)
 
 
+def test_pq_prep_null_vectors_and_null_query_elements(spark):
+    """_pq_prep edge contracts (round-6 advice): an all-null-vector
+    corpus is an EMPTY corpus (zero-row frame back) even under the
+    legacy sizeOfNull conf where size(null) = -1; a query vector with
+    null elements raises a contract ValueError naming the op, not an
+    opaque float(None) TypeError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ipes_data_pipeline_spark.operators import similarity as S
+
+    null_corpus = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.lit(None).cast("array<double>").alias("embedding"),
+    )
+    q = spark.createDataFrame(
+        [(99, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    legacy = spark.conf.get("spark.sql.legacy.sizeOfNull", None)
+    try:
+        for conf in ("true", "false"):
+            spark.conf.set("spark.sql.legacy.sizeOfNull", conf)
+            assert S.pq_topk(null_corpus, "vec_id", "embedding", q).count() == 0
+            assert (
+                S.ivfpq_topk(null_corpus, "vec_id", "embedding", q).count()
+                == 0
+            )
+    finally:
+        if legacy is None:
+            spark.conf.unset("spark.sql.legacy.sizeOfNull")
+        else:
+            spark.conf.set("spark.sql.legacy.sizeOfNull", legacy)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    bad_q = spark.createDataFrame(
+        [(99, [0.0] * (dim - 1) + [None])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="pq_topk.*null"):
+        S.pq_topk(emb, "vec_id", "embedding", bad_q, k=5)
+
+
 def test_ivfpq_probe_all_equals_pq(spark):
     """IVFPQ with n_probe = n_cells degenerates to the plain PQ ADC
     scan (the coarse stage prunes nothing): outputs must be identical
