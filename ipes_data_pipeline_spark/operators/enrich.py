@@ -80,27 +80,37 @@ CHAT_SYSTEM_PROMPT = (
 )
 
 
-def build_research_prompt(name: str, dockets: list[str]) -> str:
-    """The reference's research prompt (enrich_data.py:40-80): company
-    name + up to three dockets, asking for the five enrichment fields
-    as bare JSON. Kept verbatim in shape so a model tuned against the
-    reference pipeline answers identically here."""
+def build_research_prompt(
+    name: str, dockets: list[str], contacts: list[str] | None = None
+) -> str:
+    """The reference's research prompt, verbatim (enrich_data.py:55-80):
+    company name + up to three dockets + up to three contacts, asking
+    for the five enrichment fields as bare JSON — so a model tuned
+    against the reference pipeline answers identically here. The
+    reference driver always passes ``contacts=[]`` ("Contacts not
+    available in current schema", enrich_data.py:189), which renders
+    the same "Not specified" line this default does."""
     docket_info = ", ".join(dockets[:3]) if dockets else "Unknown"
+    contact_info = ", ".join(contacts[:3]) if contacts else "Not specified"
     segs = ", ".join(f'"{s}"' for s in INDUSTRY_SEGMENTS)
     poss = ", ".join(f'"{p}"' for p in MARKET_POSITIONS)
     return (
         "Research the following company that filed for VoIP/IPES "
         "numbering authorization with the FCC:\n\n"
         f"Company Name: {name}\n"
-        f"FCC Docket(s): {docket_info}\n\n"
+        f"FCC Docket(s): {docket_info}\n"
+        f"Contact/Attorney: {contact_info}\n\n"
         "Based on your knowledge, provide the following information in "
         "JSON format:\n\n"
-        "1. is_active (boolean): Is this company still operating?\n"
-        "2. activity_signal (string): Brief evidence for your "
-        "is_active determination.\n"
-        f"3. industry_segment (string): Categorize as one of: {segs}\n"
+        "1. is_active (boolean): Is this company still operating? True "
+        "if the company appears to still be in business, False if "
+        "defunct/acquired/closed.\n\n"
+        "2. activity_signal (string): Brief evidence for your is_active "
+        'determination. Example: "Website active, recent press '
+        'releases" or "No web presence found, domain expired"\n\n'
+        f"3. industry_segment (string): Categorize as one of: {segs}\n\n"
         "4. product_summary (string): 1-2 sentence description of what "
-        "they offer.\n"
+        "they offer. If unknown, describe based on the filing type.\n\n"
         f"5. market_position (string): Estimated scale as one of: {poss}\n\n"
         "Respond ONLY with valid JSON in this exact format, no other "
         'text:\n{"is_active": true, "activity_signal": "...", '
@@ -147,14 +157,16 @@ class ChatHttpBackend:
     timeout_s: float = 60.0
     system_prompt: str = CHAT_SYSTEM_PROMPT
 
-    def __call__(self, name: str, dockets: list[str]) -> dict:
+    def __call__(
+        self, name: str, dockets: list[str], contacts: list[str] | None = None
+    ) -> dict:
         payload = {
             "model": self.model,
             "messages": [
                 {"role": "system", "content": self.system_prompt},
                 {
                     "role": "user",
-                    "content": build_research_prompt(name, dockets),
+                    "content": build_research_prompt(name, dockets, contacts),
                 },
             ],
             "max_tokens": self.max_tokens,
@@ -187,11 +199,13 @@ class ChatHttpBackend:
                     req, timeout=self.timeout_s
                 ) as resp:
                     body = json.loads(resp.read().decode("utf-8"))
-                return (
-                    body.get("choices", [{}])[0]
-                    .get("message", {})
-                    .get("content", "")
-                )
+                # A 200 with empty/absent `choices` is a deterministic
+                # bad reply, not a transient: return "" so it flows
+                # into parse_llm_json's ValueError('unparseable')
+                # failure path instead of an IndexError the retry loop
+                # would pointlessly replay.
+                choices = body.get("choices") or [{}]
+                return (choices[0] or {}).get("message", {}).get("content", "")
             except urllib.error.HTTPError as e:
                 retryable = e.code == 429 or e.code >= 500
                 if not retryable or attempt + 1 >= attempts:
@@ -214,7 +228,9 @@ class ChatHttpBackend:
 class DeterministicMockBackend:
     """Network-free backend: enrichment is a pure hash of the name."""
 
-    def __call__(self, name: str, dockets: list[str]) -> dict:
+    def __call__(
+        self, name: str, dockets: list[str], contacts: list[str] | None = None
+    ) -> dict:
         h = int(hashlib.sha256(name.encode()).hexdigest(), 16)
         return {
             "is_active": h % 2 == 0,

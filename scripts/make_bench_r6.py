@@ -86,8 +86,8 @@ def main() -> None:
         b10["queries"][name] = row
 
     b10["round6_note"] = (
-        "r6 rows (r6_remeasure) are within-session interleaved 3-pass "
-        "medians replacing the r5 rows whose spread exceeded their "
+        "r6 rows (r6_remeasure) are fresh-process-per-sample interleaved "
+        "3-pass medians replacing the r5 rows whose spread exceeded their "
         "median (q42f/q133/q39 — the judge's weather flag), plus first "
         "sf10 artifacts for q151-q156 and q159/q160 with DuckDB "
         "anchors where the oracle finishes under the per-query cap."

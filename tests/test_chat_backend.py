@@ -51,6 +51,7 @@ class _ChatHandler(BaseHTTPRequestHandler):
     calls: list = []  # (name, auth_header)
     rate_limit_once: set = set()
     always_500: set = set()
+    empty_choices: set = set()
 
     def do_POST(self):  # noqa: N802 (http.server API)
         if self.path != "/v1/chat/completions":
@@ -75,9 +76,15 @@ class _ChatHandler(BaseHTTPRequestHandler):
             self.end_headers()
             return
         status, content = _content_for(name)
-        payload = json.dumps(
-            {"choices": [{"message": {"role": "assistant", "content": content}}]}
-        ).encode()
+        if name in type(self).empty_choices:
+            body_out = {"choices": []}
+        else:
+            body_out = {
+                "choices": [
+                    {"message": {"role": "assistant", "content": content}}
+                ]
+            }
+        payload = json.dumps(body_out).encode()
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.end_headers()
@@ -92,6 +99,7 @@ def chat_server():
     _ChatHandler.calls = []
     _ChatHandler.rate_limit_once = set()
     _ChatHandler.always_500 = set()
+    _ChatHandler.empty_choices = set()
     server = HTTPServer(("127.0.0.1", 0), _ChatHandler)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
@@ -150,11 +158,39 @@ def test_bad_request_not_retried(chat_server):
     assert all(c[0] != "Acme" for c in _ChatHandler.calls)
 
 
+def test_empty_choices_is_unparseable_not_retried(chat_server):
+    """A 200 reply with `choices: []` is a deterministic bad reply: it
+    must flow into the ValueError('unparseable') failure path in ONE
+    call, not bounce through the connection-retry loop as IndexError."""
+    _ChatHandler.empty_choices = {"Void Reply Co"}
+    with pytest.raises(ValueError, match="unparseable enrichment"):
+        _backend(chat_server, max_retries=3)("Void Reply Co", [])
+    assert len(_ChatHandler.calls) == 1
+
+
 def test_prompt_carries_name_and_dockets():
     p = build_research_prompt("Acme", ["a", "b", "c", "d"])
     assert "Company Name: Acme" in p
     assert "a, b, c" in p and "d" not in p.split("FCC Docket(s):")[1].split("\n")[0]
     assert build_research_prompt("X", []).count("Unknown") >= 2
+
+
+def test_prompt_verbatim_reference_shape():
+    """Reference parity (enrich_data.py:55-80): the Contact/Attorney
+    line and the full field descriptions are present; the reference
+    driver's contacts=[] default renders 'Not specified'."""
+    p = build_research_prompt("Acme", ["WC 07-243"], ["Jane Roe, Esq."])
+    assert "Contact/Attorney: Jane Roe, Esq." in p
+    d = build_research_prompt("Acme", ["WC 07-243"])
+    assert "Contact/Attorney: Not specified" in d
+    for frag in (
+        "True if the company appears to still be in business, False if "
+        "defunct/acquired/closed.",
+        'Example: "Website active, recent press releases" or "No web '
+        'presence found, domain expired"',
+        "If unknown, describe based on the filing type.",
+    ):
+        assert frag in d
 
 
 def test_enrich_with_cache_over_live_chat_server(spark, chat_server):
