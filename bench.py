@@ -31,6 +31,10 @@ HEADLINE = [
     "q32_window_rownumber",
     "q33_window_rank_lag_running",
     "q39_fuzzy_dedup",
+    # q39p: the deployable capped twin (block_cap=256 sub-salts oversized
+    # name blocks; oracle parameterizes the same salt so the valve is
+    # value-checked where it fires — round-7)
+    "q39p_fuzzy_dedup_capped",
     "q40_tumbling_window_batch",
     "q41_dedup_exact",
     "q42_dedup_minhash_lsh",

@@ -34,18 +34,47 @@ def candidate_pairs(
     name_col: str,
     block_expr: Column,
     max_edits: int = 2,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Blocked levenshtein candidate edges (src, dst), both directions.
 
     ``block_expr`` is evaluated per-row; pairs form only within equal
     blocks. At 100 TB the block key is the shuffle key — choose it so the
     largest block fits one task (salt or refine the key if skewed).
+
+    ``block_cap`` is the skew valve (the q42p/_cap_band_buckets pattern,
+    dedup_minhash.py): a block larger than the cap is deterministically
+    sub-salted by ``md5(node) % ceil(bsz / cap)`` and pairs form only
+    within a sub-block — in-block levenshtein work drops from O(b²) to
+    O(b·cap) at the price of recall for pairs the salt separates, in
+    exactly the oversized blocks. Every term (md5, ceil, mod) is
+    ANSI-SQL-expressible, so unlike the MinHash valve this one is
+    value-checked by the q39p oracle IN the regime where it fires.
+    ``None`` ⇒ lossless blocking, unchanged behavior.
     """
     keyed = df.select(
         F.col(id_col).alias("node"),
         F.col(name_col).alias("name"),
         block_expr.alias("blk"),
     )
+    if block_cap is not None:
+        # Sizes via a map-side-combined groupBy broadcast back — a
+        # window over blk would itself serialize on the skewed block
+        # (the lesson measured on the simhash valve, SCALING.md).
+        sizes = keyed.groupBy("blk").agg(F.count(F.lit(1)).alias("bsz"))
+        n_sub = F.greatest(F.lit(1), F.ceil(F.col("bsz") / block_cap))
+        salt = (
+            F.conv(F.substring(F.md5(F.col("node").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % n_sub
+        )
+        keyed = (
+            keyed.join(F.broadcast(sizes), "blk")
+            .withColumn("sub", salt)
+            .drop("bsz")
+        )
+    else:
+        keyed = keyed.withColumn("sub", F.lit(0))
     # Round-robin the probe side: under a broadcast-hash join the probe
     # inherits the scan's partitioning (often 1 file = 1 task), which
     # serializes the whole O(Σb²) levenshtein work. With a shuffled probe
@@ -57,7 +86,14 @@ def candidate_pairs(
     # threshold (returns -1 then) — ~2× cheaper on the refine hot path
     lev = F.levenshtein(F.col("a.name"), F.col("b.name"), max_edits)
     half = (
-        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.node") < F.col("b.node")])
+        a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.sub") == F.col("b.sub"),
+                F.col("a.node") < F.col("b.node"),
+            ],
+        )
         .where((lev >= 0) & (lev <= max_edits))
         .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
         # Materialize the HALF edge set here: it feeds every downstream
@@ -215,6 +251,7 @@ def dedupe_fuzzy(
     iterations: int = 8,
     checkpoint: bool = False,
     until_converged: bool = True,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Full blocked fuzzy dedup: returns ``(<id_col>, canonical_id)``.
 
@@ -224,6 +261,8 @@ def dedupe_fuzzy(
     Library default is converge-with-upper-bound: exact components up to
     diameter ``iterations``, stopping as soon as the labels fix —
     entity-name graphs usually settle in 2-3 rounds.
+    ``block_cap``: the oversized-block skew valve — see
+    :func:`candidate_pairs`.
     """
     block = (
         block_expr
@@ -231,7 +270,7 @@ def dedupe_fuzzy(
         else F.element_at(F.split(F.col(name_col), r"\s+"), 1)
     )
     nodes = df.select(F.col(id_col).alias("node"))
-    edges = candidate_pairs(df, id_col, name_col, block, max_edits)
+    edges = candidate_pairs(df, id_col, name_col, block, max_edits, block_cap)
     if until_converged:
         # contraction path: exact components, cheapest on dense graphs
         comp = min_label_components_contracted(nodes, edges, max_rounds=iterations)

@@ -731,26 +731,43 @@ def q38(spark, sf):
     )
 
 
-def _q39_oracle() -> str:
+def _q39_oracle(block_cap: int | None = None, n_rounds: int = 3) -> str:
     rounds = "".join(
         f""",
   l{i + 1} AS (
     SELECT e.src AS node, MIN(l.lab) AS lab
     FROM e_self e JOIN l{i} l ON l.node = e.dst
     GROUP BY e.src)"""
-        for i in range(3)
+        for i in range(n_rounds)
     )
+    if block_cap is None:
+        pair_src = "c"
+        sub_pred = ""
+        cap_ctes = ""
+    else:
+        # The SAME deterministic sub-salt the Spark valve computes
+        # (candidate_pairs block_cap): md5 of the node id, first 8 hex
+        # chars as an unsigned 32-bit int, mod ceil(block_size / cap).
+        cap_ctes = f""",
+sz AS (SELECT blk, count(*) AS bsz FROM c GROUP BY blk),
+cs AS (
+  SELECT c.node, c.name, c.blk,
+         ('0x' || substr(md5(CAST(c.node AS VARCHAR)), 1, 8))::BIGINT
+           % GREATEST(1, CAST(CEIL(bsz / {block_cap}.0) AS BIGINT)) AS sub
+  FROM c JOIN sz USING (blk))"""
+        pair_src = "cs"
+        sub_pred = "AND a.sub = b.sub "
     return f"""
 WITH c AS (
-  SELECT c_custkey AS node, c_name AS name, substr(c_name, 1, 15) AS blk FROM customer),
+  SELECT c_custkey AS node, c_name AS name, substr(c_name, 1, 15) AS blk FROM customer){cap_ctes},
 half AS (
   SELECT a.node AS src, b.node AS dst
-  FROM c a JOIN c b ON a.blk = b.blk AND a.node < b.node
+  FROM {pair_src} a JOIN {pair_src} b ON a.blk = b.blk {sub_pred}AND a.node < b.node
   WHERE levenshtein(a.name, b.name) <= 2),
 e0 AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
 e_self AS (SELECT src, dst FROM e0 UNION ALL SELECT node, node FROM c),
 l0 AS (SELECT node, node AS lab FROM c){rounds}
-SELECT node AS c_custkey, lab AS canonical_id FROM l3
+SELECT node AS c_custkey, lab AS canonical_id FROM l{n_rounds}
 """
 
 
@@ -771,6 +788,33 @@ def q39(spark, sf):
     nodes = cust.select(F.col("c_custkey").alias("node"))
     # contraction computes TRUE components; the oracle's fixed 3-round
     # unroll equals the fixpoint because the component diameter is 2
+    comp = min_label_components_contracted(nodes, edges)
+    return comp.select(F.col("node").alias("c_custkey"), "canonical_id")
+
+
+@register(
+    "q39p_fuzzy_dedup_capped",
+    "F4 DEPLOYABLE fuzzy dedup — q39's blocked levenshtein + components "
+    "with the block_cap=256 skew valve ON (the q42p pattern applied to "
+    "the last valve-less near-dup family). Unlike the MinHash valves, "
+    "this valve's salt (md5 % ceil(bsz/cap)) is ANSI-SQL-expressible, so "
+    "the oracle parameterizes the SAME cap and the value check runs in "
+    "the regime where the valve FIRES: the gate corpus's 1000-row name "
+    "blocks sub-salt into 4 buckets at sf0.01. Recall is traded only "
+    "inside capped blocks — in-block pair work drops from O(b^2) to "
+    "O(b*cap)",
+    _q39_oracle(block_cap=256, n_rounds=4),
+)
+def q39p(spark, sf):
+    cust = t(spark, sf, "customer")
+    block = F.substring(F.col("c_name"), 1, 15)
+    edges = candidate_pairs(
+        cust, "c_custkey", "c_name", block, max_edits=2, block_cap=256
+    )
+    nodes = cust.select(F.col("c_custkey").alias("node"))
+    # contraction computes TRUE components of the CAPPED edge graph;
+    # the oracle unrolls 4 rounds (measured fixpoint at gate scales is
+    # 3 — one round of margin, trivial at oracle scale)
     comp = min_label_components_contracted(nodes, edges)
     return comp.select(F.col("node").alias("c_custkey"), "canonical_id")
 

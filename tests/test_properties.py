@@ -69,6 +69,44 @@ def test_dedup_canonical_order_invariant(spark, perm):
     assert got == want
 
 
+def test_dedup_block_cap_valve(spark):
+    """The block_cap skew valve (q39p): capped edges are a subset of the
+    lossless edges (recall traded only inside oversized blocks), the
+    capped output is still a valid partition into components, and a cap
+    larger than every block is a no-op (bit-identical labels)."""
+    from ipes_data_pipeline_spark.operators.dedup_fuzzy import candidate_pairs
+
+    # one giant block of 40 near-identical names + a small distinct block
+    rows = [(i, f"acme corp {i:03d}") for i in range(40)] + [
+        (100, "zorp inc"), (101, "zorp incx")
+    ]
+    df = spark.createDataFrame(rows, "id int, name string")
+    blk = F.element_at(F.split(F.col("name"), r"\s+"), 1)
+
+    def edges(cap):
+        return {
+            (r["src"], r["dst"])
+            for r in candidate_pairs(
+                df, "id", "name", blk, max_edits=2, block_cap=cap
+            ).collect()
+        }
+
+    lossless, capped = edges(None), edges(8)
+    assert capped < lossless  # strictly fewer: the 40-block sub-salted
+    # the small block is under every cap: its edge survives intact
+    assert (100, 101) in capped
+    # cap >= max block size => valve provably inert
+    assert edges(64) == lossless
+
+    full = {
+        r["id"]: r["canonical_id"]
+        for r in dedupe_fuzzy(df, "id", "name", max_edits=2, block_cap=8).collect()
+    }
+    assert set(full) == {i for i, _ in rows}  # every node labeled once
+    # canonical ids are component members (a partition, not dangling labels)
+    assert set(full.values()) <= set(full)
+
+
 def test_nest_unnest_roundtrip(spark):
     orders = spark.createDataFrame(
         [(c, d, k) for c in range(5) for d, k in [(1, 10), (2, 20), (3, 30)]],
