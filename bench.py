@@ -49,6 +49,9 @@ HEADLINE = [
     "q121p_simhash_neardup_capped",
     "q45_embedding_neardup_lsh",
     "q46_ann_topk",
+    # q161: residual IVFPQ (IndexIVFPQ by_residual) — the 'next gear'
+    # named in ivfpq_topk's docs, drained round-7
+    "q161_ivfpq_residual_ann",
     "q114_knn_graph",
     # q118 (fixed 16 buckets, oracle-pinned) is registry-only at scale:
     # in-bucket Gram work grows N²/16 (149× wall for 10× rows at sf10 —

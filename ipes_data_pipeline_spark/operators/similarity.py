@@ -1381,3 +1381,137 @@ def ivfpq_topk(
     if adc is None:
         return _empty()
     return adc.orderBy(F.asc("adc_d2"), F.asc("id")).limit(k)
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    n_iter: int = 3,
+    train_limit: int | None = None,
+) -> DataFrame:
+    """Residual IVFPQ — the faithful ``IndexIVFPQ`` (by_residual) form
+    :func:`ivfpq_topk`'s docstring names as the next gear: PQ codebooks
+    are trained on, and codes encode, the per-cell RESIDUAL
+    ``v - coarse_centroid(cell(v))`` instead of the raw vector.
+    Residuals cluster around the origin regardless of which cell a
+    vector lives in, so the ksub codewords per subspace model a far
+    tighter distribution than global raw-vector codebooks — the
+    accuracy the residual trade buys (Jégou 2011 §IV-B).
+
+    The cost is per-cell query tables: the query's residual differs per
+    probed cell, so each probed cell owns its own m distance tables —
+    here an (n_probe × m × ksub)-row broadcast (a few KB at any corpus
+    scale; FAISS pays the same table-per-probe multiplication). The
+    scan is unchanged: codes equi-join their OWN cell's table (the
+    join key gains the cell id), one map-side-combined decimal SUM per
+    id, TakeOrderedAndProject.
+
+    Determinism: residual subtraction is exact IEEE (engine-side
+    ``zip_with`` double subtraction ≡ the oracle's ``list_transform``
+    subtraction ≡ the driver's query-residual floats), codebooks are
+    the bit-stable Lloyd chain over those residuals, and the ADC sum
+    is exact decimal — hence the cross-engine value oracle (q161).
+
+    At 100 TB: identical shuffle/broadcast shape to :func:`ivfpq_topk`
+    (residual construction is one extra map stage against a broadcast
+    centroid table); index structures stay driver-sized.
+    """
+    emb, _empty, dsub, qv = _pq_prep(
+        df, id_col, vec_col, query_df, m, "ivfpq_residual_topk"
+    )
+    if not dsub:
+        return _empty()
+    spark = df.sparkSession
+    emb = cut(emb)  # coarse training + assignment reference it
+    coarse = _lloyd_centroid_list(emb, n_cells, n_iter, train_limit=train_limit)
+    if not coarse:
+        return _empty()
+    cent_df = spark.createDataFrame(
+        coarse, "c_id long, c_vec array<double>"
+    )
+    # residuals: one map stage (broadcast centroid join, exact IEEE
+    # elementwise subtraction); cut once — m training collects, m
+    # encode passes and the candidate filter all reference it
+    resv = cut(
+        _with_cells(emb, coarse)
+        .join(F.broadcast(cent_df), "c_id")
+        .select(
+            "id",
+            "c_id",
+            F.zip_with(
+                "v", "c_vec", lambda a, b: a.cast("double") - b.cast("double")
+            ).alias("v"),
+        )
+    )
+
+    # probe list: pure function of (query, centroids) — the pinned
+    # sequential fold with lower-c_id tie-break (see ivfpq_topk)
+    def _d2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc if acc == acc else float("inf")
+
+    probes = [
+        cid
+        for _, cid in sorted((_d2(qv, cv), cid) for cid, cv in coarse)[:n_probe]
+    ]
+    cand = cut(resv.where(F.col("c_id").isin(probes)))
+    # per-probed-cell query residuals as DATA (driver float subtraction
+    # is the same IEEE double op the oracle's SQL subtraction performs);
+    # the d2 table entries themselves are computed ENGINE-side so the
+    # decimal rounding matches the oracle's ROUND exactly
+    q_res = spark.createDataFrame(
+        [
+            (cid, [q - c for q, c in zip(qv, cv)])
+            for cid, cv in coarse
+            if cid in set(probes)
+        ],
+        "cell long, qv array<double>",
+    )
+    codes_parts, dtab_parts = [], []
+    for j in range(m):
+        sub = resv.select("id", F.slice("v", j * dsub + 1, dsub).alias("v"))
+        cent = _lloyd_centroid_list(sub, ksub, n_iter, train_limit=train_limit)
+        if not cent:
+            return _empty()
+        sub_enc = cand.select("id", F.slice("v", j * dsub + 1, dsub).alias("v"))
+        codes_parts.append(
+            _with_cells(sub_enc, cent).select(
+                "id", F.lit(j).alias("sub_j"), F.col("c_id").alias("code")
+            )
+        )
+        cent_df_j = spark.createDataFrame(cent, "c_id long, c_vec array<double>")
+        qsub = q_res.select(
+            "cell", F.slice("qv", j * dsub + 1, dsub).alias("qv")
+        )
+        dtab_parts.append(
+            cent_df_j.crossJoin(F.broadcast(qsub)).select(
+                "cell",
+                F.lit(j).alias("sub_j"),
+                F.col("c_id").alias("code"),
+                F.round(_d2_fold(F.col("qv"), F.col("c_vec")), 6)
+                .cast("decimal(18,6)")
+                .alias("d2"),
+            )
+        )
+    codes = codes_parts[0]
+    for c in codes_parts[1:]:
+        codes = codes.unionAll(c)
+    dtab = dtab_parts[0]
+    for d in dtab_parts[1:]:
+        dtab = dtab.unionAll(d)
+    adc = (
+        codes.join(cand.select("id", F.col("c_id").alias("cell")), "id")
+        .join(F.broadcast(dtab), ["cell", "sub_j", "code"])
+        .groupBy("id")
+        .agg(F.sum("d2").cast("double").alias("adc_d2"))
+    )
+    return adc.orderBy(F.asc("adc_d2"), F.asc("id")).limit(k)

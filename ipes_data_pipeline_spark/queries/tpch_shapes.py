@@ -1164,3 +1164,102 @@ def q160(spark, sf):
     return ivfpq_topk(
         emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 7), k=10
     )
+
+
+def _sql_pq_res_subspace(
+    j: int, dsub: int, ksub: int, n_iter: int
+) -> tuple[list[str], str]:
+    """One RESIDUAL PQ subspace's CTE family: slices come from ``resv``
+    (per-cell residuals) instead of ``emb``, and the query distance
+    table is per probed CELL (from ``qres``) — the residual twin of
+    :func:`_sql_pq_subspace`, sharing the Lloyd-round builders so the
+    chains cannot drift. The ADC part-select keys the table lookup by
+    (cell, code): rows in unprobed cells find no table row and drop."""
+    from ipes_data_pipeline_spark.queries.prep import _SQL_L2
+
+    lo, hi = j * dsub + 1, (j + 1) * dsub
+    s = f"s{j}"
+    ctes = [f"{s} AS (SELECT id, v[{lo}:{hi}] AS v FROM resv)"]
+    ctes.append(
+        f"{s}c0 AS (SELECT id AS c_id, v AS c_vec FROM {s} "
+        f"ORDER BY id LIMIT {ksub})"
+    )
+    ctes.extend(_sql_lloyd_rounds(s, n_iter, dim=dsub, prefix=s))
+    ctes.append(_sql_lloyd_assign(s, f"{s}c{n_iter}", f"{s}codes"))
+    d2 = _SQL_L2.format(a="q.v", b="c.c_vec")
+    ctes.append(f"{s}q AS (SELECT cell, v[{lo}:{hi}] AS v FROM qres)")
+    ctes.append(
+        f"{s}dt AS (SELECT q.cell, c.c_id, "
+        f"CAST(ROUND({d2}, 6) AS DECIMAL(18,6)) AS d2 "
+        f"FROM {s}c{n_iter} c CROSS JOIN {s}q q)"
+    )
+    part = (
+        f"SELECT sc.id, dt.d2 FROM {s}codes sc "
+        f"JOIN cells cl ON cl.id = sc.id "
+        f"JOIN {s}dt dt ON dt.c_id = sc.c_id AND dt.cell = cl.c_id"
+    )
+    return ctes, part
+
+
+def _q161_oracle(
+    n_cells: int = 8, n_probe: int = 2, m: int = 4, dsub: int = 16,
+    ksub: int = 16, n_iter: int = 3, qid: int = 7, k: int = 10,
+) -> str:
+    """Residual IVFPQ = the q160 chain with a residual stage spliced in:
+    ``resv`` holds v - coarse_centroid(cell(v)) (exact IEEE elementwise
+    subtraction), subspace codebooks train on those residuals, and each
+    probed cell owns its own query distance tables built from the
+    query's residual against THAT cell's centroid."""
+    from ipes_data_pipeline_spark.queries.prep import _SQL_L2
+
+    dim = m * dsub
+    ctes = [_sql_lloyd_cells(n_cells, n_iter)]
+    ctes.append(
+        f"resv AS (SELECT s.id, cl.c_id, "
+        f"list_transform(range(1, {dim + 1}), i -> s.v[i] - c.c_vec[i]) AS v "
+        f"FROM emb s JOIN cells cl ON cl.id = s.id "
+        f"JOIN c{n_iter} c ON c.c_id = cl.c_id)"
+    )
+    qd2 = _SQL_L2.format(a="q.v", b="c.c_vec")
+    ctes.append(f"qv AS (SELECT id, v FROM emb WHERE id = {qid})")
+    ctes.append(
+        f"qcells AS (SELECT c.c_id FROM c{n_iter} c CROSS JOIN qv q "
+        f"ORDER BY {qd2} ASC, c.c_id ASC LIMIT {n_probe})"
+    )
+    ctes.append(
+        f"qres AS (SELECT qc.c_id AS cell, "
+        f"list_transform(range(1, {dim + 1}), i -> q.v[i] - c.c_vec[i]) AS v "
+        f"FROM qcells qc JOIN c{n_iter} c ON c.c_id = qc.c_id "
+        f"CROSS JOIN qv q)"
+    )
+    parts = []
+    for j in range(m):
+        sub_ctes, part = _sql_pq_res_subspace(j, dsub, ksub, n_iter)
+        ctes.extend(sub_ctes)
+        parts.append(part)
+    union = " UNION ALL ".join(parts)
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT u.id AS id, CAST(SUM(u.d2) AS DOUBLE) AS adc_d2
+FROM ({union}) u
+GROUP BY u.id ORDER BY adc_d2 ASC, u.id ASC LIMIT {k}"""
+
+
+@register(
+    "q161_ivfpq_residual_ann",
+    "similarity search: RESIDUAL IVFPQ ANN (FAISS IndexIVFPQ "
+    "by_residual, the faithful form) - PQ codebooks train on and codes "
+    "encode v - coarse_centroid, each probed cell owns its own query "
+    "distance tables; drains the 'next gear' deferral named in "
+    "ivfpq_topk's docs, value-checked cross-engine like q159/q160",
+    _q161_oracle(),
+)
+def q161(spark, sf):
+    from ipes_data_pipeline_spark.operators.similarity import (
+        ivfpq_residual_topk,
+    )
+
+    emb = t(spark, sf, "embeddings")
+    return ivfpq_residual_topk(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 7), k=10
+    )
