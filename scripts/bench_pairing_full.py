@@ -1,0 +1,139 @@
+"""Same-minutes interleaved Spark-vs-DuckDB pairing over the FULL
+headline set (round-7: the bench_q144_pairing method generalized).
+
+Round 6 committed a single-pass pairing taken in a slow weather window
+(1.77x) while the judge's medians-of-3 pairing read 1.29x — the spread
+was method, not engine. This harness removes that class of error for
+the committed number: ONE process, per query one warm run then 3
+strictly alternating (Spark, DuckDB) timed samples, medians on both
+sides — any host transient hits adjacent samples of BOTH engines.
+
+Queries without oracle SQL pair nothing and are skipped (they are
+Spark-only semantics: streaming twins, learned-centroid ANN variants
+whose SQL would not be the same algorithm).
+
+Output (one JSON line + file): per-query spark/duck medians, totals,
+ratio. Writes to /tmp by default; pass an explicit path to commit.
+
+Usage: python scripts/bench_pairing_full.py [sf_dir] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from bench import HEADLINE
+from ipes_data_pipeline_spark.queries import REGISTRY, TABLES, load_all
+from ipes_data_pipeline_spark.session import get_session
+
+RUNS = 3
+DUCK_CAP_S = float(os.environ.get("SPARK_GRAFT_DUCK_QUERY_CAP", "180") or 0)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/BENCH_PAIRING.json"
+    load_all()
+    spark = get_session("bench-pairing")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+
+    def spark_once(spec) -> float:
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    def duck_once(sql: str) -> float:
+        timer = None
+        if DUCK_CAP_S:
+            timer = threading.Timer(DUCK_CAP_S, con.interrupt)
+            timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+            return time.perf_counter() - t0
+        finally:
+            if timer:
+                timer.cancel()
+
+    sp_med: dict[str, float] = {}
+    du_med: dict[str, float] = {}
+    sp_spread: dict[str, float] = {}
+    du_spread: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    base = [q for q in subset_env.split(",") if q] if subset_env else HEADLINE
+    paired = [q for q in base if REGISTRY[q].oracle is not None]
+    for name in paired:
+        spec = REGISTRY[name]
+        try:
+            # warm BOTH engines (codegen/JIT on the Spark side, IO cache
+            # on both), then alternate strictly: S D S D S D
+            spark_once(spec)
+            duck_once(spec.oracle)
+            sp, du = [], []
+            for _ in range(RUNS):
+                sp.append(spark_once(spec))
+                du.append(duck_once(spec.oracle))
+        except Exception as e:  # noqa: BLE001 — record, keep pairing
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            continue
+        sp_med[name] = round(statistics.median(sp), 3)
+        du_med[name] = round(statistics.median(du), 3)
+        sp_spread[name] = round(max(sp) - min(sp), 3)
+        du_spread[name] = round(max(du) - min(du), 3)
+        # checkpoint after every query so a crash keeps partial evidence
+        _flush(out_path, sf_dir, paired, sp_med, du_med, sp_spread,
+               du_spread, errors)
+    print(json.dumps(_flush(out_path, sf_dir, paired, sp_med, du_med,
+                            sp_spread, du_spread, errors)))
+
+
+def _flush(out_path, sf_dir, paired, sp_med, du_med, sp_spread, du_spread,
+            errors) -> dict:
+    sp_total = round(sum(sp_med.values()), 3)
+    du_total = round(sum(du_med.values()), 3)
+    payload = {
+        "metric": "headline_interleaved_pairing",
+        "unit": "sec",
+        "method": (
+            "one process, per query: 1 warm + 3 strictly alternating "
+            "(Spark, DuckDB) samples, medians both sides"
+        ),
+        "sf_dir": sf_dir,
+        "runs": RUNS,
+        "n_paired": len(sp_med),
+        "n_headline_with_oracle": len(paired),
+        "spark_total": sp_total,
+        "duckdb_total": du_total,
+        "ratio": round(sp_total / du_total, 3) if du_total else None,
+        "spark": sp_med,
+        "duckdb": du_med,
+        "spark_spread": sp_spread,
+        "duckdb_spread": du_spread,
+    }
+    if errors:
+        payload["errors"] = errors
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    return payload
+
+
+if __name__ == "__main__":
+    main()
