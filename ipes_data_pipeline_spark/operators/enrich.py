@@ -290,7 +290,16 @@ def enrich_misses(
             for row in pdf.itertuples(index=False):
                 if bucket:
                     bucket.acquire()
-                dockets = list(getattr(row, "dockets", []) or []) if has_dockets else []
+                # Arrow hands an array<string> cell to itertuples as a
+                # numpy array: `raw or []` would throw ("truth value of
+                # an array is ambiguous") for ANY company with 2+
+                # dockets. None/NaN = null cell.
+                raw = getattr(row, "dockets", None) if has_dockets else None
+                dockets = (
+                    []
+                    if raw is None or isinstance(raw, float)
+                    else list(raw)
+                )
                 try:
                     rec = clamp_enums(backend(row.normalized_name, dockets))
                 except Exception:  # failure → empty struct, counted by caller

@@ -222,3 +222,59 @@ def test_enrich_with_cache_over_live_chat_server(spark, chat_server):
     }
     assert cacheable == {"acme telecom"}
     assert all(c[0] != "fenced corp" for c in _ChatHandler.calls)
+
+
+def test_stream_gold_enrichment_over_live_chat_server(spark, chat_server, tmp_path):
+    """Stretch path: the STREAMING gold sink (foreachBatch cache-append
+    contract) driving the production HTTP backend against the live fake
+    server — successful names enter the cache, the parse-failure name
+    stays uncached, and a second stream (fresh checkpoint, exploding
+    server) is served entirely from the cache."""
+    import os
+
+    from ipes_data_pipeline_spark.schemas import ENRICHMENT_CACHE
+    from ipes_data_pipeline_spark.streaming.medallion import (
+        stream_gold_enrichment,
+    )
+
+    companies = spark.createDataFrame(
+        [
+            (1, "Acme Telecom", "acme telecom", 3),
+            (2, "Broken JSON Inc", "broken json inc", 1),
+        ],
+        "id long, entity_name string, normalized_name string, filing_count long",
+    )
+    filings = spark.createDataFrame(
+        [(1, "WC 20-1"), (1, "WC 07-243"), (2, "WC 99-9")],
+        "company_id long, docket_number string",
+    )
+    silver_dir = str(tmp_path / "companies")
+    companies.write.parquet(silver_dir)
+    cache_dir, gold_dir = str(tmp_path / "cache"), str(tmp_path / "gold")
+    stream = spark.readStream.schema(companies.schema).parquet(silver_dir)
+
+    q = stream_gold_enrichment(
+        spark, stream, filings, cache_dir, gold_dir,
+        str(tmp_path / "ck1"), backend=_backend(chat_server),
+    )
+    q.awaitTermination(120)
+    gold = {r["entity_name"]: r for r in spark.read.parquet(gold_dir).collect()}
+    assert gold["Acme Telecom"]["product_summary"] == "About acme telecom."
+    assert gold["Broken JSON Inc"]["is_active"] is None  # failure row
+    cache = spark.read.schema(ENRICHMENT_CACHE).parquet(cache_dir)
+    assert {r["normalized_name"] for r in cache.collect()} == {"acme telecom"}
+    # the server really served the stream (executor-side HTTP happened)
+    assert ("acme telecom" in {c[0] for c in _ChatHandler.calls})
+
+    # second stream, fresh checkpoint: the cached name must NOT re-pay
+    # the backend; the failure name retries (and fails again)
+    _ChatHandler.calls = []
+    q = stream_gold_enrichment(
+        spark, stream, filings, cache_dir, gold_dir,
+        str(tmp_path / "ck2"), backend=_backend(chat_server),
+    )
+    q.awaitTermination(120)
+    called = {c[0] for c in _ChatHandler.calls}
+    assert "acme telecom" not in called  # cache hit bypassed the server
+    assert "broken json inc" in called  # uncached failure retried
+    assert spark.read.schema(ENRICHMENT_CACHE).parquet(cache_dir).count() == 1
