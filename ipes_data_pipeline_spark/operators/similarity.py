@@ -1515,3 +1515,182 @@ def ivfpq_residual_topk(
         .agg(F.sum("d2").cast("double").alias("adc_d2"))
     )
     return adc.orderBy(F.asc("adc_d2"), F.asc("id")).limit(k)
+
+
+def sq8_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Scalar-quantization ANN (the FAISS ``IndexScalarQuantizer``
+    QT_8bit shape): every dimension is uniformly quantized to one byte
+    between the corpus's per-dimension min and max, and the scan ranks
+    by asymmetric distance (full-precision query vs reconstructed
+    codes). The middle gear of the quantized-ANN family — 8× smaller
+    than float64 (PQ here is 128×) but per-DIMENSION resolution, so
+    recall degrades far more gently than PQ's per-subspace codes.
+
+    Physical shape: "train" is ONE aggregate producing a 2×dim-cell
+    bounds row (map-side partial min/max, a broadcast of 128 doubles);
+    encode + ADC fuse into a single zero-shuffle map stage over the
+    corpus (codes are derived and consumed in-register — a persisted
+    index would write the tiny bounds row + 1-byte codes and scan
+    those); the only ordering work is TakeOrderedAndProject. At 100 TB:
+    no exchange at all before the top-k, and per-row cost is dim
+    fused-multiply ops inside whole-stage codegen — no Python anywhere.
+
+    Cross-engine determinism (q162): codes are exact integers
+    (``floor(x + 0.5)`` of a fixed-association double expression —
+    identical IEEE ops in both engines; half-up matches DuckDB because
+    the pre-floor operand is non-negative by clamping), each squared
+    per-dimension error is rounded to DECIMAL(18,6), and the row
+    distance is the exact decimal sum of those 64 parts — summation
+    order cannot move it (mirrors the PQ/ADC table rule).
+
+    ``query_df`` must hold exactly ONE row (enforced, like
+    :func:`pq_topk`). Null vectors in the corpus score null and sort
+    last (nulls-last in desc? -- they are filtered: a null vector has
+    no code) — rows whose vector is NULL are dropped from the scan.
+    """
+    emb, _empty, dim, qv = _pq_prep(df, id_col, vec_col, query_df, 1, "sq8_topk")
+    if not dim:
+        return _empty()
+    emb = emb.where(F.col("v").isNotNull())
+    # train: per-dimension bounds in ONE pass (2*dim partial aggregates)
+    bounds = emb.agg(
+        F.array(
+            *[F.min(F.element_at("v", i)) for i in range(1, dim + 1)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.element_at("v", i)) for i in range(1, dim + 1)]
+        ).alias("mx"),
+    )
+    q_arr = F.array(*[F.lit(float(x)) for x in qv])
+    idx = F.sequence(F.lit(1), F.lit(dim))
+
+    def part(i):
+        vi = F.element_at(F.col("v"), i)
+        mni = F.element_at(F.col("mn"), i)
+        mxi = F.element_at(F.col("mx"), i)
+        code = F.least(
+            F.greatest(
+                F.floor((vi - mni) * F.lit(255.0) / (mxi - mni) + F.lit(0.5))
+                .cast("int"),
+                F.lit(0),
+            ),
+            F.lit(255),
+        )
+        code = F.when(mxi > mni, code).otherwise(F.lit(0))
+        recon = mni + code.cast("double") * (mxi - mni) / F.lit(255.0)
+        qi = F.element_at(F.col("q_vec"), i)
+        return F.round((qi - recon) * (qi - recon), 6).cast("decimal(18,6)")
+
+    d2 = F.aggregate(
+        F.transform(idx, part),
+        F.lit(0).cast("decimal(18,6)"),
+        lambda acc, x: (acc + x).cast("decimal(18,6)"),
+        lambda acc: acc.cast("double"),
+    )
+    return (
+        emb.crossJoin(F.broadcast(bounds))
+        .withColumn("q_vec", q_arr)
+        .select("id", d2.alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    n_candidates: int = 8,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein, SIGIR
+    1998): fetch ``n_candidates`` by pure cosine relevance, then
+    greedily select ``k`` of them maximizing
+    ``lam * rel(c) - (1 - lam) * max_sim(c, selected)`` — the
+    diversity-aware final stage of a retrieval stack (dedups
+    near-identical passages a training-example assembler or RAG prompt
+    would otherwise waste context on).
+
+    Physical shape — two distributed stages and one bounded greedy:
+    relevance scoring is the brute-force scan (zero shuffle +
+    TakeOrderedAndProject, same as :func:`ann_topk_bruteforce`);
+    candidate↔candidate similarities are an n²-bounded self-join of the
+    n_candidates survivors (n defaults to 8 — 56 rows); the greedy
+    itself is inherently sequential (step t depends on all prior picks)
+    over ≤ n_candidates rows, so it runs as ONE ``applyInPandas`` group
+    executor-side. Nothing unbounded ever leaves the cluster; corpus
+    scale only touches the first stage. The greedy compares RAW doubles
+    (both engines produce bit-identical rel/sim via the shared decimal
+    dot-product rule, and Python floats are the same IEEE doubles), and
+    only the emitted score is rounded — the oracle (q164) mirrors the
+    loop as k unrolled argmax CTE layers.
+    """
+    emb = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    qrows = query_df.select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    if len(qrows) != 1:
+        raise ValueError(f"mmr_rerank expects exactly one query row, got {len(qrows)}")
+    q_arr = F.array(*[F.lit(float(x)) for x in qrows[0]["v"]])
+    cand = (
+        emb.withColumn("q_vec", q_arr)
+        .select("id", "v", cosine(F.col("v"), F.col("q_vec")).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("id"))
+        .limit(n_candidates)
+    )
+    cand = cut(cand)  # consumed by the self-join's both sides + the fuse
+    # LEFT join keeps a lone candidate (no pairs) in the greedy's input
+    a, b = cand.alias("a"), cand.alias("b")
+    sims = a.join(b, F.col("a.id") != F.col("b.id"), "left").select(
+        F.col("a.id").alias("id"),
+        F.col("a.rel").alias("rel"),
+        F.col("b.id").alias("id_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+    )
+
+    def greedy(pdf):
+        import pandas as pd
+
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel[r.id] = r.rel
+            if r.id_b is not None and not pd.isna(r.id_b):
+                sim[(r.id, int(r.id_b))] = r.sim
+        ids = sorted(rel)
+        picked, rows = [], []
+        for step in range(1, min(k, len(ids)) + 1):
+            best = None
+            for c in ids:
+                if c in picked:
+                    continue
+                if picked:
+                    score = lam * rel[c] - (1.0 - lam) * max(
+                        sim[(c, p)] for p in picked
+                    )
+                else:
+                    score = rel[c]
+                # strict > : ties keep the lowest id (ids scan ascending)
+                if best is None or score > best[1]:
+                    best = (c, score)
+            picked.append(best[0])
+            rows.append((step, best[0], best[1]))
+        return pd.DataFrame(rows, columns=["step", "id", "score"])
+
+    out = sims.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda _key, pdf: greedy(pdf), "step int, id bigint, score double"
+    )
+    return out.select(
+        "step", "id", F.round("score", 6).cast("double").alias("mmr_score")
+    ).orderBy("step")

@@ -68,3 +68,53 @@ def grouped_topk(
         .drop("__rn")
         .select(*cols)
     )
+
+
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of N ranked candidate lists: ``rrf(d) = Σ_lists 1 / (c + rank_d)``,
+    the standard score-free combiner of heterogeneous retrievers (BM25 +
+    embedding ANN is the classic hybrid-search pair, q163).
+
+    ``ranked`` maps a list name to a DataFrame holding ``id_col`` and
+    ``rank_col`` (1-based; rows absent from a list contribute 0). The
+    output carries one ``<name>_rank`` column per input list (nullable
+    int) plus ``rrf_score`` rounded to 6 dp, ordered best-first.
+
+    Physical shape: candidate lists are top-k truncations, so every
+    input is k rows — the fusion is a chain of full outer joins over
+    frames Catalyst broadcasts; corpus scale never reaches this
+    operator (it lives downstream of the retrievers' own
+    TakeOrderedAndProject). Determinism: the contribution sum runs in
+    dict order with fixed double literals, so both engines fold the
+    same IEEE values in the same order; final ties break on id.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    fused = None
+    for name, frame in ranked.items():
+        part = frame.select(
+            F.col(id_col).alias("id"),
+            F.col(rank_col).cast("int").alias(f"{name}_rank"),
+        )
+        fused = part if fused is None else fused.join(part, "id", "full")
+    contribs = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"{name}_rank").cast("double")),
+            F.lit(0.0),
+        )
+        for name in ranked
+    ]
+    score = contribs[0]
+    for contrib in contribs[1:]:
+        score = score + contrib
+    return fused.select(
+        "id",
+        *[F.col(f"{name}_rank") for name in ranked],
+        F.round(score, 6).cast("double").alias("rrf_score"),
+    ).orderBy(F.desc("rrf_score"), F.asc("id"))

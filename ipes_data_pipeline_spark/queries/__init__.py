@@ -135,6 +135,7 @@ def load_all() -> None:
         mixing,
         prep,
         relational,
+        retrieval,
         tpch_shapes,
         windows_batch,
     )

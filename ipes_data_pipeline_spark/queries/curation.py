@@ -702,6 +702,10 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_TOPK}
     _q134_oracle(),
 )
 def q134(spark, sf):
+    return bm25_topk(spark, sf)
+
+
+def bm25_topk(spark, sf, terms=_BM25_TERMS, topk=_BM25_TOPK):
     # Physical shape: one tokenize scan; tf is a (doc, term) aggregate
     # over ONLY the query terms (the isin filter runs before the first
     # shuffle, so the exchange carries |terms| x |docs| rows at most);
@@ -709,6 +713,8 @@ def q134(spark, sf):
     # the final top-k is TakeOrderedAndProject. At 100 TB nothing here
     # materializes the corpus: the heavy exchange is bounded by the
     # query vocabulary, and scoring is codegen'd column math.
+    # (Shared with q163's lexical leg — one definition keeps the Spark
+    # plan and the oracle CTE in sync across both queries.)
     k1, b = _BM25_K1, _BM25_B
     d = t(spark, sf, "documents").select(
         "doc_id", tokens(F.col("text")).alias("w")
@@ -725,7 +731,7 @@ def q134(spark, sf):
     )
     tk = d.select("doc_id", F.explode("w").alias("tok"))
     tf = (
-        tk.where(F.col("tok").isin(*_BM25_TERMS))
+        tk.where(F.col("tok").isin(*terms))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -752,7 +758,7 @@ def q134(spark, sf):
         .groupBy("doc_id")
         .agg(F.sum("part").cast("double").alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(_BM25_TOPK)
+        .limit(topk)
     )
 
 

@@ -1,0 +1,227 @@
+"""The retrieval/RAG stack on top of the engine's scorers: quantized
+ANN (scalar quantization — the FAISS SQ8 gear between full-precision
+and PQ), hybrid lexical+semantic rank fusion (RRF), and
+diversity-aware re-ranking (MMR).
+
+These are the three stages a retrieval-backed training-data assembler
+runs after the index builders this repo already ships (BM25 q134,
+brute/IVF/PQ/IVFPQ q46/q72/q159–q161): compress the index, fuse the
+retrievers, diversify the final context. Reference anchor: the
+reference ranks and filters per-query candidate sets before its
+per-row enrichment (filter_relevant_dockets.py, enrich_data.py) —
+these queries are that stage re-expressed at corpus scale.
+
+Determinism rules as in queries/__init__: per-part rounding to
+DECIMAL(18,6) before any sum whose order an engine could choose;
+double arithmetic written with identical association on both sides;
+ties always broken by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ipes_data_pipeline_spark.queries import register, t
+
+_DIM = 64  # testdata embedding width (TESTDATA.md)
+
+# --------------------------------------------- q162: scalar-quantized ANN
+
+_SQ8_K, _SQ8_QID = 10, 0
+
+
+def _q162_oracle(dim: int = _DIM, k: int = _SQ8_K, qid: int = _SQ8_QID) -> str:
+    """SQ8 ADC scan: per-dimension uniform byte quantization between the
+    corpus min/max, query kept full-precision. Expression association
+    mirrors operators/similarity.sq8_topk token for token."""
+    code = (
+        "LEAST(GREATEST(CAST(FLOOR((CAST(e.embedding[b.i] AS DOUBLE) - b.mn)"
+        " * 255.0 / (b.mx - b.mn) + 0.5) AS INT), 0), 255)"
+    )
+    recon = "(c.mn + CAST(c.code AS DOUBLE) * (c.mx - c.mn) / 255.0)"
+    err = f"(CAST(q.v[c.i] AS DOUBLE) - {recon})"
+    return f"""
+WITH bounds AS (
+  SELECT i,
+         MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+         MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings, range(1, {dim + 1}) t(i)
+  GROUP BY i),
+codes AS (
+  SELECT e.vec_id AS id, b.i, b.mn, b.mx,
+         CASE WHEN b.mx > b.mn THEN {code} ELSE 0 END AS code
+  FROM embeddings e CROSS JOIN bounds b),
+q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = {qid}),
+parts AS (
+  SELECT c.id, CAST(ROUND({err} * {err}, 6) AS DECIMAL(18,6)) AS part
+  FROM codes c CROSS JOIN q)
+SELECT id, CAST(SUM(part) AS DOUBLE) AS adc_d2
+FROM parts GROUP BY id ORDER BY adc_d2 ASC, id ASC LIMIT {k}"""
+
+
+@register(
+    "q162_sq8_ann",
+    "similarity search: scalar-quantized ANN (FAISS IndexScalarQuantizer "
+    "QT_8bit) — per-dimension byte codes between corpus min/max, "
+    "asymmetric-distance scan; the 8x-compression gear between "
+    "full-precision brute force (q46) and PQ's 128x (q159)",
+    _q162_oracle(),
+)
+def q162(spark, sf):
+    from ipes_data_pipeline_spark.operators.similarity import sq8_topk
+
+    emb = t(spark, sf, "embeddings")
+    return sq8_topk(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == _SQ8_QID),
+        k=_SQ8_K,
+    )
+
+
+# ------------------------------------------------ q163: RRF hybrid fusion
+
+_RRF_K, _RRF_C, _RRF_QID = 20, 60, 0
+
+
+def _q163_oracle(k: int = _RRF_K, c: int = _RRF_C, qid: int = _RRF_QID) -> str:
+    from ipes_data_pipeline_spark.queries.curation import _q134_oracle
+    from ipes_data_pipeline_spark.queries.dataops import _sql_cosine
+
+    cos = _sql_cosine("e.embedding", "q.q_vec")
+    contrib = (
+        "COALESCE(CAST(1 AS DOUBLE) / ({c} + CAST({r} AS DOUBLE)), "
+        "CAST(0 AS DOUBLE))"
+    )
+    lex_part = contrib.format(c=c, r="lex_rank")
+    sem_part = contrib.format(c=c, r="sem_rank")
+    return f"""
+WITH lexq AS ({_q134_oracle().strip()}),
+lex AS (SELECT doc_id AS id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT)
+                 AS lex_rank
+        FROM lexq),
+semq AS (SELECT e.vec_id AS id, {cos} AS cos_sim
+         FROM embeddings e CROSS JOIN
+              (SELECT embedding AS q_vec FROM embeddings
+               WHERE vec_id = {qid}) q
+         ORDER BY cos_sim DESC, id ASC LIMIT {k}),
+sem AS (SELECT id,
+               CAST(row_number() OVER (ORDER BY cos_sim DESC, id ASC) AS INT)
+                 AS sem_rank
+        FROM semq),
+f AS (SELECT COALESCE(lex.id, sem.id) AS id, lex.lex_rank, sem.sem_rank
+      FROM lex FULL JOIN sem ON lex.id = sem.id)
+SELECT id, lex_rank, sem_rank,
+       CAST(ROUND({lex_part} + {sem_part}, 6) AS DOUBLE) AS rrf_score
+FROM f ORDER BY rrf_score DESC, id ASC"""
+
+
+@register(
+    "q163_rrf_hybrid_retrieval",
+    "retrieval: hybrid lexical+semantic search via Reciprocal-Rank "
+    "Fusion — BM25 top-k (q134's scorer) and embedding-cosine top-k "
+    "(q46's scorer) fused rank-wise (SIGIR'09 RRF, c=60); the standard "
+    "hybrid-search combiner of a RAG stack",
+    _q163_oracle(),
+)
+def q163(spark, sf):
+    # Both retriever legs end in their own TakeOrderedAndProject, so the
+    # fusion's outer join sees 2 × k rows regardless of corpus size —
+    # rank columns are windows over k-row frames, not corpus windows.
+    from ipes_data_pipeline_spark.operators.similarity import (
+        ann_topk_bruteforce,
+    )
+    from ipes_data_pipeline_spark.operators.topk import rrf_fuse
+    from ipes_data_pipeline_spark.queries.curation import bm25_topk
+
+    lex = bm25_topk(spark, sf, topk=_RRF_K).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    emb = t(spark, sf, "embeddings")
+    sem = ann_topk_bruteforce(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == _RRF_QID),
+        k=_RRF_K,
+    ).select(
+        "id",
+        F.row_number()
+        .over(W.orderBy(F.desc("cos_sim"), F.asc("id")))
+        .alias("rank"),
+    )
+    return rrf_fuse({"lex": lex, "sem": sem}, c=_RRF_C)
+
+
+# -------------------------------------------- q164: MMR diversity re-rank
+
+_MMR_N, _MMR_K, _MMR_LAM, _MMR_QID = 8, 5, 0.7, 0
+
+
+def _q164_oracle(
+    n_cand: int = _MMR_N, k: int = _MMR_K, lam: float = _MMR_LAM,
+    qid: int = _MMR_QID,
+) -> str:
+    """The greedy loop unrolled into k argmax CTE layers (each picks the
+    best not-yet-selected candidate against all prior layers) — bounded
+    constants make unrolling exact, no recursion needed. Argmax compares
+    RAW doubles (identical in both engines); only output is rounded."""
+    from ipes_data_pipeline_spark.queries.dataops import _sql_cosine
+
+    lam_sql = f"CAST({lam} AS DOUBLE)"
+    rel = _sql_cosine("e.embedding", "q.v")
+    sim = _sql_cosine("a.v", "b.v")
+    ctes = [
+        f"q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = {qid})",
+        f"cand AS (SELECT e.vec_id AS id, e.embedding AS v, {rel} AS rel "
+        f"FROM embeddings e CROSS JOIN q WHERE e.vec_id <> {qid} "
+        f"ORDER BY rel DESC, id ASC LIMIT {n_cand})",
+        f"sims AS (SELECT a.id AS id_a, b.id AS id_b, {sim} AS sim "
+        f"FROM cand a JOIN cand b ON a.id <> b.id)",
+        "p1 AS (SELECT id, rel AS score FROM cand "
+        "ORDER BY rel DESC, id ASC LIMIT 1)",
+    ]
+    prev = "SELECT id FROM p1"
+    for step in range(2, k + 1):
+        ctes.append(
+            f"p{step} AS (SELECT c.id, {lam_sql} * c.rel - "
+            f"(CAST(1 AS DOUBLE) - {lam_sql}) * "
+            f"(SELECT MAX(s.sim) FROM sims s WHERE s.id_a = c.id "
+            f"AND s.id_b IN ({prev})) AS score "
+            f"FROM cand c WHERE c.id NOT IN ({prev}) "
+            f"ORDER BY score DESC, c.id ASC LIMIT 1)"
+        )
+        prev += f" UNION ALL SELECT id FROM p{step}"
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS step, id, score FROM p{i}" for i in range(1, k + 1)
+    )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT CAST(step AS INT) AS step, id, "
+        f"CAST(ROUND(score, 6) AS DOUBLE) AS mmr_score "
+        f"FROM ({union}) u ORDER BY step"
+    )
+
+
+@register(
+    "q164_mmr_rerank",
+    "retrieval: Maximal-Marginal-Relevance diversity re-rank (SIGIR'98, "
+    "lambda=0.7) — greedy selection of k diverse candidates from the "
+    "cosine top-n; the context-diversification stage after retrieval, "
+    "executor-side over a bounded candidate set",
+    _q164_oracle(),
+)
+def q164(spark, sf):
+    from ipes_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    emb = t(spark, sf, "embeddings")
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") != _MMR_QID),
+        "vec_id",
+        "embedding",
+        emb.filter(F.col("vec_id") == _MMR_QID),
+        n_candidates=_MMR_N,
+        k=_MMR_K,
+        lam=_MMR_LAM,
+    )

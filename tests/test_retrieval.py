@@ -1,0 +1,136 @@
+"""Retrieval-stack operator units: SQ8 quantized ANN, RRF fusion, MMR
+diversity re-rank (queries q162–q164 own the cross-engine value checks;
+these pin the operator contracts and the paths the synthetic corpus
+never exercises — overlapping rank lists, forced-diversity picks,
+degenerate corpora)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ipes_data_pipeline_spark.operators.similarity import mmr_rerank, sq8_topk
+from ipes_data_pipeline_spark.operators.topk import rrf_fuse
+
+
+def _vec_df(spark, rows, name="emb"):
+    return spark.createDataFrame(rows, "id bigint, v array<double>")
+
+
+# ------------------------------------------------------------------ SQ8
+
+
+def test_sq8_query_is_own_nearest(spark):
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [1.1, 2.1, 3.1, 4.1]),
+        (2, [9.0, -3.0, 0.5, 2.0]),
+        (3, [-5.0, 7.0, 1.0, 0.0]),
+    ]
+    df = _vec_df(spark, rows)
+    out = sq8_topk(df, "id", "v", df.filter(F.col("id") == 0), k=4).collect()
+    assert [r["id"] for r in out] == [0, 1, 2, 3] or out[0]["id"] == 0
+    # quantization error on the query itself is bounded by the grid step
+    assert out[0]["adc_d2"] < out[1]["adc_d2"]
+
+
+def test_sq8_constant_dimension_codes_zero(spark):
+    # a dimension with mx == mn must not divide by zero: code 0, recon=mn
+    rows = [(0, [1.0, 5.0]), (1, [2.0, 5.0]), (2, [3.0, 5.0])]
+    df = _vec_df(spark, rows)
+    out = sq8_topk(df, "id", "v", df.filter(F.col("id") == 1), k=3).collect()
+    assert out[0]["id"] == 1  # constant dim contributes exactly 0 error
+    assert out[0]["adc_d2"] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_sq8_empty_corpus_and_query_contract(spark):
+    empty = _vec_df(spark, []).where(F.lit(False))
+    one = _vec_df(spark, [(0, [1.0, 2.0])])
+    assert sq8_topk(empty, "id", "v", one, k=3).count() == 0
+    with pytest.raises(ValueError, match="one query row"):
+        sq8_topk(one, "id", "v", one.unionAll(one), k=3).collect()
+
+
+def test_sq8_null_vector_rows_dropped(spark):
+    rows = [(0, [1.0, 2.0]), (1, None), (2, [1.5, 2.5])]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    out = sq8_topk(df, "id", "v", df.filter(F.col("id") == 0), k=5).collect()
+    assert sorted(r["id"] for r in out) == [0, 2]
+
+
+def test_sq8_scan_is_shuffle_free(spark):
+    # encode+ADC fuse into a map stage: the only exchanges are the tiny
+    # bounds aggregate and the final TakeOrderedAndProject's singleton
+    rows = [(i, [float(i), float(i * 2)]) for i in range(20)]
+    df = _vec_df(spark, rows)
+    plan = sq8_topk(
+        df, "id", "v", df.filter(F.col("id") == 0), k=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ------------------------------------------------------------------ RRF
+
+
+def test_rrf_overlapping_lists_sum_both_contributions(spark):
+    lex = spark.createDataFrame([(10, 1), (20, 2)], "id bigint, rank int")
+    sem = spark.createDataFrame([(10, 2), (30, 1)], "id bigint, rank int")
+    out = {r["id"]: r for r in rrf_fuse({"lex": lex, "sem": sem}).collect()}
+    assert out[10]["lex_rank"] == 1 and out[10]["sem_rank"] == 2
+    assert out[10]["rrf_score"] == pytest.approx(
+        round(1.0 / 61 + 1.0 / 62, 6), abs=1e-9
+    )
+    # absent from one list contributes exactly 0 from that list
+    assert out[20]["sem_rank"] is None
+    assert out[20]["rrf_score"] == pytest.approx(round(1.0 / 62, 6), abs=1e-9)
+    # the doubly-ranked doc outranks every singleton here
+    ordered = [r["id"] for r in rrf_fuse({"lex": lex, "sem": sem}).collect()]
+    assert ordered[0] == 10
+
+
+def test_rrf_requires_input(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse({})
+
+
+# ------------------------------------------------------------------ MMR
+
+
+def test_mmr_skips_near_duplicate_of_first_pick(spark):
+    # id 1 and 2 are near-identical and most relevant; pure relevance
+    # would pick both first — MMR must interleave the diverse id 3.
+    q = _vec_df(spark, [(99, [1.0, 0.0, 0.0])])
+    corpus = _vec_df(
+        spark,
+        [
+            (1, [0.99, 0.1, 0.0]),
+            (2, [0.98, 0.11, 0.0]),
+            (3, [0.5, -0.8, 0.1]),
+            (4, [0.4, 0.9, 0.0]),
+        ],
+    )
+    out = mmr_rerank(corpus, "id", "v", q, n_candidates=4, k=3, lam=0.5)
+    picks = [r["id"] for r in out.collect()]
+    assert picks[0] == 1  # highest relevance seeds
+    assert picks[1] != 2  # its near-twin is deferred by the sim penalty
+    assert len(picks) == len(set(picks)) == 3
+
+
+def test_mmr_k_capped_by_candidates_and_single_candidate(spark):
+    q = _vec_df(spark, [(99, [1.0, 0.0])])
+    corpus = _vec_df(spark, [(1, [0.9, 0.1])])
+    out = mmr_rerank(corpus, "id", "v", q, n_candidates=4, k=5).collect()
+    assert [(r["step"], r["id"]) for r in out] == [(1, 1)]
+
+
+def test_mmr_steps_are_sequential_and_scores_monotone_start(spark):
+    q = _vec_df(spark, [(99, [1.0, 0.0, 0.0])])
+    corpus = _vec_df(
+        spark,
+        [(i, [1.0 - 0.1 * i, 0.1 * i, 0.05 * i]) for i in range(1, 6)],
+    )
+    out = mmr_rerank(corpus, "id", "v", q, n_candidates=5, k=4).collect()
+    assert [r["step"] for r in out] == [1, 2, 3, 4]
+    # step 1 is pure relevance — no later MMR score can beat it (lam<=1)
+    assert all(out[0]["mmr_score"] >= r["mmr_score"] for r in out[1:])
