@@ -126,6 +126,11 @@ HEADLINE = [
     "q158p_perplexity_bucket_scalable",
     "q159_pq_ann",
     "q160_ivfpq_ann",
+    # round-7 retrieval stack: SQ8 quantized ANN, RRF hybrid fusion,
+    # MMR diversity re-rank
+    "q162_sq8_ann",
+    "q163_rrf_hybrid_retrieval",
+    "q164_mmr_rerank",
 ]
 
 

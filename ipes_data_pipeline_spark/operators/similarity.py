@@ -1694,3 +1694,98 @@ def mmr_rerank(
     return out.select(
         "step", "id", F.round("score", 6).cast("double").alias("mmr_score")
     ).orderBy("step")
+
+
+def mine_triplets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dims: tuple[int, ...] = (1, 9, 17, 25),
+    margin: float = 0.2,
+) -> DataFrame:
+    """Hard-triplet mining for contrastive/metric training (FaceNet,
+    Schroff et al., CVPR 2015; batch-hard variant of Hermans et al.,
+    2017): per anchor, the HARDEST positive (lowest-cosine same-label
+    neighbor) and HARDEST negative (highest-cosine other-label
+    neighbor), kept only when the triplet violates the margin
+    (``neg_sim > pos_sim - margin`` — the semi-hard band that actually
+    produces gradient). The training-data op embedding trainers run
+    over every corpus refresh.
+
+    Physical shape: candidate pairs form INSIDE sign-LSH buckets (the
+    q45 blocking key — never all-pairs; the oversized-bucket sub-salt
+    valve from the MinHash family applies unchanged if a bucket
+    explodes), hardest-per-anchor is a window partitioned by anchor —
+    partition size is bounded by bucket width, and at extreme scale the
+    :func:`~ipes_data_pipeline_spark.operators.topk.grouped_topk`
+    pre-reduce drops the exchange to one row per (partition, anchor)
+    before the exact window runs. Mining is blocked-approximate by
+    design (exactly like production batch-hard mining, which only sees
+    its own batch): anchors whose bucket holds no same-label or no
+    other-label row yield no triplet.
+
+    Determinism: sims are the shared decimal-fold cosine (bit-identical
+    cross-engine); argmin/argmax ties break on ascending candidate id;
+    the margin compares RAW doubles and only emitted columns round.
+    """
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("lab"),
+        sign_bucket(F.col(vec_col), dims).alias("bkt"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.id") != F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("a.lab").alias("lab_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("b.lab").alias("lab_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+    )
+    pairs = cut(pairs)  # both mining branches read the same pair set
+    from pyspark.sql.window import Window as W
+
+    pos = (
+        pairs.where(F.col("lab_a") == F.col("lab_b"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("id_a").orderBy(F.asc("sim"), F.asc("id_b"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "id_a", F.col("id_b").alias("pos_id"), F.col("sim").alias("pos_sim")
+        )
+    )
+    neg = (
+        pairs.where(F.col("lab_a") != F.col("lab_b"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "id_a", F.col("id_b").alias("neg_id"), F.col("sim").alias("neg_sim")
+        )
+    )
+    return (
+        pos.join(neg, "id_a")
+        .where(F.col("neg_sim") > F.col("pos_sim") - F.lit(margin))
+        .select(
+            F.col("id_a").alias("anchor_id"),
+            "pos_id",
+            "neg_id",
+            F.round("pos_sim", 6).cast("double").alias("pos_sim"),
+            F.round("neg_sim", 6).cast("double").alias("neg_sim"),
+            F.round(F.col("neg_sim") - F.col("pos_sim"), 6)
+            .cast("double")
+            .alias("violation"),
+        )
+        .orderBy("anchor_id")
+    )

@@ -225,3 +225,62 @@ def q164(spark, sf):
         k=_MMR_K,
         lam=_MMR_LAM,
     )
+
+
+# ------------------------------------------- q165: hard-triplet mining
+
+_TRIPLET_MARGIN = 0.2
+_TRIPLET_DIMS = (1, 9, 17, 25)
+
+
+def _q165_oracle(margin: float = _TRIPLET_MARGIN) -> str:
+    from ipes_data_pipeline_spark.queries.dataops import _sql_cosine
+
+    bkt = " || ".join(
+        f"CASE WHEN embedding[{d}] > 0 THEN '1' ELSE '0' END"
+        for d in _TRIPLET_DIMS
+    )
+    cos = _sql_cosine("a.v", "b.v")
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding AS v, label, ({bkt}) AS bkt
+           FROM embeddings),
+p AS (SELECT a.id AS id_a, a.label AS lab_a, b.id AS id_b,
+             b.label AS lab_b, {cos} AS sim
+      FROM e a JOIN e b ON a.bkt = b.bkt AND a.id <> b.id),
+pos AS (SELECT id_a, id_b AS pos_id, sim AS pos_sim,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY sim ASC, id_b ASC) AS rn
+        FROM p WHERE lab_a = lab_b),
+neg AS (SELECT id_a, id_b AS neg_id, sim AS neg_sim,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY sim DESC, id_b ASC) AS rn
+        FROM p WHERE lab_a <> lab_b)
+SELECT pos.id_a AS anchor_id, pos_id, neg_id,
+       CAST(ROUND(pos_sim, 6) AS DOUBLE) AS pos_sim,
+       CAST(ROUND(neg_sim, 6) AS DOUBLE) AS neg_sim,
+       CAST(ROUND(neg_sim - pos_sim, 6) AS DOUBLE) AS violation
+FROM pos JOIN neg ON pos.id_a = neg.id_a
+WHERE pos.rn = 1 AND neg.rn = 1 AND neg_sim > pos_sim - {margin}
+ORDER BY anchor_id"""
+
+
+@register(
+    "q165_triplet_mining",
+    "training data: hard-triplet mining for contrastive/metric learning "
+    "(FaceNet batch-hard shape) — per anchor the hardest same-label "
+    "positive and hardest other-label negative inside sign-LSH buckets, "
+    "kept when the margin is violated; the op an embedding trainer runs "
+    "per corpus refresh",
+    _q165_oracle(),
+)
+def q165(spark, sf):
+    from ipes_data_pipeline_spark.operators.similarity import mine_triplets
+
+    return mine_triplets(
+        t(spark, sf, "embeddings"),
+        "vec_id",
+        "embedding",
+        "label",
+        dims=_TRIPLET_DIMS,
+        margin=_TRIPLET_MARGIN,
+    )

@@ -134,3 +134,57 @@ def test_mmr_steps_are_sequential_and_scores_monotone_start(spark):
     assert [r["step"] for r in out] == [1, 2, 3, 4]
     # step 1 is pure relevance — no later MMR score can beat it (lam<=1)
     assert all(out[0]["mmr_score"] >= r["mmr_score"] for r in out[1:])
+
+
+# -------------------------------------------------------------- triplets
+
+
+def test_triplet_mining_picks_hardest_and_applies_margin(spark):
+    from ipes_data_pipeline_spark.operators.similarity import mine_triplets
+
+    # one sign bucket (all dims positive); anchor 1: positives 2 (near)
+    # and 3 (far -> hardest), negatives 4 (near -> hardest) and 5 (far)
+    rows = [
+        (1, [1.0, 0.1, 0.1, 0.1], 0),
+        (2, [0.9, 0.2, 0.1, 0.1], 0),
+        (3, [0.1, 1.0, 0.9, 0.1], 0),
+        (4, [0.95, 0.15, 0.1, 0.1], 1),
+        (5, [0.1, 0.2, 1.0, 0.9], 1),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>, lab int")
+    out = {
+        r["anchor_id"]: r
+        for r in mine_triplets(
+            df, "id", "v", "lab", dims=(1, 2, 3, 4), margin=0.2
+        ).collect()
+    }
+    assert out[1]["pos_id"] == 3  # farthest same-label, not the near twin
+    assert out[1]["neg_id"] == 4  # nearest other-label
+    assert out[1]["violation"] > 0  # neg closer than pos -> violating
+
+    # margin gate: with a huge margin nothing violates... (inverted: the
+    # predicate keeps neg_sim > pos_sim - margin, so margin=-2 keeps none)
+    none = mine_triplets(
+        df, "id", "v", "lab", dims=(1, 2, 3, 4), margin=-2.0
+    )
+    assert none.count() == 0
+
+
+def test_triplet_mining_needs_both_classes_in_bucket(spark):
+    from ipes_data_pipeline_spark.operators.similarity import mine_triplets
+
+    # two buckets split by sign of dim 1. Bucket A: 1,2 (label 0) + 5
+    # (label 1) -> anchors 1,2 have pos+neg; 5 has no same-label -> no
+    # triplet. Bucket B: 3 (label 0), 4 (label 1) -> neither has a
+    # positive -> no triplet. Blocking bounds mining to the bucket.
+    rows = [
+        (1, [1.0, 0.1], 0),
+        (2, [0.9, 0.2], 0),
+        (5, [0.8, 0.3], 1),
+        (3, [-1.0, 0.1], 0),
+        (4, [-0.9, 0.2], 1),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>, lab int")
+    out = mine_triplets(df, "id", "v", "lab", dims=(1, 2), margin=2.0)
+    got = {r["anchor_id"] for r in out.collect()}
+    assert got == {1, 2}
