@@ -131,6 +131,8 @@ HEADLINE = [
     "q162_sq8_ann",
     "q163_rrf_hybrid_retrieval",
     "q164_mmr_rerank",
+    # q165: hard-triplet mining (bucket_cap valve ON, q39p pattern)
+    "q165_triplet_mining",
 ]
 
 

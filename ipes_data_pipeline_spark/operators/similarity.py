@@ -1703,6 +1703,7 @@ def mine_triplets(
     label_col: str,
     dims: tuple[int, ...] = (1, 9, 17, 25),
     margin: float = 0.2,
+    bucket_cap: int | None = 256,
 ) -> DataFrame:
     """Hard-triplet mining for contrastive/metric training (FaceNet,
     Schroff et al., CVPR 2015; batch-hard variant of Hermans et al.,
@@ -1714,9 +1715,15 @@ def mine_triplets(
     over every corpus refresh.
 
     Physical shape: candidate pairs form INSIDE sign-LSH buckets (the
-    q45 blocking key — never all-pairs; the oversized-bucket sub-salt
-    valve from the MinHash family applies unchanged if a bucket
-    explodes), hardest-per-anchor is a window partitioned by anchor —
+    q45 blocking key — never all-pairs), and ``bucket_cap`` is the
+    oversized-bucket sub-salt valve (default ON at 256, the
+    q42p/q39p pattern: md5(id) % ceil(bsz/cap), pairs only within a
+    sub-bucket — in-bucket pair work drops from O(b²) to O(b·cap);
+    mining inside a sub-bucket is still batch-hard mining, just over a
+    deterministic sub-batch). Every salt term is ANSI-SQL-expressible,
+    so the q165 oracle parameterizes the SAME cap and the firing regime
+    is value-checked in tests. Hardest-per-anchor is a window
+    partitioned by anchor —
     partition size is bounded by bucket width, and at extreme scale the
     :func:`~ipes_data_pipeline_spark.operators.topk.grouped_topk`
     pre-reduce drops the exchange to one row per (partition, anchor)
@@ -1735,9 +1742,25 @@ def mine_triplets(
         F.col(label_col).alias("lab"),
         sign_bucket(F.col(vec_col), dims).alias("bkt"),
     )
+    if bucket_cap is not None:
+        # sizes via map-side-combined groupBy broadcast back (a window
+        # over bkt would serialize on the skewed bucket — SCALING.md)
+        sizes = e.groupBy("bkt").agg(F.count(F.lit(1)).alias("bsz"))
+        n_sub = F.greatest(F.lit(1), F.ceil(F.col("bsz") / bucket_cap))
+        salt = (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % n_sub
+        )
+        e = e.join(F.broadcast(sizes), "bkt").withColumn("sub", salt).drop("bsz")
+    else:
+        e = e.withColumn("sub", F.lit(0))
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
-        b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.id") != F.col("b.id"))
+        b,
+        (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("a.sub") == F.col("b.sub"))
+        & (F.col("a.id") != F.col("b.id")),
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("a.lab").alias("lab_a"),

@@ -233,7 +233,14 @@ _TRIPLET_MARGIN = 0.2
 _TRIPLET_DIMS = (1, 9, 17, 25)
 
 
-def _q165_oracle(margin: float = _TRIPLET_MARGIN) -> str:
+def _q165_oracle(
+    margin: float = _TRIPLET_MARGIN, bucket_cap: int | None = 256
+) -> str:
+    """Parameterizes the SAME sub-salt as mine_triplets(bucket_cap=...)
+    (md5 of the id, first 8 hex chars as unsigned 32-bit, mod
+    ceil(bucket_size / cap)) so the valve is value-checkable in its
+    firing regime (tests/test_valve_firing_oracle.py); at gate scale
+    the cap is inert (max bucket ≈ 31 rows at sf0.01)."""
     from ipes_data_pipeline_spark.queries.dataops import _sql_cosine
 
     bkt = " || ".join(
@@ -241,12 +248,26 @@ def _q165_oracle(margin: float = _TRIPLET_MARGIN) -> str:
         for d in _TRIPLET_DIMS
     )
     cos = _sql_cosine("a.v", "b.v")
+    if bucket_cap is None:
+        cap_ctes = ""
+        pair_src = "e"
+        sub_pred = ""
+    else:
+        cap_ctes = f""",
+sz AS (SELECT bkt, count(*) AS bsz FROM e GROUP BY bkt),
+es AS (SELECT e.id, e.v, e.label, e.bkt,
+              ('0x' || substr(md5(CAST(e.id AS VARCHAR)), 1, 8))::BIGINT
+                % GREATEST(1, CAST(CEIL(bsz / {bucket_cap}.0) AS BIGINT)) AS sub
+       FROM e JOIN sz USING (bkt))"""
+        pair_src = "es"
+        sub_pred = "AND a.sub = b.sub "
     return f"""
 WITH e AS (SELECT vec_id AS id, embedding AS v, label, ({bkt}) AS bkt
-           FROM embeddings),
+           FROM embeddings){cap_ctes},
 p AS (SELECT a.id AS id_a, a.label AS lab_a, b.id AS id_b,
              b.label AS lab_b, {cos} AS sim
-      FROM e a JOIN e b ON a.bkt = b.bkt AND a.id <> b.id),
+      FROM {pair_src} a JOIN {pair_src} b
+        ON a.bkt = b.bkt {sub_pred}AND a.id <> b.id),
 pos AS (SELECT id_a, id_b AS pos_id, sim AS pos_sim,
                row_number() OVER (PARTITION BY id_a
                                   ORDER BY sim ASC, id_b ASC) AS rn
@@ -270,8 +291,9 @@ ORDER BY anchor_id"""
     "(FaceNet batch-hard shape) — per anchor the hardest same-label "
     "positive and hardest other-label negative inside sign-LSH buckets, "
     "kept when the margin is violated; the op an embedding trainer runs "
-    "per corpus refresh",
-    _q165_oracle(),
+    "per corpus refresh. bucket_cap=256 sub-salt valve ON (q39p pattern, "
+    "SQL-expressible salt, inert at gate scale, fires at sf1+)",
+    _q165_oracle(bucket_cap=256),
 )
 def q165(spark, sf):
     from ipes_data_pipeline_spark.operators.similarity import mine_triplets
@@ -283,4 +305,5 @@ def q165(spark, sf):
         "label",
         dims=_TRIPLET_DIMS,
         margin=_TRIPLET_MARGIN,
+        bucket_cap=256,
     )

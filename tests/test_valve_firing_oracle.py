@@ -135,3 +135,49 @@ WHERE {_sql_cosine('a.v', 'b.v')} >= 0.3
     con.close()
     assert got, "fixture produced no qualifying pairs — weaken threshold"
     assert got == want
+
+def test_triplet_bucket_cap_fires_and_matches_oracle(spark):
+    """q165's valve in its firing regime: 12 vectors share one sign
+    bucket (> cap=2 -> 6 sub-buckets), labels alternate so positives
+    and negatives exist inside sub-buckets. Spark's capped mining must
+    (a) differ from lossless mining (the valve FIRED) and (b) equal the
+    SAME-parameterized DuckDB oracle exactly."""
+    from ipes_data_pipeline_spark.operators.similarity import mine_triplets
+    from ipes_data_pipeline_spark.queries.retrieval import _q165_oracle
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(12):
+        # all-positive dims 1/9/17/25 -> one shared bucket
+        v = rng.standard_normal(32).round(3)
+        for d in (0, 8, 16, 24):
+            v[d] = abs(v[d]) + 0.1
+        rows.append((i, v.tolist(), i % 3))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+    def run(cap):
+        return {
+            (r["anchor_id"], r["pos_id"], r["neg_id"])
+            for r in mine_triplets(
+                emb, "vec_id", "embedding", "label", margin=2.0,
+                bucket_cap=cap,
+            ).collect()
+        }
+
+    capped, lossless = run(2), run(None)
+    assert capped != lossless  # the valve fired
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+    )
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            _q165_oracle(margin=2.0, bucket_cap=2)
+        ).fetchall()
+    }
+    con.close()
+    assert capped == want
