@@ -133,6 +133,8 @@ HEADLINE = [
     "q164_mmr_rerank",
     # q165: hard-triplet mining (bucket_cap valve ON, q39p pattern)
     "q165_triplet_mining",
+    # q166: binary sign-bit ANN (Hamming scan + exact rerank, 512x)
+    "q166_binary_sign_ann",
 ]
 
 

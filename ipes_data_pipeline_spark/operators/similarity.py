@@ -1533,13 +1533,18 @@ def sq8_topk(
     recall degrades far more gently than PQ's per-subspace codes.
 
     Physical shape: "train" is ONE aggregate producing a 2×dim-cell
-    bounds row (map-side partial min/max, a broadcast of 128 doubles);
-    encode + ADC fuse into a single zero-shuffle map stage over the
-    corpus (codes are derived and consumed in-register — a persisted
-    index would write the tiny bounds row + 1-byte codes and scan
-    those); the only ordering work is TakeOrderedAndProject. At 100 TB:
-    no exchange at all before the top-k, and per-row cost is dim
-    fused-multiply ops inside whole-stage codegen — no Python anywhere.
+    bounds row (map-side partial min/max); scoring posexplodes the
+    vector into (id, i, v_i) scalars, joins the BROADCAST dim-sized
+    bounds/query table, and partially aggregates the per-dimension
+    decimal errors map-side before a |corpus|-row exchange of single
+    decimals — the PQ/ADC scan shape exactly. The first cut fused
+    encode+ADC into a per-row ``aggregate``/``transform`` lambda fold
+    (zero shuffle, prettier plan) and measured 33× SLOWER than DuckDB
+    at sf10 (25.7 s vs 0.77 s): higher-order-function lambdas evaluate
+    OUTSIDE whole-stage codegen, so the fold paid interpreted-expression
+    cost per element. The explode shape keeps every expression flat and
+    codegen'd; its exchange carries one decimal per vector — the same
+    bytes the PQ scan ships. No Python anywhere.
 
     Cross-engine determinism (q162): codes are exact integers
     (``floor(x + 0.5)`` of a fixed-association double expression —
@@ -1554,10 +1559,16 @@ def sq8_topk(
     last (nulls-last in desc? -- they are filtered: a null vector has
     no code) — rows whose vector is NULL are dropped from the scan.
     """
+    from ipes_data_pipeline_spark.operators.util import spread
+
     emb, _empty, dim, qv = _pq_prep(df, id_col, vec_col, query_df, 1, "sq8_topk")
     if not dim:
         return _empty()
-    emb = emb.where(F.col("v").isNotNull())
+    # spread BEFORE the CPU-heavy stages: a single-row-group parquet
+    # scan is one task — the bounds aggregate and the 64×-explode would
+    # run single-threaded on 31 idle cores (measured: the whole query
+    # was a chain of 1-real-task stages at sf10). No-op at real scale.
+    emb = spread(emb.where(F.col("v").isNotNull()))
     # train: per-dimension bounds in ONE pass (2*dim partial aggregates)
     bounds = emb.agg(
         F.array(
@@ -1567,36 +1578,44 @@ def sq8_topk(
             *[F.max(F.element_at("v", i)) for i in range(1, dim + 1)]
         ).alias("mx"),
     )
-    q_arr = F.array(*[F.lit(float(x)) for x in qv])
-    idx = F.sequence(F.lit(1), F.lit(dim))
-
-    def part(i):
-        vi = F.element_at(F.col("v"), i)
-        mni = F.element_at(F.col("mn"), i)
-        mxi = F.element_at(F.col("mx"), i)
-        code = F.least(
-            F.greatest(
-                F.floor((vi - mni) * F.lit(255.0) / (mxi - mni) + F.lit(0.5))
-                .cast("int"),
-                F.lit(0),
-            ),
-            F.lit(255),
-        )
-        code = F.when(mxi > mni, code).otherwise(F.lit(0))
-        recon = mni + code.cast("double") * (mxi - mni) / F.lit(255.0)
-        qi = F.element_at(F.col("q_vec"), i)
-        return F.round((qi - recon) * (qi - recon), 6).cast("decimal(18,6)")
-
-    d2 = F.aggregate(
-        F.transform(idx, part),
-        F.lit(0).cast("decimal(18,6)"),
-        lambda acc, x: (acc + x).cast("decimal(18,6)"),
-        lambda acc: acc.cast("double"),
+    # dim-sized side table: (i, mn_i, mx_i, q_i) — bounds exploded out
+    # of the 1-row aggregate, query attached from the collected vector
+    qtab = df.sparkSession.createDataFrame(
+        [(i + 1, float(qv[i])) for i in range(dim)], "i int, qi double"
     )
+    dims_tbl = (
+        bounds.select(
+            F.posexplode(F.arrays_zip(F.col("mn"), F.col("mx"))).alias(
+                "i0", "b"
+            )
+        )
+        .select(
+            (F.col("i0") + 1).cast("int").alias("i"),
+            F.col("b.mn").alias("mn"),
+            F.col("b.mx").alias("mx"),
+        )
+        .join(qtab, "i")
+    )
+    scalars = emb.select(
+        "id", F.posexplode(F.col("v")).alias("i0", "vi")
+    ).select("id", (F.col("i0") + 1).cast("int").alias("i"), "vi")
+    mni, mxi, vi, qi = F.col("mn"), F.col("mx"), F.col("vi"), F.col("qi")
+    code = F.least(
+        F.greatest(
+            F.floor((vi - mni) * F.lit(255.0) / (mxi - mni) + F.lit(0.5))
+            .cast("int"),
+            F.lit(0),
+        ),
+        F.lit(255),
+    )
+    code = F.when(mxi > mni, code).otherwise(F.lit(0))
+    recon = mni + code.cast("double") * (mxi - mni) / F.lit(255.0)
+    part = F.round((qi - recon) * (qi - recon), 6).cast("decimal(18,6)")
     return (
-        emb.crossJoin(F.broadcast(bounds))
-        .withColumn("q_vec", q_arr)
-        .select("id", d2.alias("adc_d2"))
+        scalars.join(F.broadcast(dims_tbl), "i")
+        .select("id", part.alias("part"))
+        .groupBy("id")
+        .agg(F.sum("part").cast("double").alias("adc_d2"))
         .orderBy(F.asc("adc_d2"), F.asc("id"))
         .limit(k)
     )
@@ -1811,4 +1830,101 @@ def mine_triplets(
             .alias("violation"),
         )
         .orderBy("anchor_id")
+    )
+
+
+def binary_sign_ann(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+    rerank: int = 40,
+    dim: int = 64,
+) -> DataFrame:
+    """Binary-quantization ANN (the FAISS ``IndexBinaryFlat`` /
+    sign-LSH-at-full-width gear): every vector compresses to ONE sign
+    bit per dimension — 64 dims → two packed BIGINTs = 512× smaller
+    than float64 — and candidates rank by Hamming distance
+    (XOR + popcount, the cheapest similarity primitive that exists),
+    then the ``rerank`` nearest re-score with exact cosine. The
+    completion of the quantized-ANN ladder: float64 (q46) → SQ8 8×
+    (q162) → PQ 128× (q159) → binary 512× (this).
+
+    Physical shape: bit-packing is a pure map (64 CASE terms folding
+    into two integer adds — whole-stage codegen); the Hamming scan is
+    a zero-shuffle map + TakeOrderedAndProject over (hamming, id); the
+    rerank joins the ``rerank``-row candidate list (broadcast) back to
+    the corpus for exact cosine on just those rows. At 100 TB the scan
+    reads 16 bytes/vector instead of 512, shuffles nothing, and the
+    expensive float math touches ``rerank`` rows total. Recall is the
+    sign-bit trade: Hamming(a,q) approximates angle; the rerank stage
+    restores exact ordering among survivors.
+
+    Cross-engine determinism (q166): packed codes are exact integers
+    (identical CASE/shift arithmetic), Hamming is exact, candidate ties
+    break on id, rerank cosine is the shared decimal fold, output
+    rounds to 6 dp. ``query_df`` must hold exactly one row (enforced
+    like the other gears).
+    """
+    emb, _empty, vdim, qv = _pq_prep(
+        df, id_col, vec_col, query_df, 1, "binary_sign_ann"
+    )
+    if not vdim:
+        return emb.select(
+            "id",
+            F.lit(None).cast("int").alias("hamming"),
+            F.lit(None).cast("double").alias("cos_sim"),
+        ).where(F.lit(False))
+    if vdim != dim:
+        raise ValueError(f"binary_sign_ann expects dim={dim}, got {vdim}")
+    emb = emb.where(F.col("v").isNotNull())
+
+    def pack(col, half: int):
+        terms = [
+            F.when(
+                F.element_at(col, i) > 0,
+                F.lit(1 << (i - 1 - 32 * half)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(1 + 32 * half, 33 + 32 * half)
+        ]
+        out = terms[0]
+        for t_ in terms[1:]:
+            out = out + t_
+        return out
+
+    q_arr = F.array(*[F.lit(float(x)) for x in qv])
+    q_lo = sum(
+        (1 << (i - 1)) for i in range(1, 33) if qv[i - 1] > 0
+    )
+    q_hi = sum(
+        (1 << (i - 33)) for i in range(33, 65) if qv[i - 1] > 0
+    )
+    coded = emb.select(
+        "id",
+        "v",
+        pack(F.col("v"), 0).alias("lo"),
+        pack(F.col("v"), 1).alias("hi"),
+    )
+    hamming = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.lit(q_lo).cast("long")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.lit(q_hi).cast("long")))
+    ).cast("int")
+    cand = (
+        coded.select("id", hamming.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("id"))
+        .limit(rerank)
+    )
+    return (
+        emb.join(F.broadcast(cand), "id")
+        .withColumn("q_vec", q_arr)
+        .select(
+            "id",
+            "hamming",
+            F.round(cosine(F.col("v"), F.col("q_vec")), 6)
+            .cast("double")
+            .alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("id"))
+        .limit(k)
     )

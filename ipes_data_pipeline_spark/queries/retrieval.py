@@ -307,3 +307,61 @@ def q165(spark, sf):
         margin=_TRIPLET_MARGIN,
         bucket_cap=256,
     )
+
+
+# --------------------------------------- q166: binary sign-bit ANN
+
+_BIN_K, _BIN_RERANK, _BIN_QID = 10, 40, 0
+
+
+def _q166_oracle(
+    dim: int = _DIM, k: int = _BIN_K, rerank: int = _BIN_RERANK,
+    qid: int = _BIN_QID,
+) -> str:
+    from ipes_data_pipeline_spark.queries.dataops import _sql_cosine
+
+    def pack(half: int) -> str:
+        terms = " + ".join(
+            f"CASE WHEN CAST(embedding[{i}] AS DOUBLE) > 0 "
+            f"THEN CAST({1 << (i - 1 - 32 * half)} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+            for i in range(1 + 32 * half, 33 + 32 * half)
+        )
+        return f"({terms})"
+
+    cos = _sql_cosine("e.embedding", "q.v")
+    return f"""
+WITH c AS (SELECT vec_id AS id, {pack(0)} AS lo, {pack(1)} AS hi
+           FROM embeddings),
+q AS (SELECT id, lo, hi FROM c WHERE id = {qid}),
+h AS (SELECT c.id,
+             CAST(bit_count(xor(c.lo, q.lo))
+                + bit_count(xor(c.hi, q.hi)) AS INT) AS hamming
+      FROM c CROSS JOIN q),
+cand AS (SELECT id, hamming FROM h ORDER BY hamming ASC, id ASC
+         LIMIT {rerank})
+SELECT e.vec_id AS id, cand.hamming,
+       CAST(ROUND({cos}, 6) AS DOUBLE) AS cos_sim
+FROM cand JOIN embeddings e ON e.vec_id = cand.id
+CROSS JOIN (SELECT embedding AS v FROM embeddings
+            WHERE vec_id = {qid}) q
+ORDER BY cos_sim DESC, id ASC LIMIT {k}"""
+
+
+@register(
+    "q166_binary_sign_ann",
+    "similarity search: binary-quantization ANN (FAISS IndexBinaryFlat "
+    "gear) — 1 sign bit per dimension packed into two BIGINTs (512x "
+    "compression), Hamming scan via XOR+popcount, exact-cosine rerank "
+    "of the 40 nearest; completes the quantization ladder "
+    "float64 -> SQ8 (q162) -> PQ (q159) -> binary",
+    _q166_oracle(),
+)
+def q166(spark, sf):
+    from ipes_data_pipeline_spark.operators.similarity import binary_sign_ann
+
+    emb = t(spark, sf, "embeddings")
+    return binary_sign_ann(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == _BIN_QID),
+        k=_BIN_K, rerank=_BIN_RERANK,
+    )

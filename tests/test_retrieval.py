@@ -58,16 +58,19 @@ def test_sq8_null_vector_rows_dropped(spark):
     assert sorted(r["id"] for r in out) == [0, 2]
 
 
-def test_sq8_scan_is_shuffle_free(spark):
-    # encode+ADC fuse into a map stage: the only exchanges are the tiny
-    # bounds aggregate and the final TakeOrderedAndProject's singleton
+def test_sq8_scan_plan_shape(spark):
+    # the PQ/ADC scan shape: scalars join the BROADCAST dim table (never
+    # a shuffled join), per-dimension errors partially aggregate
+    # map-side, top-k is TakeOrderedAndProject
     rows = [(i, [float(i), float(i * 2)]) for i in range(20)]
     df = _vec_df(spark, rows)
     plan = sq8_topk(
         df, "id", "v", df.filter(F.col("id") == 0), k=3
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
 
 
 # ------------------------------------------------------------------ RRF
@@ -188,3 +191,38 @@ def test_triplet_mining_needs_both_classes_in_bucket(spark):
     out = mine_triplets(df, "id", "v", "lab", dims=(1, 2), margin=2.0)
     got = {r["anchor_id"] for r in out.collect()}
     assert got == {1, 2}
+
+
+# ------------------------------------------------------------ binary ANN
+
+
+def test_binary_sign_ann_hamming_prefilter_and_rerank(spark):
+    from ipes_data_pipeline_spark.operators.similarity import binary_sign_ann
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    rows = [(0, base.tolist())]
+    # 1: same signs as the query (hamming 0); 2: all signs flipped
+    rows.append((1, (base * 0.5).tolist()))
+    rows.append((2, (-base).tolist()))
+    for i in range(3, 10):
+        rows.append((i, rng.standard_normal(64).tolist()))
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    out = binary_sign_ann(
+        df, "id", "v", df.filter(F.col("id") == 0), k=3, rerank=5
+    ).collect()
+    got = {r["id"]: r for r in out}
+    assert out[0]["id"] == 0 and out[0]["hamming"] == 0
+    assert got[1]["hamming"] == 0  # sign-identical vector survives
+    assert got[1]["cos_sim"] == pytest.approx(1.0, abs=1e-6)
+    assert 2 not in got  # the antipode is hamming-64, cut by rerank=5
+
+
+def test_binary_sign_ann_dim_contract(spark):
+    from ipes_data_pipeline_spark.operators.similarity import binary_sign_ann
+
+    df = spark.createDataFrame([(0, [1.0, -1.0])], "id bigint, v array<double>")
+    with pytest.raises(ValueError, match="dim=64"):
+        binary_sign_ann(df, "id", "v", df, k=1).collect()
