@@ -1741,20 +1741,32 @@ def mine_triplets(
     mining inside a sub-bucket is still batch-hard mining, just over a
     deterministic sub-batch). Every salt term is ANSI-SQL-expressible,
     so the q165 oracle parameterizes the SAME cap and the firing regime
-    is value-checked in tests. Hardest-per-anchor is a window
-    partitioned by anchor —
-    partition size is bounded by bucket width, and at extreme scale the
-    :func:`~ipes_data_pipeline_spark.operators.topk.grouped_topk`
-    pre-reduce drops the exchange to one row per (partition, anchor)
-    before the exact window runs. Mining is blocked-approximate by
-    design (exactly like production batch-hard mining, which only sees
-    its own batch): anchors whose bucket holds no same-label or no
+    is value-checked in tests. Each (bucket, sub) group scores in ONE
+    Arrow task: a numpy Gram accumulated per-dimension IN ORDER (the
+    exact IEEE fold of :func:`dot` — :func:`knn_graph_bucketed`'s
+    kernel trick, so values stay bit-identical to the SQL oracle's
+    ``list_reduce``), hardest positive/negative reduced in-kernel to
+    ≤1 output row per anchor. The first cut formed pairs with a JVM
+    self-join + per-pair ``cosine()`` fold + two windows: at sf10 that
+    paid ~51M interpreted HOF folds — 289 s vs this kernel (the q162
+    HOF lesson at pair cardinality). The shuffle carries each group's
+    vectors once (not the pair set), per-task memory is one chunk ×
+    group Gram block (``_GRAM_CHUNK_CELLS``), and the exchange out is
+    one row per anchor. Mining is blocked-approximate by design
+    (exactly like production batch-hard mining, which only sees its
+    own batch): anchors whose group holds no same-label or no
     other-label row yield no triplet.
 
-    Determinism: sims are the shared decimal-fold cosine (bit-identical
-    cross-engine); argmin/argmax ties break on ascending candidate id;
+    Determinism: the Gram fold is bit-identical to the decimal-rule
+    cosine in both engines; argmin/argmax ties break on ascending
+    candidate id (ascending-id column order + first-hit argmax);
     the margin compares RAW doubles and only emitted columns round.
+    Zero-norm vectors (NaN cosine) are outside the contract — a NaN
+    sim never wins an argmin/argmax here.
     """
+    import numpy as np
+    import pandas as pd
+
     e = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -1774,51 +1786,77 @@ def mine_triplets(
         e = e.join(F.broadcast(sizes), "bkt").withColumn("sub", salt).drop("bsz")
     else:
         e = e.withColumn("sub", F.lit(0))
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bkt") == F.col("b.bkt"))
-        & (F.col("a.sub") == F.col("b.sub"))
-        & (F.col("a.id") != F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("a.lab").alias("lab_a"),
-        F.col("b.id").alias("id_b"),
-        F.col("b.lab").alias("lab_b"),
-        cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
-    )
-    pairs = cut(pairs)  # both mining branches read the same pair set
-    from pyspark.sql.window import Window as W
+    e = e.withColumn("nrm", norm(F.col("v")))
+    chunk_cells = _GRAM_CHUNK_CELLS
 
-    pos = (
-        pairs.where(F.col("lab_a") == F.col("lab_b"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("id_a").orderBy(F.asc("sim"), F.asc("id_b"))
-            ),
+    def hardest(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.array([], dtype="int64"),
+                "pos_id": pd.array([], dtype="int64"),
+                "pos_sim": pd.array([], dtype="float64"),
+                "neg_id": pd.array([], dtype="int64"),
+                "neg_sim": pd.array([], dtype="float64"),
+            }
         )
-        .where(F.col("rn") == 1)
-        .select(
-            "id_a", F.col("id_b").alias("pos_id"), F.col("sim").alias("pos_sim")
-        )
-    )
-    neg = (
-        pairs.where(F.col("lab_a") != F.col("lab_b"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select(
-            "id_a", F.col("id_b").alias("neg_id"), F.col("sim").alias("neg_sim")
-        )
+        if n < 2:
+            return empty
+        ids_raw = pdf["id"].to_numpy(dtype=np.int64)
+        ordr = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[ordr]
+        V = np.stack(pdf["v"].to_numpy()[ordr]).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)[ordr]
+        labs = pdf["lab"].to_numpy()[ordr]
+        out = []
+        chunk = max(1, chunk_cells // n)
+        for a0 in range(0, n, chunk):
+            b0 = min(a0 + chunk, n)
+            A = V[a0:b0]
+            # per-dimension accumulation IN ORDER — dot()'s exact fold
+            block = np.zeros((b0 - a0, n))
+            for d in range(V.shape[1]):
+                block += np.outer(A[:, d], V[:, d])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = block / np.outer(nrm[a0:b0], nrm)
+            same = labs[a0:b0, None] == labs[None, :]
+            selfm = ids[a0:b0, None] == ids[None, :]
+            # hardest positive: ORDER BY sim ASC, id ASC over same-label
+            pos_ok = same & ~selfm
+            pos_rank = np.where(pos_ok & ~np.isnan(cos), cos, np.inf)
+            has_pos = np.isfinite(pos_rank).any(axis=1)
+            # hardest negative: ORDER BY sim DESC, id ASC over other-label
+            neg_ok = ~same
+            neg_rank = np.where(neg_ok & ~np.isnan(cos), cos, -np.inf)
+            has_neg = np.isfinite(neg_rank).any(axis=1)
+            keep = has_pos & has_neg
+            if not keep.any():
+                continue
+            pr, nr = pos_rank[keep], neg_rank[keep]
+            # ascending-id column order: first hit of the extremum = lowest id
+            pos_idx = np.argmax(pr == pr.min(axis=1, keepdims=True), axis=1)
+            neg_idx = np.argmax(nr == nr.max(axis=1, keepdims=True), axis=1)
+            rows = np.arange(len(pr))
+            out.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[a0:b0][keep],
+                        "pos_id": ids[pos_idx],
+                        "pos_sim": cos[keep][rows, pos_idx],
+                        "neg_id": ids[neg_idx],
+                        "neg_sim": cos[keep][rows, neg_idx],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    hard = e.groupBy("bkt", "sub").applyInPandas(
+        lambda _key, pdf: hardest(pdf),
+        "id_a bigint, pos_id bigint, pos_sim double, "
+        "neg_id bigint, neg_sim double",
     )
     return (
-        pos.join(neg, "id_a")
-        .where(F.col("neg_sim") > F.col("pos_sim") - F.lit(margin))
+        hard.where(F.col("neg_sim") > F.col("pos_sim") - F.lit(margin))
         .select(
             F.col("id_a").alias("anchor_id"),
             "pos_id",
