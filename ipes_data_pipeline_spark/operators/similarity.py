@@ -1761,8 +1761,9 @@ def mine_triplets(
     cosine in both engines; argmin/argmax ties break on ascending
     candidate id (ascending-id column order + first-hit argmax);
     the margin compares RAW doubles and only emitted columns round.
-    Zero-norm vectors (NaN cosine) are outside the contract — a NaN
-    sim never wins an argmin/argmax here.
+    Zero-norm / NULL vectors (NaN cosine) are ENFORCED out of contract:
+    filtered before bucket sizing, mirrored in the q165 oracle's e CTE
+    (DuckDB would otherwise rank a NaN sim first in the DESC window).
     """
     import numpy as np
     import pandas as pd
@@ -1772,7 +1773,14 @@ def mine_triplets(
         F.col(vec_col).alias("v"),
         F.col(label_col).alias("lab"),
         sign_bucket(F.col(vec_col), dims).alias("bkt"),
+        norm(F.col(vec_col)).alias("nrm"),
     )
+    # zero-norm / NULL vectors are enforced out of contract (not just
+    # documented): their cosine is NaN, and DuckDB ranks NaN GREATEST in
+    # a DESC window while the kernel excludes it — filter before bucket
+    # sizing so both engines see identical buckets (q165 oracle mirrors
+    # this predicate in its e CTE).
+    e = e.where(F.col("nrm") > 0)
     if bucket_cap is not None:
         # sizes via map-side-combined groupBy broadcast back (a window
         # over bkt would serialize on the skewed bucket — SCALING.md)
@@ -1786,7 +1794,6 @@ def mine_triplets(
         e = e.join(F.broadcast(sizes), "bkt").withColumn("sub", salt).drop("bsz")
     else:
         e = e.withColumn("sub", F.lit(0))
-    e = e.withColumn("nrm", norm(F.col("v")))
     chunk_cells = _GRAM_CHUNK_CELLS
 
     def hardest(pdf: pd.DataFrame) -> pd.DataFrame:

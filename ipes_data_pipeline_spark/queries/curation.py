@@ -661,7 +661,7 @@ _BM25_TERMS = ("spark", "filter", "join", "window")
 _BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
 
 
-def _q134_oracle() -> str:
+def _q134_oracle(topk: int = _BM25_TOPK) -> str:
     toks = SQL_TOKENS.format(c="text")
     terms = ", ".join(f"'{qt}'" for qt in _BM25_TERMS)
     # Operand order mirrors the Spark expression exactly; idf and the
@@ -690,7 +690,7 @@ c AS (SELECT tf.doc_id,
       FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN g)
 SELECT doc_id, CAST(SUM(part) AS DOUBLE) AS bm25
 FROM c GROUP BY doc_id
-ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_TOPK}
+ORDER BY bm25 DESC, doc_id ASC LIMIT {topk}
 """
 
 

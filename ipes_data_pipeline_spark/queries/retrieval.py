@@ -8,8 +8,9 @@ runs after the index builders this repo already ships (BM25 q134,
 brute/IVF/PQ/IVFPQ q46/q72/q159–q161): compress the index, fuse the
 retrievers, diversify the final context. Reference anchor: the
 reference ranks and filters per-query candidate sets before its
-per-row enrichment (filter_relevant_dockets.py, enrich_data.py) —
-these queries are that stage re-expressed at corpus scale.
+per-row enrichment (code/structure_data.py relevance gates,
+code/enrich_data.py) — these queries are that stage re-expressed at
+corpus scale.
 
 Determinism rules as in queries/__init__: per-part rounding to
 DECIMAL(18,6) before any sum whose order an engine could choose;
@@ -41,17 +42,22 @@ def _q162_oracle(dim: int = _DIM, k: int = _SQ8_K, qid: int = _SQ8_QID) -> str:
     )
     recon = "(c.mn + CAST(c.code AS DOUBLE) * (c.mx - c.mn) / 255.0)"
     err = f"(CAST(q.v[c.i] AS DOUBLE) - {recon})"
+    # NULL vectors are dropped on BOTH sides (engine: sq8_topk filters
+    # v IS NOT NULL before bounds + codes) so a null-heavy corpus cannot
+    # desynchronize the candidate set.
     return f"""
-WITH bounds AS (
+WITH nn AS (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL),
+bounds AS (
   SELECT i,
          MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
          MAX(CAST(embedding[i] AS DOUBLE)) AS mx
-  FROM embeddings, range(1, {dim + 1}) t(i)
+  FROM nn, range(1, {dim + 1}) t(i)
   GROUP BY i),
 codes AS (
   SELECT e.vec_id AS id, b.i, b.mn, b.mx,
          CASE WHEN b.mx > b.mn THEN {code} ELSE 0 END AS code
-  FROM embeddings e CROSS JOIN bounds b),
+  FROM nn e CROSS JOIN bounds b),
 q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = {qid}),
 parts AS (
   SELECT c.id, CAST(ROUND({err} * {err}, 6) AS DECIMAL(18,6)) AS part
@@ -95,7 +101,7 @@ def _q163_oracle(k: int = _RRF_K, c: int = _RRF_C, qid: int = _RRF_QID) -> str:
     lex_part = contrib.format(c=c, r="lex_rank")
     sem_part = contrib.format(c=c, r="sem_rank")
     return f"""
-WITH lexq AS ({_q134_oracle().strip()}),
+WITH lexq AS ({_q134_oracle(topk=k).strip()}),
 lex AS (SELECT doc_id AS id,
                CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT)
                  AS lex_rank
@@ -261,9 +267,16 @@ es AS (SELECT e.id, e.v, e.label, e.bkt,
        FROM e JOIN sz USING (bkt))"""
         pair_src = "es"
         sub_pred = "AND a.sub = b.sub "
+    # zero-norm / NULL vectors filtered BEFORE bucket sizing, exactly
+    # where mine_triplets filters them (nrm > 0) — a NaN cosine would
+    # sort FIRST in DuckDB's DESC window and hijack the hardest-negative
+    # pick, while the engine kernel excludes NaN from argmin/argmax.
+    from ipes_data_pipeline_spark.queries.dataops import SQL_DDOT
+
+    dd = SQL_DDOT.format(a="embedding", b="embedding")
     return f"""
 WITH e AS (SELECT vec_id AS id, embedding AS v, label, ({bkt}) AS bkt
-           FROM embeddings){cap_ctes},
+           FROM embeddings WHERE {dd} > 0){cap_ctes},
 p AS (SELECT a.id AS id_a, a.label AS lab_a, b.id AS id_b,
              b.label AS lab_b, {cos} AS sim
       FROM {pair_src} a JOIN {pair_src} b
@@ -330,9 +343,12 @@ def _q166_oracle(
         return f"({terms})"
 
     cos = _sql_cosine("e.embedding", "q.v")
+    # NULL vectors dropped to mirror the engine (binary_sign_ann filters
+    # them); without this a NULL row packs to lo=hi=0 oracle-side (every
+    # CASE falls to ELSE) and gets a real Hamming distance.
     return f"""
 WITH c AS (SELECT vec_id AS id, {pack(0)} AS lo, {pack(1)} AS hi
-           FROM embeddings),
+           FROM embeddings WHERE embedding IS NOT NULL),
 q AS (SELECT id, lo, hi FROM c WHERE id = {qid}),
 h AS (SELECT c.id,
              CAST(bit_count(xor(c.lo, q.lo))

@@ -29,7 +29,9 @@ def test_sq8_query_is_own_nearest(spark):
     ]
     df = _vec_df(spark, rows)
     out = sq8_topk(df, "id", "v", df.filter(F.col("id") == 0), k=4).collect()
-    assert [r["id"] for r in out] == [0, 1, 2, 3] or out[0]["id"] == 0
+    # full deterministic ordering for this fixture: the query, its near
+    # twin, then by true (and quantized) distance 3 (~81) before 2 (~99)
+    assert [r["id"] for r in out] == [0, 1, 3, 2]
     # quantization error on the query itself is bounded by the grid step
     assert out[0]["adc_d2"] < out[1]["adc_d2"]
 
@@ -171,6 +173,27 @@ def test_triplet_mining_picks_hardest_and_applies_margin(spark):
         df, "id", "v", "lab", dims=(1, 2, 3, 4), margin=-2.0
     )
     assert none.count() == 0
+
+
+def test_triplet_mining_drops_zero_norm_and_null_vectors(spark):
+    # zero-norm / NULL vectors are ENFORCED out of contract (nrm > 0
+    # before bucket sizing): without the filter DuckDB's DESC window
+    # would rank their NaN cosine first and hijack the hardest negative.
+    from ipes_data_pipeline_spark.operators.similarity import mine_triplets
+
+    rows = [
+        (1, [1.0, 0.1], 0),
+        (2, [0.9, 0.2], 0),
+        (5, [0.8, 0.3], 1),
+        (6, [0.0, 0.0], 1),  # zero-norm: must not appear anywhere
+        (7, None, 1),  # NULL vector: must not appear anywhere
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>, lab int")
+    out = mine_triplets(df, "id", "v", "lab", dims=(1, 2), margin=2.0).collect()
+    ids_seen = {r["anchor_id"] for r in out} | {r["pos_id"] for r in out} | {
+        r["neg_id"] for r in out
+    }
+    assert {1, 2} <= ids_seen and not {6, 7} & ids_seen
 
 
 def test_triplet_mining_needs_both_classes_in_bucket(spark):
