@@ -135,6 +135,9 @@ HEADLINE = [
     "q165_triplet_mining",
     # q166: binary sign-bit ANN (Hamming scan + exact rerank, 512x)
     "q166_binary_sign_ann",
+    # q167: A8/A9 binary-sink relational skeleton (resume anti-join +
+    # sniffed-extension rollup) — round-8, the last family's gate entry
+    "q167_download_manifest_rollup",
 ]
 
 

@@ -541,6 +541,130 @@ def q29(spark, sf):
     return t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey").dropDuplicates()
 
 
+_Q167_HOST = "https://example.org"  # synthetic; no fetch happens
+_PDF_MAGIC = "%PDF-"
+_ZIP_MAGIC = "PK" + chr(3) + chr(4)
+_OLE_MAGIC = "".join(map(chr, (0xD0, 0xCF, 0x11, 0xE0)))  # latin-1 of OLE2
+
+
+def _q167_oracle() -> str:
+    """The A8/A9 relational skeleton in ANSI SQL: rebuild the queue and
+    prior-run manifest from ``documents``, anti-join (resume), classify
+    each pending row's deterministic payload prefix with the SAME
+    startswith magic rules as sniff_extension, roll up per extension.
+    chr() builds the control-character magics DuckDB can't take as
+    literals; latin-1 codepoints mirror sniff_extension_col exactly.
+    The synthetic payload is the magic prefix + the UTF-32 body of the
+    text (4 bytes/char), so n_bytes = length(prefix) + 4*n_chars spans
+    192-2212 on the testdata — both sides of the 1000-byte validity
+    gate and a non-empty resume anti-join actually fire at every sf."""
+    zip_m = "'PK' || chr(3) || chr(4)"
+    ole_m = "chr(208) || chr(207) || chr(17) || chr(224)"
+    return f"""
+WITH queue AS (
+  SELECT regexp_replace('{_Q167_HOST}/document/' || CAST(doc_id AS VARCHAR),
+                        '/document/', '/documents/') AS url,
+         doc_id, n_chars
+  FROM documents),
+done AS (
+  SELECT '{_Q167_HOST}/documents/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id % 3 = 0 AND 4 * n_chars >= 1000),
+pending AS (
+  SELECT q.doc_id, q.n_chars,
+         CASE WHEN q.doc_id % 5 = 0 THEN '{_PDF_MAGIC}'
+              WHEN q.doc_id % 5 = 1 THEN {zip_m}
+              WHEN q.doc_id % 5 = 2 THEN {ole_m}
+              ELSE '' END AS prefix,
+         q.doc_id % 5 = 4 AS failed
+  FROM queue q WHERE NOT EXISTS (SELECT 1 FROM done d WHERE d.url = q.url)),
+fetched AS (
+  SELECT CASE WHEN failed THEN 'error:Timeout'
+              WHEN starts_with(prefix, '%PDF') THEN 'pdf'
+              WHEN starts_with(prefix, 'PK') THEN 'docx'
+              WHEN starts_with(prefix, {ole_m}) THEN 'doc'
+              ELSE 'bin' END AS content_type,
+         CASE WHEN failed THEN 0
+              ELSE length(prefix) + 4 * n_chars END AS n_bytes,
+         NOT failed AND (length(prefix) + 4 * n_chars) >= 1000 AS ok
+  FROM pending)
+SELECT content_type, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+FROM fetched GROUP BY content_type ORDER BY content_type"""
+
+
+@register(
+    "q167_download_manifest_rollup",
+    "A8/A9 binary-sink relational skeleton (ref download_pdfs_robust.py:"
+    "82-121,268): queue rebuilt from documents, /document/->/documents/ "
+    "URL rewrite, resume anti-join against the prior-run manifest "
+    "(pending_work, the A9 op), magic-byte extension sniff on a "
+    "deterministic payload prefix (sniff_extension_col, the column twin "
+    "of the sink's byte sniffer), >=1000-byte validity gate, rollup per "
+    "sniffed extension — the gate entry for the last pytest-only family",
+    _q167_oracle(),
+)
+def q167(spark, sf):
+    from ipes_data_pipeline_spark.sources.binary_sink import (
+        MIN_VALID_BYTES,
+        pending_work,
+        rewrite_doc_url,
+        sniff_extension_col,
+    )
+
+    docs = t(spark, sf, "documents")
+    queue = docs.select(
+        rewrite_doc_url(
+            F.concat(
+                F.lit(f"{_Q167_HOST}/document/"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("url"),
+        "doc_id",
+        "n_chars",
+    )
+    # prior-run manifest: every third doc already fetched with a UTF-32
+    # body (4 bytes/char) — pending_work drops only the ok ones over the
+    # size gate, so the anti-join removes a real, sf-stable fraction
+    manifest = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            F.lit(f"{_Q167_HOST}/documents/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        (4 * F.col("n_chars")).alias("n_bytes"),
+        (4 * F.col("n_chars") >= MIN_VALID_BYTES).alias("ok"),
+    )
+    pending = pending_work(queue, manifest)
+    cls = F.pmod(F.col("doc_id"), F.lit(5))
+    prefix = (
+        F.when(cls == 0, F.lit(_PDF_MAGIC))
+        .when(cls == 1, F.lit(_ZIP_MAGIC))
+        .when(cls == 2, F.lit(_OLE_MAGIC))
+        .otherwise(F.lit(""))
+    )
+    fetched = pending.select(
+        F.when(cls == 4, F.lit("error:Timeout"))
+        .otherwise(sniff_extension_col(prefix))
+        .alias("content_type"),
+        F.when(cls == 4, F.lit(0))
+        .otherwise(F.length(prefix) + 4 * F.col("n_chars"))
+        .cast("long")
+        .alias("n_bytes"),
+        (
+            (cls != 4)
+            & ((F.length(prefix) + 4 * F.col("n_chars")) >= MIN_VALID_BYTES)
+        ).alias("ok"),
+    )
+    return (
+        fetched.groupBy("content_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ok").cast("int")).cast("bigint").alias("n_ok"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("content_type")
+    )
+
+
 @register(
     "q30_union_distinct",
     "A3/F3 union + distinct (ref fetch.py:276-301)",

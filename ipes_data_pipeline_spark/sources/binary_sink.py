@@ -175,6 +175,23 @@ def sniff_extension(payload: bytes) -> str:
     return "bin"
 
 
+def sniff_extension_col(prefix_col) -> Column:
+    """Column twin of :func:`sniff_extension` over a latin-1-decoded
+    payload prefix (latin-1 maps bytes 1:1 to codepoints, so string
+    startswith on the decoded prefix IS the magic-byte test). Lets the
+    sniff decision run JVM-side in relational form — q167's manifest
+    rollup and any audit over an already-decoded manifest column — while
+    the byte form stays the sink's hot path. A pytest pins the two
+    implementations to each other over all four magic classes."""
+    c = F.col(prefix_col) if isinstance(prefix_col, str) else prefix_col
+    return (
+        F.when(c.startswith("%PDF"), F.lit("pdf"))
+        .when(c.startswith("PK"), F.lit("docx"))
+        .when(c.startswith("\u00d0\u00cf\u0011\u00e0"), F.lit("doc"))
+        .otherwise(F.lit("bin"))
+    )
+
+
 def rewrite_doc_url(col) -> Column:
     """``/document/`` → ``/documents/`` (reference :150-157)."""
     c = F.col(col) if isinstance(col, str) else col

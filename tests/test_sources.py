@@ -92,6 +92,30 @@ def test_sniff_extension():
     assert sniff_extension(b"plain text") == "bin"
 
 
+def test_sniff_extension_col_matches_byte_sniffer(spark):
+    # the column twin (q167's relational sniff) must agree with the byte
+    # sniffer on all four magic classes via the latin-1 codepoint map
+    from pyspark.sql import functions as F
+
+    from ipes_data_pipeline_spark.sources.binary_sink import (
+        sniff_extension_col,
+    )
+
+    payloads = [
+        b"%PDF-1.5 xx",
+        b"PK\x03\x04zz",
+        b"\xd0\xcf\x11\xe0rest",
+        b"plain text",
+        b"PKzz",  # 2-byte zip magic alone
+    ]
+    rows = [(i, p.decode("latin-1")) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "i int, prefix string").select(
+        "i", sniff_extension_col(F.col("prefix")).alias("ext")
+    )
+    got = {r["i"]: r["ext"] for r in df.collect()}
+    assert got == {i: sniff_extension(p) for i, p in enumerate(payloads)}
+
+
 def test_download_sink_and_manifest_resume(spark, tmp_path):
     out_dir = str(tmp_path / "docs")
     queue = spark.createDataFrame(
