@@ -25,7 +25,7 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
@@ -82,17 +82,33 @@ def extract_features(
     id_col: str,
     payload_col: str,
     dim: int = 32,
-    decode_stub: str = "fake",
+    decode_stub: str | Callable[[bytes, int], list[float]] = "fake",
 ) -> DataFrame:
     """(id, modality, features array<float>) via Arrow-batched decode.
 
-    A real deployment replaces the stub branch with the codec call; the
-    batch shape (one Arrow batch in, one out, no row-at-a-time Python),
-    schema, and partition spreading are exactly what production needs.
+    ``decode_stub`` is the codec wiring point, three settings:
+
+    - ``'fake'`` — deterministic sha256-derived features (testable
+      end-to-end without media libs);
+    - ``'raise'`` — NotImplementedError at the exact call site a real
+      decoder goes;
+    - a callable ``(payload: bytes, dim: int) -> list[float]`` — a REAL
+      decoder (PIL/librosa/pyav wrapper). It must pickle to executors
+      (top-level function or plain closure). A per-payload decoder
+      exception yields an ERROR ROW (features NULL, modality
+      ``error:<ExcName>``) instead of aborting the task — one corrupt
+      file cannot fail a 100 TB decode job, exactly the
+      ``download_documents`` failure-row contract. The seam's
+      signature, Arrow batching, and error-row path are pinned by
+      ``tests/test_multimodal.py::test_real_decoder_seam_contract``.
+
+    The batch shape (one Arrow batch in, one out, no row-at-a-time
+    Python), schema, and partition spreading are what production needs.
     """
     src = spread(df).select(
         F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
     )
+    decoder = None if isinstance(decode_stub, str) else decode_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -100,14 +116,21 @@ def extract_features(
             for row in pdf.itertuples(index=False):
                 payload = bytes(row.payload)
                 modality, _ = sniff_media(payload)
-                if decode_stub == "raise":
+                if decoder is not None:
+                    try:
+                        vec = [float(x) for x in decoder(payload, dim)]
+                    except Exception as e:  # error row, not task abort
+                        modality, vec = f"error:{type(e).__name__}", None
+                elif decode_stub == "raise":
                     raise NotImplementedError(
                         "wire a real decoder here (PIL/librosa/pyav); "
                         "this container ships none"
                     )
+                else:
+                    vec = _fake_features(payload, dim)
                 ids.append(row.media_id)
                 modalities.append(modality)
-                feats.append(_fake_features(payload, dim))
+                feats.append(vec)
             yield pd.DataFrame(
                 {"media_id": ids, "modality": modalities, "features": feats}
             )

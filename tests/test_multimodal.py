@@ -65,6 +65,34 @@ def test_extract_features_raise_stub(spark, media_df):
         ).collect()
 
 
+def test_real_decoder_seam_contract(spark, media_df):
+    # the decode_stub seam accepts a real decoder callable: features
+    # come from IT (not the fake), signature is (bytes, dim), and a
+    # per-payload decoder exception yields an error ROW (features NULL,
+    # modality error:<ExcName>) — never a task abort. Defined inside the
+    # test so cloudpickle ships it by value, the same constraint a
+    # production decoder wrapper satisfies by living in the package.
+    def _toy_decoder(payload: bytes, dim: int) -> list[float]:
+        assert type(payload) is bytes
+        if payload.startswith(b"garbage"):
+            raise ValueError("corrupt container")
+        return [float(len(payload))] * dim
+
+    out = {
+        r["media_id"]: r
+        for r in extract_features(
+            media_df, "media_id", "payload", dim=4, decode_stub=_toy_decoder
+        ).collect()
+    }
+    assert len(out) == len(MEDIA)  # the corrupt row did NOT kill the job
+    assert out["img1"]["features"] == [108.0] * 4  # decoder's output, dim=4
+    assert out["img1"]["modality"] == "image"  # sniff still JVM-input-side
+    assert out["bin1"]["features"] is None
+    assert out["bin1"]["modality"] == "error:ValueError"
+    ok = [m for m, r in out.items() if r["features"] is not None]
+    assert sorted(ok) == ["aud1", "img1", "img2", "vid1"]
+
+
 def test_frame_sample_plan(spark, media_df):
     plan = frame_sample_plan(media_df, "media_id", "payload", n_frames=4)
     assert plan.count() == 4 * len(MEDIA)
