@@ -78,7 +78,15 @@ def main() -> None:
     du_spread: dict[str, float] = {}
     errors: dict[str, str] = {}
     subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
-    base = [q for q in subset_env.split(",") if q] if subset_env else HEADLINE
+    # ALL = every registered query (the round-8 full-registry pairing:
+    # the headline set answers "is the engine fast where it matters",
+    # ALL at sf0.01 answers "is the non-headline half also sane")
+    if subset_env == "ALL":
+        base = sorted(REGISTRY)
+    elif subset_env:
+        base = [q for q in subset_env.split(",") if q]
+    else:
+        base = HEADLINE
     paired = [q for q in base if REGISTRY[q].oracle is not None]
     for name in paired:
         spec = REGISTRY[name]
