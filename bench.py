@@ -138,6 +138,9 @@ HEADLINE = [
     # q167: A8/A9 binary-sink relational skeleton (resume anti-join +
     # sniffed-extension rollup) — round-8, the last family's gate entry
     "q167_download_manifest_rollup",
+    # q168: batched-query exact ANN (broadcast the query matrix, stream
+    # the corpus) — round-8, the production retrieval scoring shape
+    "q168_ann_topk_batch",
 ]
 
 

@@ -151,6 +151,150 @@ def knn_graph(
     )
 
 
+def ann_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    qid_col: str,
+    k: int = 10,
+    max_query_bytes: int = 1 << 28,
+) -> DataFrame:
+    """Batched exact ANN: top-k cosine neighbors for a SET of query
+    vectors in one corpus pass — the production shape of retrieval
+    scoring (a trainer or RAG service scores query batches, not one
+    query per job; q46/q162/q166 are the single-query oracles).
+
+    Physical shape — the FLIPPED broadcast regime of :func:`knn_graph`:
+    there the corpus is collected and broadcast and the query side
+    streams (right when queries outnumber a corpus that fits per
+    executor); here the QUERY matrix is collected and broadcast
+    (bounded by ``max_query_bytes`` — a query batch is KiBs-to-MBs) and
+    the CORPUS streams through ``mapInPandas`` in Arrow batches, so the
+    100 TB corpus is never collected anywhere. Each task keeps a
+    running per-query top-k across its batches and emits at most
+    ``n_queries x k`` rows; the only exchange is that per-task digest
+    (parts x Q x k rows), merged by a window PARTITIONED BY query id —
+    a k-row-per-group frame, never a global window over raw rows.
+    Within-task truncation to k is lossless: a dropped candidate has k
+    same-or-better (sim, id)-ranked rows above it in its own task, so
+    it can never enter the global top-k.
+
+    Determinism (q168 value-check): dots accumulate per-dimension IN
+    ORDER (:func:`_gram_blocks`' fold — bit-identical to the oracle's
+    ``list_reduce``), norms via :func:`_bucket_norms` (same fold as
+    ``sqrt(dot(v,v))``), ranks compare RAW doubles, ties break on
+    ascending corpus id, only the emitted cos_sim is rounded.
+    Zero-norm / NULL vectors are out of contract on BOTH sides
+    (filtered; a NaN cosine would hijack DuckDB's DESC ordering —
+    the mine_triplets rule). Self-pairs (qid == corpus id) drop.
+    """
+    import numpy as np
+
+    from ipes_data_pipeline_spark.operators.util import spread
+
+    out_schema = "qid bigint, id bigint, cos_sim double"
+    q = query_df.select(F.col(qid_col), F.col(vec_col)).where(
+        F.col(vec_col).isNotNull()
+    )
+    stats = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("dim"),
+    ).first()
+    n_q, dim = stats["n"], max(stats["dim"] or 0, 0)
+    if n_q == 0:
+        return df.sparkSession.createDataFrame([], out_schema + ", rank int")
+    est = n_q * max(dim, 1) * 8
+    if est > max_query_bytes:
+        raise ValueError(
+            f"ann_topk_batch query batch is ~{est / 2**20:.0f} MiB "
+            f"({n_q} queries x {dim} dims x 8 B) > max_query_bytes="
+            f"{max_query_bytes / 2**20:.0f} MiB. Split the batch into "
+            "broadcastable chunks and union the results, or flip to "
+            "knn_graph (stream the queries, broadcast the corpus) if "
+            "the corpus is the smaller side."
+        )
+    rows = q.collect()
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    Qm = np.array([r[1] for r in rows], dtype=np.float64)
+    qn = _bucket_norms(Qm)
+    ok = qn > 0.0  # zero-norm queries: out of contract, dropped
+    q_ids, Qm, qn = q_ids[ok], Qm[ok], qn[ok]
+    if len(q_ids) == 0:
+        return df.sparkSession.createDataFrame([], out_schema + ", rank int")
+    bc = df.sparkSession.sparkContext.broadcast((q_ids, Qm, qn))
+
+    def score(batches):
+        import pandas as pd
+
+        ids_q, Q, nq_ = bc.value
+        acc_sims = [[] for _ in ids_q]
+        acc_ids = [[] for _ in ids_q]
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = _bucket_norms(V)
+            live = vn > 0.0  # zero-norm corpus rows: out of contract
+            if not live.all():
+                c_ids, V, vn = c_ids[live], V[live], vn[live]
+            if len(c_ids) == 0:
+                continue
+            # per-dimension in-order fold (the _gram_blocks rule);
+            # block is |batch| x |queries| — queries are few, so one
+            # chunk is far under _GRAM_CHUNK_CELLS
+            block = np.zeros((len(c_ids), len(ids_q)))
+            for d in range(V.shape[1]):
+                block += np.outer(V[:, d], Q[:, d])
+            cos = block / np.outer(vn, nq_)
+            for j in range(len(ids_q)):
+                col = cos[:, j]
+                keep = c_ids != ids_q[j]  # self-pair drops
+                cand_ids, cand = c_ids[keep], col[keep]
+                if len(cand) > k:
+                    kth = np.partition(-cand, k - 1)[k - 1]
+                    sel = np.nonzero(-cand <= kth)[0]
+                    order = np.lexsort((cand_ids[sel], -cand[sel]))[:k]
+                    sel = sel[order]
+                    cand_ids, cand = cand_ids[sel], cand[sel]
+                acc_sims[j].append(cand)
+                acc_ids[j].append(cand_ids)
+        out_q, out_id, out_cs = [], [], []
+        for j in range(len(ids_q)):
+            if not acc_sims[j]:
+                continue
+            sims = np.concatenate(acc_sims[j])
+            cids = np.concatenate(acc_ids[j])
+            order = np.lexsort((cids, -sims))[:k]
+            out_q.extend([int(ids_q[j])] * len(order))
+            out_id.extend(cids[order].tolist())
+            out_cs.extend(sims[order].tolist())
+        yield pd.DataFrame({"qid": out_q, "id": out_id, "cos_sim": out_cs})
+
+    corpus = spread(
+        df.select(F.col(id_col), F.col(vec_col)).where(
+            F.col(vec_col).isNotNull()
+        )
+    )
+    from pyspark.sql.window import Window
+
+    local = corpus.mapInPandas(score, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            "id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos_sim", 6).cast("double").alias("cos_sim"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
 # Plane pool for count-adaptive bucketing (dims=None). The first four
 # ARE the historical fixed default, so auto mode at small N (P clamps
 # to 4) produces bit-identical buckets to the oracle-pinned q118. 20

@@ -322,6 +322,61 @@ def q165(spark, sf):
     )
 
 
+# ------------------------------------------- q168: batched-query ANN
+
+_BATCH_QIDS = (0, 7, 13, 21)
+_BATCH_K = 10
+
+
+def _q168_oracle(qids: tuple[int, ...] = _BATCH_QIDS, k: int = _BATCH_K) -> str:
+    from ipes_data_pipeline_spark.queries.dataops import SQL_DDOT, _sql_cosine
+
+    cos = _sql_cosine("c.v", "q.qv")
+    dd = SQL_DDOT.format(a="embedding", b="embedding")
+    in_list = ", ".join(str(q) for q in qids)
+    # zero-norm / NULL vectors out of contract on both sides (the
+    # mine_triplets rule), self-pairs dropped, rank on RAW doubles,
+    # round only the emitted similarity
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({in_list}) AND {dd} > 0),
+c AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+      WHERE {dd} > 0),
+p AS (SELECT q.qid, c.id, {cos} AS sim
+      FROM c CROSS JOIN q WHERE c.id <> q.qid),
+r AS (SELECT qid, id, sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, id ASC) AS rank
+      FROM p)
+SELECT qid, id, CAST(rank AS INT) AS rank,
+       CAST(ROUND(sim, 6) AS DOUBLE) AS cos_sim
+FROM r WHERE rank <= {k} ORDER BY qid, rank"""
+
+
+@register(
+    "q168_ann_topk_batch",
+    "similarity search: BATCHED exact ANN — top-k cosine for a query "
+    "SET in one corpus pass (the production retrieval shape: services "
+    "and trainers score query batches, not one query per job). The "
+    "flipped broadcast regime of the kNN graph: the tiny query matrix "
+    "broadcasts, the 100 TB corpus streams, each task emits a Q x k "
+    "digest, a per-query window merges — corpus never collected",
+    _q168_oracle(),
+)
+def q168(spark, sf):
+    from ipes_data_pipeline_spark.operators.similarity import ann_topk_batch
+
+    emb = t(spark, sf, "embeddings")
+    return ann_topk_batch(
+        emb,
+        "vec_id",
+        "embedding",
+        emb.filter(F.col("vec_id").isin(*_BATCH_QIDS)),
+        "vec_id",
+        k=_BATCH_K,
+    )
+
+
 # --------------------------------------- q166: binary sign-bit ANN
 
 _BIN_K, _BIN_RERANK, _BIN_QID = 10, 40, 0

@@ -141,6 +141,84 @@ def test_mmr_steps_are_sequential_and_scores_monotone_start(spark):
     assert all(out[0]["mmr_score"] >= r["mmr_score"] for r in out[1:])
 
 
+# ------------------------------------------------------------ batch ANN
+
+
+def test_ann_topk_batch_orders_per_query(spark):
+    from ipes_data_pipeline_spark.operators.similarity import ann_topk_batch
+
+    corpus = _vec_df(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [0.1, 0.9]),
+        ],
+    )
+    queries = _vec_df(spark, [(1, [1.0, 0.0]), (3, [0.0, 1.0])])
+    out = ann_topk_batch(corpus, "id", "v", queries, "id", k=2).collect()
+    got = [(r["qid"], r["rank"], r["id"]) for r in out]
+    # self-pairs excluded; nearest remaining neighbor first
+    assert got == [(1, 1, 2), (1, 2, 4), (3, 1, 4), (3, 2, 2)]
+    sims = {(r["qid"], r["id"]): r["cos_sim"] for r in out}
+    assert sims[(1, 2)] > sims[(1, 4)]
+
+
+def test_ann_topk_batch_drops_zero_norm_and_null(spark):
+    from ipes_data_pipeline_spark.operators.similarity import ann_topk_batch
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),  # zero-norm corpus row: never a neighbor
+            (3, None),  # NULL vector: never a neighbor
+            (4, [0.5, 0.5]),
+        ],
+        "id bigint, v array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (9, [0.0, 0.0])],  # zero-norm query: dropped
+        "id bigint, v array<double>",
+    )
+    out = ann_topk_batch(corpus, "id", "v", queries, "id", k=5).collect()
+    assert {r["qid"] for r in out} == {1}
+    assert [r["id"] for r in out] == [4]  # 2 and 3 filtered, self dropped
+
+
+def test_ann_topk_batch_query_byte_cap(spark):
+    from ipes_data_pipeline_spark.operators.similarity import ann_topk_batch
+
+    df = _vec_df(spark, [(i, [float(i), 1.0]) for i in range(8)])
+    with pytest.raises(ValueError, match="max_query_bytes"):
+        ann_topk_batch(df, "id", "v", df, "id", k=2, max_query_bytes=64)
+
+
+def test_ann_topk_batch_agrees_with_knn_graph(spark):
+    # the flipped regime must produce exactly the broadcast-corpus
+    # regime's neighbors when both fit: same ids, same ranks
+    import numpy as np
+
+    from ipes_data_pipeline_spark.operators.similarity import (
+        ann_topk_batch,
+        knn_graph,
+    )
+
+    rng = np.random.default_rng(8)
+    corpus = _vec_df(
+        spark, [(i, rng.standard_normal(8).tolist()) for i in range(40)]
+    )
+    queries = corpus.filter(F.col("id") < 5)
+    batch = ann_topk_batch(corpus, "id", "v", queries, "id", k=3).collect()
+    graph = knn_graph(queries, "id", "v", k=3, corpus_df=corpus).collect()
+    b = {(r["qid"], r["rank"]): r["id"] for r in batch}
+    g = {}
+    for r in sorted(graph, key=lambda r: (r["id"], -r["cos_sim"], r["neighbor_id"])):
+        ranks = [kk for (q, kk) in g if q == r["id"]]
+        g[(r["id"], len(ranks) + 1)] = r["neighbor_id"]
+    assert b == g
+
+
 # -------------------------------------------------------------- triplets
 
 
