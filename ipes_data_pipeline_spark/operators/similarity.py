@@ -777,15 +777,31 @@ def _lloyd_driver(
 ) -> list[tuple[int, list[float]]]:
     """Driver-regime Lloyd rounds — see :func:`_lloyd_centroid_list`
     for the regime contract and the bit-stability argument."""
-    from decimal import ROUND_HALF_UP, Decimal
-
     import numpy as np
 
     rows = emb.select("id", "v").collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)[order]
+    return _lloyd_driver_matrix(
+        ids[order],
+        np.array([r["v"] for r in rows], dtype=np.float64)[order],
+        n_cells,
+        n_iter,
+    )
+
+
+def _lloyd_driver_matrix(
+    ids, mat, n_cells: int, n_iter: int
+) -> list[tuple[int, list[float]]]:
+    """The numpy Lloyd core over an id-sorted (ids, matrix) pair.
+    Split out of :func:`_lloyd_driver` so the PQ family can collect its
+    training set ONCE and train all m subspace codebooks from numpy
+    slices (one Spark job instead of m sizing jobs + m collects — the
+    round-8 training-floor cut); numpy slicing of the collected full
+    vectors is value-identical to collecting F.slice projections."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
     # exact scaled-integer view for the update sums: each element
     # quantized ONCE to decimal(18,6)'s scale; per-cell sums are then
     # exact int64 adds (order-free), and the mean reproduces
@@ -1411,17 +1427,54 @@ def _pq_adc_scan(
     (both ``(id, v)`` frames; they differ when an IVF stage pruned the
     scan set), build the query's m distance tables, and return the
     un-truncated ``(id, adc_d2)`` frame. ``None`` when a subspace
-    trains empty (empty corpus)."""
+    trains empty (empty corpus).
+
+    Training-floor cut (round 8): when the whole training set fits the
+    driver-regime byte cap, it is sized ONCE and collected ONCE, and
+    all m subspace codebooks train from numpy slices of that matrix
+    (:func:`_lloyd_driver_matrix`) — previously each subspace paid its
+    own sizing job + collect, and those 2m driver round-trips were most
+    of the PQ family's fixed cost at bench scale (the q159/q160 'weak'
+    rows). Value-identical: numpy column slices of collected full
+    vectors equal collected F.slice projections, and the per-subspace
+    regime bound (rows x dsub x 8) is implied by the full-matrix bound.
+    Above the cap, the per-subspace `_lloyd_centroid_list` path stands
+    (each subspace independently picks driver or distributed regime —
+    the 100 TB path is unchanged)."""
+    import numpy as np
+
     spark = train_src.sparkSession
     q_row = spark.createDataFrame([(qv,)], "qv array<double>")
+    tr = (
+        train_src
+        if train_limit is None
+        else train_src.orderBy("id").limit(train_limit)
+    )
+    n_train = tr.agg(F.count(F.lit(1))).first()[0]
+    cents_by_sub: list[list] | None = None
+    if 0 < n_train * m * dsub * 8 <= 1 << 28:
+        rows = tr.select("id", "v").collect()
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.array([r["v"] for r in rows], dtype=np.float64)[order]
+        cents_by_sub = [
+            _lloyd_driver_matrix(
+                ids, mat[:, j * dsub : (j + 1) * dsub], ksub, n_iter
+            )
+            for j in range(m)
+        ]
     codes_parts, dtab_parts = [], []
     for j in range(m):
-        sub = train_src.select(
-            "id", F.slice("v", j * dsub + 1, dsub).alias("v")
-        )
-        cent = _lloyd_centroid_list(
-            sub, ksub, n_iter, train_limit=train_limit
-        )
+        if cents_by_sub is not None:
+            cent = cents_by_sub[j]
+        else:
+            sub = train_src.select(
+                "id", F.slice("v", j * dsub + 1, dsub).alias("v")
+            )
+            cent = _lloyd_centroid_list(
+                sub, ksub, n_iter, train_limit=train_limit
+            )
         if not cent:
             return None
         sub_enc = encode_src.select(
@@ -1620,10 +1673,40 @@ def ivfpq_residual_topk(
         ],
         "cell long, qv array<double>",
     )
+    # fused training collect (the _pq_adc_scan round-8 floor cut): size
+    # the residual training set once, collect once, train all m subspace
+    # codebooks from numpy slices — the collected v values ARE the
+    # engine's zip_with residuals, so bit-identity is untouched
+    import numpy as np
+
+    tr = (
+        resv if train_limit is None else resv.orderBy("id").limit(train_limit)
+    )
+    n_train = tr.agg(F.count(F.lit(1))).first()[0]
+    cents_by_sub = None
+    if 0 < n_train * m * dsub * 8 <= 1 << 28:
+        rows = tr.select("id", "v").collect()
+        r_ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        order = np.argsort(r_ids, kind="stable")
+        r_ids = r_ids[order]
+        r_mat = np.array([r["v"] for r in rows], dtype=np.float64)[order]
+        cents_by_sub = [
+            _lloyd_driver_matrix(
+                r_ids, r_mat[:, j * dsub : (j + 1) * dsub], ksub, n_iter
+            )
+            for j in range(m)
+        ]
     codes_parts, dtab_parts = [], []
     for j in range(m):
-        sub = resv.select("id", F.slice("v", j * dsub + 1, dsub).alias("v"))
-        cent = _lloyd_centroid_list(sub, ksub, n_iter, train_limit=train_limit)
+        if cents_by_sub is not None:
+            cent = cents_by_sub[j]
+        else:
+            sub = resv.select(
+                "id", F.slice("v", j * dsub + 1, dsub).alias("v")
+            )
+            cent = _lloyd_centroid_list(
+                sub, ksub, n_iter, train_limit=train_limit
+            )
         if not cent:
             return _empty()
         sub_enc = cand.select("id", F.slice("v", j * dsub + 1, dsub).alias("v"))
