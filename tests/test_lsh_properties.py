@@ -499,6 +499,44 @@ def test_lloyd_driver_and_distributed_regimes_agree(spark):
         assert dv == xv  # exact float equality, not approx
 
 
+def test_pq_fused_training_collect_matches_per_subspace(spark):
+    """_pq_adc_scan's round-8 fused path (one collect, all m codebooks
+    from numpy slices of the full matrix) must be BIT-IDENTICAL to the
+    per-subspace _lloyd_centroid_list path it short-circuits — the q159
+    oracle only exercises whichever branch the fixture size selects, so
+    this pins the numpy-slice == F.slice-collect claim directly."""
+    from pyspark.sql import functions as F
+
+    from ipes_data_pipeline_spark.operators.similarity import (
+        _lloyd_centroid_list,
+        _lloyd_driver_matrix,
+    )
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    m, dsub, ksub, n_iter = 4, 16, 16, 3
+    rows = emb.select("id", "v").collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)[order]
+    for j in range(m):
+        fused = _lloyd_driver_matrix(
+            ids, mat[:, j * dsub : (j + 1) * dsub], ksub, n_iter
+        )
+        per_sub = _lloyd_centroid_list(
+            emb.select("id", F.slice("v", j * dsub + 1, dsub).alias("v")),
+            ksub,
+            n_iter,
+        )
+        assert [c for c, _ in fused] == [c for c, _ in per_sub]
+        for (_, fv), (_, pv) in zip(fused, per_sub):
+            assert fv == pv  # exact float equality per element
+
+
 def test_ivf_kmeans_multi_probe_improves_recall(spark):
     """ann_topk_ivf_kmeans(n_probe=p): probing the p nearest cells sees
     a candidate superset of p-1 probes, so recall against the brute
