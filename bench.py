@@ -141,6 +141,9 @@ HEADLINE = [
     # q168: batched-query exact ANN (broadcast the query matrix, stream
     # the corpus) — round-8, the production retrieval scoring shape
     "q168_ann_topk_batch",
+    # q169: RAG context assembly (fused ranking -> token-budget pack) —
+    # round-8, the last stage between retrieval and the prompt
+    "q169_context_assembly",
 ]
 
 

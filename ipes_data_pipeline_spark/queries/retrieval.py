@@ -322,6 +322,82 @@ def q165(spark, sf):
     )
 
 
+# ---------------------------------------- q169: RAG context assembly
+
+_CTX_BUDGET = 400  # tokens; ~half the fused list at testdata lengths
+
+
+def _q169_oracle(
+    k: int = _RRF_K, c: int = _RRF_C, qid: int = _RRF_QID,
+    budget: int = _CTX_BUDGET,
+) -> str:
+    from ipes_data_pipeline_spark.queries.dataops import SQL_TOKENS
+
+    toks = SQL_TOKENS.format(c="text")
+    return f"""
+WITH fused AS ({_q163_oracle(k, c, qid).strip()}),
+d AS (SELECT f.id, f.rrf_score, CAST(len({toks}) AS BIGINT) AS n_tokens
+      FROM fused f JOIN documents ON doc_id = f.id),
+r AS (SELECT id, rrf_score, n_tokens,
+             CAST(row_number() OVER w AS INT) AS position,
+             CAST(SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM d WINDOW w AS (ORDER BY rrf_score DESC, id ASC))
+SELECT position, id, n_tokens, cum_tokens, rrf_score
+FROM r WHERE cum_tokens <= {budget} ORDER BY position"""
+
+
+@register(
+    "q169_context_assembly",
+    "retrieval: RAG context assembly — the fused hybrid ranking (q163's "
+    "RRF) joined to document text, token-counted with the BM25 "
+    "tokenizer, and greedily packed into a fixed context budget "
+    "(prefix of the ranking whose running token total fits); the final "
+    "stage between retrieval and the prompt. Windows run over the "
+    "k-row fused list, never the corpus",
+    _q169_oracle(),
+)
+def q169(spark, sf):
+    from pyspark.sql.window import Window
+
+    from ipes_data_pipeline_spark.functions.text import tokens
+
+    fused = q163(spark, sf)  # id, lex_rank, sem_rank, rrf_score (k-row)
+    docs = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    # inner join: fused ids that are documents (the id spaces coincide
+    # in the testdata; a retrieval hit with no document can't be packed).
+    # The per-id aggregate after the join does two jobs: it collapses a
+    # hypothetical duplicate document row deterministically (min), and
+    # it is the REDUCING node that proves to the plan invariant
+    # (tests/test_plan_shapes.py global-window sweep) that the packing
+    # windows below run over an id-bounded frame, not raw corpus rows —
+    # the join alone is k-row-bounded only because doc_id is unique,
+    # which a plan walker cannot see.
+    j = (
+        fused.join(docs, "id")
+        .groupBy("id", "rrf_score")
+        .agg(F.min("n_tokens").alias("n_tokens"))
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
+    cum = (
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+    )
+    out = j.select(
+        F.row_number().over(w).cast("int").alias("position"),
+        "id",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        "rrf_score",
+    )
+    return out.where(F.col("cum_tokens") <= _CTX_BUDGET).orderBy("position")
+
+
 # ------------------------------------------- q168: batched-query ANN
 
 _BATCH_QIDS = (0, 7, 13, 21)
