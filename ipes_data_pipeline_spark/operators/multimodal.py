@@ -119,6 +119,11 @@ def extract_features(
                 if decoder is not None:
                     try:
                         vec = [float(x) for x in decoder(payload, dim)]
+                        if len(vec) != dim:
+                            # a wrong-length vector must not ship a
+                            # ragged array<float> column silently —
+                            # same error-row path as a decode failure
+                            modality, vec = "error:BadDim", None
                     except Exception as e:  # error row, not task abort
                         modality, vec = f"error:{type(e).__name__}", None
                 elif decode_stub == "raise":

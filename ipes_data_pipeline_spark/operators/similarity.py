@@ -194,6 +194,10 @@ def ann_topk_batch(
     from ipes_data_pipeline_spark.operators.util import spread
 
     out_schema = "qid bigint, id bigint, cos_sim double"
+    # One shared final schema for BOTH empty returns and the normal
+    # path, so column ORDER matches (positional unions with the
+    # non-empty shape would silently swap rank/cos_sim otherwise).
+    final_schema = "qid bigint, id bigint, rank int, cos_sim double"
     q = query_df.select(F.col(qid_col), F.col(vec_col)).where(
         F.col(vec_col).isNotNull()
     )
@@ -203,7 +207,7 @@ def ann_topk_batch(
     ).first()
     n_q, dim = stats["n"], max(stats["dim"] or 0, 0)
     if n_q == 0:
-        return df.sparkSession.createDataFrame([], out_schema + ", rank int")
+        return df.sparkSession.createDataFrame([], final_schema)
     est = n_q * max(dim, 1) * 8
     if est > max_query_bytes:
         raise ValueError(
@@ -221,7 +225,7 @@ def ann_topk_batch(
     ok = qn > 0.0  # zero-norm queries: out of contract, dropped
     q_ids, Qm, qn = q_ids[ok], Qm[ok], qn[ok]
     if len(q_ids) == 0:
-        return df.sparkSession.createDataFrame([], out_schema + ", rank int")
+        return df.sparkSession.createDataFrame([], final_schema)
     bc = df.sparkSession.sparkContext.broadcast((q_ids, Qm, qn))
 
     def score(batches):
@@ -230,6 +234,22 @@ def ann_topk_batch(
         ids_q, Q, nq_ = bc.value
         acc_sims = [[] for _ in ids_q]
         acc_ids = [[] for _ in ids_q]
+        acc_len = [0] * len(ids_q)
+
+        def _compact(j):
+            # merge-and-truncate a query's accumulator back to its
+            # best k — keeps per-task memory O(Q x k) instead of
+            # O(batches x Q x k). Lossless: a row dropped here has k
+            # same-or-better (sim, id)-ranked rows above it in this
+            # task, so it can never enter the global top-k. Same
+            # lexsort tie-break as the final emit.
+            sims = np.concatenate(acc_sims[j])
+            cids = np.concatenate(acc_ids[j])
+            order = np.lexsort((cids, -sims))[:k]
+            acc_sims[j] = [sims[order]]
+            acc_ids[j] = [cids[order]]
+            acc_len[j] = len(order)
+
         for pdf in batches:
             pdf = pdf[pdf[vec_col].notna()]
             if pdf.empty:
@@ -261,6 +281,9 @@ def ann_topk_batch(
                     cand_ids, cand = cand_ids[sel], cand[sel]
                 acc_sims[j].append(cand)
                 acc_ids[j].append(cand_ids)
+                acc_len[j] += len(cand)
+                if acc_len[j] > 8 * k:
+                    _compact(j)
         out_q, out_id, out_cs = [], [], []
         for j in range(len(ids_q)):
             if not acc_sims[j]:

@@ -1257,6 +1257,16 @@ def _materialize_ctes(sql: str) -> str:
     """
     import re
 
+    # The rewrite matches every "<word> AS (" — valid ONLY for SQL
+    # whose sole such sites are CTE heads. A "WINDOW w AS (...)"
+    # clause would be silently mangled into invalid SQL, so assert
+    # that shape out up front instead of emitting garbage.
+    if re.search(r"\bWINDOW\s+\w+\s+AS\s*\(", sql, flags=re.IGNORECASE):
+        raise ValueError(
+            "_materialize_ctes cannot rewrite SQL containing a WINDOW "
+            "clause: its '<name> AS (' head would become invalid "
+            "'AS MATERIALIZED' syntax. Materialize the CTEs by hand."
+        )
     return re.sub(r"(\b\w+) AS \(", r"\1 AS MATERIALIZED (", sql)
 
 

@@ -93,6 +93,32 @@ def test_real_decoder_seam_contract(spark, media_df):
     assert sorted(ok) == ["aud1", "img1", "img2", "vid1"]
 
 
+def test_real_decoder_bad_dim_becomes_error_row(spark, media_df):
+    # a decoder returning the WRONG vector length must not ship a
+    # ragged array<float> column silently — it routes through the same
+    # error-row path as a decode exception, tagged error:BadDim
+    def _short_decoder(payload: bytes, dim: int) -> list[float]:
+        if payload.startswith(b"garbage"):
+            raise ValueError("corrupt container")
+        if payload.startswith(b"\x89PNG"):
+            return [1.0] * (dim - 1)  # wrong length
+        return [float(len(payload))] * dim
+
+    out = {
+        r["media_id"]: r
+        for r in extract_features(
+            media_df, "media_id", "payload", dim=4, decode_stub=_short_decoder
+        ).collect()
+    }
+    assert len(out) == len(MEDIA)  # nothing aborted the task
+    png_ids = [m for m, r in out.items() if r["modality"] == "error:BadDim"]
+    assert png_ids  # at least one PNG payload hit the wrong-length path
+    for m in png_ids:
+        assert out[m]["features"] is None
+    ok = [r for r in out.values() if r["features"] is not None]
+    assert all(len(r["features"]) == 4 for r in ok)
+
+
 def test_frame_sample_plan(spark, media_df):
     plan = frame_sample_plan(media_df, "media_id", "payload", n_frames=4)
     assert plan.count() == 4 * len(MEDIA)

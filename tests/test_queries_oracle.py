@@ -144,3 +144,18 @@ def test_new_operators_tolerate_empty_input(spark):
     one_node = spark.createDataFrame([(7,)], "node long")
     assert pagerank(one_node, no_edges, iterations=2).collect()[0]["rank"] == 0.15
     assert zorder_by(no_rows, ["v", "id"]).count() == 0
+
+
+def test_materialize_ctes_rewrites_ctes_and_rejects_window_clause():
+    # the regex rewrite targets CTE heads only; a WINDOW clause shares
+    # the '<name> AS (' shape and must be rejected, not silently mangled
+    import pytest as _pytest
+
+    from ipes_data_pipeline_spark.queries.tpch_shapes import _materialize_ctes
+
+    sql = "WITH a AS (SELECT 1), b AS (SELECT 2) SELECT * FROM a, b"
+    out = _materialize_ctes(sql)
+    assert out.count("AS MATERIALIZED (") == 2
+    bad = "SELECT sum(x) OVER w FROM t WINDOW w AS (PARTITION BY y)"
+    with _pytest.raises(ValueError, match="WINDOW"):
+        _materialize_ctes(bad)

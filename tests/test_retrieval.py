@@ -194,6 +194,62 @@ def test_ann_topk_batch_query_byte_cap(spark):
         ann_topk_batch(df, "id", "v", df, "id", k=2, max_query_bytes=64)
 
 
+def test_ann_topk_batch_empty_returns_match_normal_column_order(spark):
+    # both empty paths (no queries at all / all queries zero-norm) must
+    # return the SAME column order as the normal path — (qid, id, rank,
+    # cos_sim) — so positional unions with a non-empty shape are safe
+    from ipes_data_pipeline_spark.operators.similarity import ann_topk_batch
+
+    corpus = _vec_df(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    normal = ann_topk_batch(
+        corpus, "id", "v", _vec_df(spark, [(9, [1.0, 1.0])]), "id", k=1
+    )
+    no_queries = ann_topk_batch(
+        corpus, "id", "v", _vec_df(spark, []), "id", k=1
+    )
+    zero_norm = ann_topk_batch(
+        corpus, "id", "v", _vec_df(spark, [(9, [0.0, 0.0])]), "id", k=1
+    )
+    assert no_queries.columns == normal.columns
+    assert zero_norm.columns == normal.columns
+    assert no_queries.count() == 0 and zero_norm.count() == 0
+    # positional union with the non-empty shape does not swap columns
+    u = normal.union(no_queries).collect()
+    assert [(r["qid"], r["rank"]) for r in u] == [(9, 1)]
+
+
+def test_ann_topk_batch_compaction_is_lossless(spark):
+    # force many Arrow batches per task so the per-task accumulator's
+    # periodic merge-and-truncate (the O(Q x k) memory bound) actually
+    # fires, and pin that it changes nothing vs default batching
+    import numpy as np
+
+    from ipes_data_pipeline_spark.operators.similarity import ann_topk_batch
+
+    rng = np.random.default_rng(42)
+    corpus = _vec_df(
+        spark, [(i, rng.standard_normal(4).tolist()) for i in range(600)]
+    )
+    queries = _vec_df(spark, [(1000, rng.standard_normal(4).tolist())])
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, "10000")
+    want = [
+        (r["qid"], r["rank"], r["id"], r["cos_sim"])
+        for r in ann_topk_batch(corpus, "id", "v", queries, "id", k=3).collect()
+    ]
+    try:
+        spark.conf.set(key, "2")  # ~10 batches/task at 600 rows / 32 tasks
+        got = [
+            (r["qid"], r["rank"], r["id"], r["cos_sim"])
+            for r in ann_topk_batch(
+                corpus, "id", "v", queries, "id", k=3
+            ).collect()
+        ]
+    finally:
+        spark.conf.set(key, old)
+    assert got == want and len(got) == 3
+
+
 def test_ann_topk_batch_agrees_with_knn_graph(spark):
     # the flipped regime must produce exactly the broadcast-corpus
     # regime's neighbors when both fit: same ids, same ranks
