@@ -1782,19 +1782,22 @@ def sq8_topk(
     than float64 (PQ here is 128×) but per-DIMENSION resolution, so
     recall degrades far more gently than PQ's per-subspace codes.
 
-    Physical shape: "train" is ONE aggregate producing a 2×dim-cell
-    bounds row (map-side partial min/max); scoring posexplodes the
-    vector into (id, i, v_i) scalars, joins the BROADCAST dim-sized
-    bounds/query table, and partially aggregates the per-dimension
-    decimal errors map-side before a |corpus|-row exchange of single
-    decimals — the PQ/ADC scan shape exactly. The first cut fused
-    encode+ADC into a per-row ``aggregate``/``transform`` lambda fold
-    (zero shuffle, prettier plan) and measured 33× SLOWER than DuckDB
-    at sf10 (25.7 s vs 0.77 s): higher-order-function lambdas evaluate
-    OUTSIDE whole-stage codegen, so the fold paid interpreted-expression
-    cost per element. The explode shape keeps every expression flat and
-    codegen'd; its exchange carries one decimal per vector — the same
-    bytes the PQ scan ships. No Python anywhere.
+    Physical shape: "train" is ONE collected bounds pass (explode +
+    groupBy(dim index), map-side combined — at most ``dim`` rows leave
+    any task) that comes back as LITERAL ARRAYS; scoring posexplodes
+    the vector into (id, i, v_i) scalars, reads bounds/query via
+    ``element_at(<const array>, i)`` — constant-folded, NO join of any
+    kind — and partially aggregates the per-dimension decimal errors
+    map-side before a |corpus|-row exchange of single decimals — the
+    PQ/ADC scan shape with the broadcast join deleted. An earlier cut
+    fused encode+ADC into a per-row ``aggregate``/``transform`` lambda
+    fold (zero shuffle, prettier plan) and measured 33× SLOWER than
+    DuckDB at sf10 (25.7 s vs 0.77 s): higher-order-function lambdas
+    evaluate OUTSIDE whole-stage codegen, so the fold paid
+    interpreted-expression cost per element. The explode shape keeps
+    every expression flat and codegen'd; its exchange carries one
+    decimal per vector — the same bytes the PQ scan ships. No Python
+    anywhere.
 
     Cross-engine determinism (q162): codes are exact integers
     (``floor(x + 0.5)`` of a fixed-association double expression —
@@ -1805,51 +1808,99 @@ def sq8_topk(
     order cannot move it (mirrors the PQ/ADC table rule).
 
     ``query_df`` must hold exactly ONE row (enforced, like
-    :func:`pq_topk`). Null vectors in the corpus score null and sort
-    last (nulls-last in desc? -- they are filtered: a null vector has
-    no code) — rows whose vector is NULL are dropped from the scan.
+    :func:`pq_topk`). Rows whose vector is NULL are dropped from the
+    scan; a NULL *element* quantizes to code 0 (``greatest`` skips the
+    NULL — bit-identical to the first cut), and an all-null DIMENSION
+    contributes 0 error (the SUM-skips-null semantics of the first
+    cut's groupBy, kept via per-term ``coalesce``).
+
+    Round-9 floor cut: the first shipped shape ran THREE corpus passes
+    (a dim-validation aggregate, the bounds aggregate re-executed as a
+    broadcast-join build, then the ADC scan). Bounds are driver-sized
+    by construction (2 x dim doubles), so now ONE bounds pass —
+    posexplode + groupBy(dim) with map-side combine, at most ``dim``
+    rows leave any task at any corpus size — is COLLECTED, validates
+    the corpus dim for free (max dim index + 1), and comes back as a
+    LITERAL dim-row side table, leaving the final action exactly one
+    corpus scan. A tempting further cut — inlining bounds/query as
+    literals in a flat per-row expression, zero joins zero shuffles —
+    was built and MEASURED OUT: the 64-term expression tree exceeds
+    the whole-stage-codegen size limit, drops every span to
+    interpreted eval, and runs 50-80 us/row (10.6 s vs 5.4 s for this
+    shape at 200k rows) — the HOF-fold lesson again, by another door.
+    The explode shape keeps every expression tiny and codegen'd; its
+    exchange carries one decimal per vector — the same bytes the PQ
+    scan ships.
     """
     from ipes_data_pipeline_spark.operators.util import spread
 
-    emb, _empty, dim, qv = _pq_prep(df, id_col, vec_col, query_df, 1, "sq8_topk")
-    if not dim:
+    emb = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def _empty():
+        return emb.select(
+            "id", F.lit(None).cast("double").alias("adc_d2")
+        ).where(F.lit(False))
+
+    qrows = query_df.select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    if len(qrows) != 1:
+        raise ValueError(
+            f"sq8_topk expects exactly one query row, got {len(qrows)}"
+        )
+    qraw = qrows[0]["v"]
+    if qraw is None or any(x is None for x in qraw):
+        raise ValueError(
+            "sq8_topk query vector must be non-null with no null elements"
+        )
+    qv = [float(x) for x in qraw]
+    dim = len(qv)
+    live = emb.where(F.col("v").isNotNull())
+    # train: ONE corpus pass — per-dimension bounds via explode +
+    # groupBy(dim index). Partial aggregation combines map-side, so at
+    # most `dim` (mn, mx) rows leave any task regardless of corpus
+    # size; the collected result is 2 x dim doubles. max(i0)+1 is the
+    # corpus dim — validation rides along at zero extra cost. No
+    # spread here: the bounds pass is scan-bound, and the round-robin
+    # shuffle costs more than the 13-vs-32-task win (0.97 s unspread
+    # vs 2.3 s spread at 200k rows, measured).
+    brows = (
+        live.select(F.posexplode("v").alias("i0", "vi"))
+        .groupBy("i0")
+        .agg(F.min("vi").alias("mn"), F.max("vi").alias("mx"))
+        .collect()
+    )
+    if not brows:
         return _empty()
-    # spread BEFORE the CPU-heavy stages: a single-row-group parquet
-    # scan is one task — the bounds aggregate and the 64×-explode would
-    # run single-threaded on 31 idle cores (measured: the whole query
-    # was a chain of 1-real-task stages at sf10). No-op at real scale.
-    emb = spread(emb.where(F.col("v").isNotNull()))
-    # train: per-dimension bounds in ONE pass (2*dim partial aggregates)
-    bounds = emb.agg(
-        F.array(
-            *[F.min(F.element_at("v", i)) for i in range(1, dim + 1)]
-        ).alias("mn"),
-        F.array(
-            *[F.max(F.element_at("v", i)) for i in range(1, dim + 1)]
-        ).alias("mx"),
-    )
-    # dim-sized side table: (i, mn_i, mx_i, q_i) — bounds exploded out
-    # of the 1-row aggregate, query attached from the collected vector
-    qtab = df.sparkSession.createDataFrame(
-        [(i + 1, float(qv[i])) for i in range(dim)], "i int, qi double"
-    )
-    dims_tbl = (
-        bounds.select(
-            F.posexplode(F.arrays_zip(F.col("mn"), F.col("mx"))).alias(
-                "i0", "b"
-            )
-        )
-        .select(
-            (F.col("i0") + 1).cast("int").alias("i"),
-            F.col("b.mn").alias("mn"),
-            F.col("b.mx").alias("mx"),
-        )
-        .join(qtab, "i")
-    )
-    scalars = emb.select(
+    cdim = max(r["i0"] for r in brows) + 1
+    if cdim != dim:
+        raise ValueError(f"query dim {dim} != corpus dim {cdim}")
+    # bounds + query come back as LITERAL ARRAYS consumed via
+    # element_at(<const array>, i) INSIDE the part expression — they
+    # constant-fold into the codegen constant pool, so the scan needs
+    # no broadcast join at all (and crucially no per-exploded-row
+    # array materialization: aliasing them as columns before the
+    # explode would drag 3 x dim doubles through every Generate row)
+    bmap = {r["i0"]: r for r in brows}
+    mn_a = F.array(*[F.lit(bmap[i]["mn"]) for i in range(dim)])
+    mx_a = F.array(*[F.lit(bmap[i]["mx"]) for i in range(dim)])
+    q_a = F.array(*[F.lit(float(x)) for x in qv])
+    # spread BEFORE the CPU-heavy explode: the dim× row blowup + hash
+    # agg is ~10 us/row-group-task at 200k rows — a single-row-group
+    # parquet scan would run it on one core. No-op at real scale.
+    ex = spread(live).select(
         "id", F.posexplode(F.col("v")).alias("i0", "vi")
-    ).select("id", (F.col("i0") + 1).cast("int").alias("i"), "vi")
-    mni, mxi, vi, qi = F.col("mn"), F.col("mx"), F.col("vi"), F.col("qi")
+    )
+    idx = F.col("i0") + 1
+    mni, mxi, qi = (
+        F.element_at(mn_a, idx),
+        F.element_at(mx_a, idx),
+        F.element_at(q_a, idx),
+    )
+    vi = F.col("vi")
     code = F.least(
         F.greatest(
             F.floor((vi - mni) * F.lit(255.0) / (mxi - mni) + F.lit(0.5))
@@ -1862,8 +1913,7 @@ def sq8_topk(
     recon = mni + code.cast("double") * (mxi - mni) / F.lit(255.0)
     part = F.round((qi - recon) * (qi - recon), 6).cast("decimal(18,6)")
     return (
-        scalars.join(F.broadcast(dims_tbl), "i")
-        .select("id", part.alias("part"))
+        ex.select("id", part.alias("part"))
         .groupBy("id")
         .agg(F.sum("part").cast("double").alias("adc_d2"))
         .orderBy(F.asc("adc_d2"), F.asc("id"))
@@ -2146,15 +2196,25 @@ def binary_sign_ann(
     completion of the quantized-ANN ladder: float64 (q46) → SQ8 8×
     (q162) → PQ 128× (q159) → binary 512× (this).
 
-    Physical shape: bit-packing is a pure map (64 CASE terms folding
-    into two integer adds — whole-stage codegen); the Hamming scan is
-    a zero-shuffle map + TakeOrderedAndProject over (hamming, id); the
-    rerank joins the ``rerank``-row candidate list (broadcast) back to
-    the corpus for exact cosine on just those rows. At 100 TB the scan
-    reads 16 bytes/vector instead of 512, shuffles nothing, and the
-    expensive float math touches ``rerank`` rows total. Recall is the
-    sign-bit trade: Hamming(a,q) approximates angle; the rerank stage
-    restores exact ordering among survivors.
+    Physical shape: the Hamming scan is ONE Arrow-batched corpus pass
+    (numpy: sign bits, mismatch count against the broadcast query
+    bits) in which each task keeps a running top-``rerank`` by
+    (hamming, id) and emits at most ``rerank`` rows CARRYING their
+    vector — so the exact-cosine rerank runs on the survivor set with
+    no second corpus scan and no join, and the global merge orders
+    parts x ``rerank`` rows. Round-9 floor cut: the first cut packed
+    bits via 64 CASE terms per BIGINT half — "whole-stage codegen" on
+    paper, but the generated single method is ~15 KB of bytecode,
+    over the JVM JIT's 8 KB huge-method limit, so it actually ran as
+    INTERPRETED bytecode (~18 us/row); it also re-joined a broadcast
+    candidate list back to the corpus and paid a dedicated
+    dim-validation aggregate — three corpus scans total. Corpus dim
+    is now validated inside the one scan (np.stack raises on ragged
+    input; an explicit shape check names the operator). At 100 TB the
+    scan reads each vector once, shuffles nothing, and the expensive
+    float math touches ``rerank`` rows total. Recall is the sign-bit
+    trade: Hamming(a,q) approximates angle; the rerank stage restores
+    exact ordering among survivors.
 
     Cross-engine determinism (q166): packed codes are exact integers
     (identical CASE/shift arithmetic), Hamming is exact, candidate ties
@@ -2162,57 +2222,100 @@ def binary_sign_ann(
     rounds to 6 dp. ``query_df`` must hold exactly one row (enforced
     like the other gears).
     """
-    emb, _empty, vdim, qv = _pq_prep(
-        df, id_col, vec_col, query_df, 1, "binary_sign_ann"
+    emb = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
-    if not vdim:
-        return emb.select(
-            "id",
-            F.lit(None).cast("int").alias("hamming"),
-            F.lit(None).cast("double").alias("cos_sim"),
-        ).where(F.lit(False))
-    if vdim != dim:
-        raise ValueError(f"binary_sign_ann expects dim={dim}, got {vdim}")
+    qrows = query_df.select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    if len(qrows) != 1:
+        raise ValueError(
+            f"binary_sign_ann expects exactly one query row, got {len(qrows)}"
+        )
+    qraw = qrows[0]["v"]
+    if qraw is None or any(x is None for x in qraw):
+        raise ValueError(
+            "binary_sign_ann query vector must be non-null with no null "
+            "elements"
+        )
+    qv = [float(x) for x in qraw]
+    if len(qv) != dim:
+        raise ValueError(f"binary_sign_ann expects dim={dim}, got {len(qv)}")
     emb = emb.where(F.col("v").isNotNull())
 
-    def pack(col, half: int):
-        terms = [
-            F.when(
-                F.element_at(col, i) > 0,
-                F.lit(1 << (i - 1 - 32 * half)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            for i in range(1 + 32 * half, 33 + 32 * half)
-        ]
-        out = terms[0]
-        for t_ in terms[1:]:
-            out = out + t_
-        return out
+    import numpy as np
 
     q_arr = F.array(*[F.lit(float(x)) for x in qv])
-    q_lo = sum(
-        (1 << (i - 1)) for i in range(1, 33) if qv[i - 1] > 0
-    )
-    q_hi = sum(
-        (1 << (i - 33)) for i in range(33, 65) if qv[i - 1] > 0
-    )
-    coded = emb.select(
-        "id",
-        "v",
-        pack(F.col("v"), 0).alias("lo"),
-        pack(F.col("v"), 1).alias("hi"),
-    )
-    hamming = (
-        F.bit_count(F.col("lo").bitwiseXOR(F.lit(q_lo).cast("long")))
-        + F.bit_count(F.col("hi").bitwiseXOR(F.lit(q_hi).cast("long")))
-    ).cast("int")
+    qbits = np.array([1 if x > 0 else 0 for x in qv], dtype=np.int32)
+    bc = df.sparkSession.sparkContext.broadcast(qbits)
+
+    def scan(batches):
+        import pandas as pd
+
+        qb = bc.value
+        acc_h = np.empty(0, dtype=np.int64)
+        acc_id = np.empty(0, dtype=np.int64)
+        acc_v: list = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # np.stack raises on ragged input — a wrong-dim corpus row
+            # fails the task loudly instead of mis-scoring silently
+            V = np.stack(pdf["v"].to_numpy())
+            if V.shape[1] != len(qb):
+                raise ValueError(
+                    f"binary_sign_ann expects dim={len(qb)} corpus "
+                    f"vectors, got {V.shape[1]}"
+                )
+            # sign bit: strictly-positive elements (NaN/None compare
+            # False -> bit 0, matching the packed-BIGINT CASE form the
+            # oracle evaluates); hamming = count of mismatched bits ==
+            # popcount(pack(v) XOR pack(q)) exactly
+            bits = (V > 0).astype(np.int32)
+            h = np.abs(bits - qb[None, :]).sum(axis=1).astype(np.int64)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            vs = pdf["v"].to_numpy()
+            # running per-task top-rerank by (hamming, id) — lossless
+            # truncation: a dropped row has `rerank` same-or-better
+            # rows above it in this task
+            acc_h = np.concatenate([acc_h, h])
+            acc_id = np.concatenate([acc_id, ids])
+            acc_v.extend(vs)
+            if len(acc_h) > 4 * rerank:
+                keep = np.lexsort((acc_id, acc_h))[:rerank]
+                acc_h, acc_id = acc_h[keep], acc_id[keep]
+                acc_v = [acc_v[j] for j in keep]
+        keep = np.lexsort((acc_id, acc_h))[:rerank]
+        if len(keep) == 0:
+            return  # empty partition: emit nothing
+        yield pd.DataFrame(
+            {
+                "id": acc_id[keep],
+                "hamming": acc_h[keep].astype(np.int32),
+                "v": pd.Series(
+                    [list(map(float, acc_v[j])) for j in keep], dtype=object
+                ),
+            }
+        )
+
+    # one Arrow pass: each task emits at most `rerank` candidate rows
+    # CARRYING their vector, so the exact-cosine rerank needs no second
+    # corpus scan and no join; the global merge orders parts x rerank
+    # rows. (A pure-expression pack was built first and MEASURED OUT:
+    # 64 CASE terms generate a ~15 KB single method — over the JVM
+    # JIT's 8 KB huge-method limit — so the scan ran as INTERPRETED
+    # bytecode at ~18 us/row; the Arrow kernel is 1.9 s vs 3.6 s at
+    # 200k rows and stays vectorized per batch at any scale.)
     cand = (
-        coded.select("id", hamming.alias("hamming"))
+        emb.mapInPandas(
+            scan, "id bigint, hamming int, v array<double>"
+        )
         .orderBy(F.asc("hamming"), F.asc("id"))
         .limit(rerank)
     )
     return (
-        emb.join(F.broadcast(cand), "id")
-        .withColumn("q_vec", q_arr)
+        cand.withColumn("q_vec", q_arr)
         .select(
             "id",
             "hamming",

@@ -61,18 +61,21 @@ def test_sq8_null_vector_rows_dropped(spark):
 
 
 def test_sq8_scan_plan_shape(spark):
-    # the PQ/ADC scan shape: scalars join the BROADCAST dim table (never
-    # a shuffled join), per-dimension errors partially aggregate
-    # map-side, top-k is TakeOrderedAndProject
+    # the PQ/ADC scan shape, round-9 form: bounds + query live as
+    # constant-folded literal arrays INSIDE the part expression, so
+    # the final action has NO join of any kind; per-dimension errors
+    # partially aggregate map-side, top-k is TakeOrderedAndProject,
+    # and nothing re-aggregates min/max (bounds were pre-collected).
     rows = [(i, [float(i), float(i * 2)]) for i in range(20)]
     df = _vec_df(spark, rows)
     plan = sq8_topk(
         df, "id", "v", df.filter(F.col("id") == 0), k=3
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan  # literal arrays, not a broadcast join
     assert "partial_sum" in plan  # map-side combine before the exchange
+    assert "partial_min" not in plan  # bounds are literal arrays
+    assert "partial_max" not in plan
 
 
 # ------------------------------------------------------------------ RRF
