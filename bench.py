@@ -130,6 +130,9 @@ HEADLINE = [
     # MMR diversity re-rank
     "q162_sq8_ann",
     "q163_rrf_hybrid_retrieval",
+    # q163p: q163's production gear — semantic leg served by the SQ8
+    # ANN scan instead of brute force (round-9; exactly oracle-checked)
+    "q163p_rrf_hybrid_ann",
     "q164_mmr_rerank",
     # q165: hard-triplet mining (bucket_cap valve ON, q39p pattern)
     "q165_triplet_mining",

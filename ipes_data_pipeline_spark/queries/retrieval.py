@@ -159,6 +159,77 @@ def q163(spark, sf):
     return rrf_fuse({"lex": lex, "sem": sem}, c=_RRF_C)
 
 
+# ----------------------------------- q163p: hybrid fusion, ANN semantic leg
+
+
+def _q163p_oracle(k: int = _RRF_K, c: int = _RRF_C, qid: int = _RRF_QID) -> str:
+    """q163's fusion with the semantic leg served by the SQ8 ADC scan
+    (q162's oracle, nested as a derived table) instead of brute-force
+    cosine. SQ8's ranking is fully deterministic, so this production
+    gear is EXACTLY oracle-checkable — no agreement-regime caveat."""
+    from ipes_data_pipeline_spark.queries.curation import _q134_oracle
+
+    contrib = (
+        "COALESCE(CAST(1 AS DOUBLE) / ({c} + CAST({r} AS DOUBLE)), "
+        "CAST(0 AS DOUBLE))"
+    )
+    lex_part = contrib.format(c=c, r="lex_rank")
+    sem_part = contrib.format(c=c, r="sem_rank")
+    sq8 = _q162_oracle(k=k, qid=qid).strip()
+    return f"""
+WITH lexq AS ({_q134_oracle(topk=k).strip()}),
+lex AS (SELECT doc_id AS id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT)
+                 AS lex_rank
+        FROM lexq),
+semq AS (SELECT * FROM ({sq8}) s),
+sem AS (SELECT id,
+               CAST(row_number() OVER (ORDER BY adc_d2 ASC, id ASC) AS INT)
+                 AS sem_rank
+        FROM semq),
+f AS (SELECT COALESCE(lex.id, sem.id) AS id, lex.lex_rank, sem.sem_rank
+      FROM lex FULL JOIN sem ON lex.id = sem.id)
+SELECT id, lex_rank, sem_rank,
+       CAST(ROUND({lex_part} + {sem_part}, 6) AS DOUBLE) AS rrf_score
+FROM f ORDER BY rrf_score DESC, id ASC"""
+
+
+@register(
+    "q163p_rrf_hybrid_ann",
+    "retrieval: the PRODUCTION gear of q163 — RRF hybrid fusion whose "
+    "semantic leg is served by the SQ8 quantized-ANN scan (q162's "
+    "scorer, 8x-compressed codes) instead of full-precision brute "
+    "force; at 100 TB the ANN index is what a RAG service actually "
+    "queries, and SQ8's deterministic ADC ranking keeps the twin "
+    "exactly oracle-checkable end-to-end",
+    _q163p_oracle(),
+)
+def q163p(spark, sf):
+    # same fusion shape as q163: both legs end in their own top-k, so
+    # the outer join sees 2 x k rows and every window is a k-row frame
+    from ipes_data_pipeline_spark.operators.similarity import sq8_topk
+    from ipes_data_pipeline_spark.operators.topk import rrf_fuse
+    from ipes_data_pipeline_spark.queries.curation import bm25_topk
+
+    lex = bm25_topk(spark, sf, topk=_RRF_K).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    emb = t(spark, sf, "embeddings")
+    sem = sq8_topk(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == _RRF_QID),
+        k=_RRF_K,
+    ).select(
+        "id",
+        F.row_number()
+        .over(W.orderBy(F.asc("adc_d2"), F.asc("id")))
+        .alias("rank"),
+    )
+    return rrf_fuse({"lex": lex, "sem": sem}, c=_RRF_C)
+
+
 # -------------------------------------------- q164: MMR diversity re-rank
 
 _MMR_N, _MMR_K, _MMR_LAM, _MMR_QID = 8, 5, 0.7, 0
