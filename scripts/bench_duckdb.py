@@ -28,9 +28,13 @@ def main() -> None:
     con = duckdb.connect()
     con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     for name in TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
+        # partial fixtures (e.g. the embeddings-only sf100 dir) register
+        # only the tables present; queries touching absent ones error out
+        # per-query below instead of killing the whole run
+        if os.path.exists(f"{sf_dir}/{name}.parquet"):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+            )
     subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
     headline = (
         [q for q in subset_env.split(",") if q] if subset_env else HEADLINE

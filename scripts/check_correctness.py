@@ -1,16 +1,23 @@
 """Pre-commit mirror of the driver's correctness gate at sf0.01.
 
-Usage: python scripts/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python scripts/check_correctness.py [--json OUT.json]
+           [--seed N [--k K]] [sf_dir] [query ...]
 
 --json writes a committable per-query artifact (the full-registry
 record the 50-query driver samples can't give — round-5 verdict item:
 the driver has drawn only 76 of the registered queries in five rounds,
 so the committed full run is what makes the N/N claim reproducible).
+
+--seed N draws K (default 25) registry queries with a seeded RNG
+instead of running all/listed — the round-8 verdict's third ritual: a
+different seed each round accrues independent re-runs over the block
+the driver's samples never touch, committed as CORRECTNESS_SEED<N>_r<R>.
 """
 
 from __future__ import annotations
 
 import json
+import random
 import sys
 import time
 
@@ -24,12 +31,23 @@ from ipes_data_pipeline_spark.session import get_session
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
+    seed = None
+    k = 25
     if args and args[0] == "--json":
         json_out = args[1]
         args = args[2:]
+    if args and args[0] == "--seed":
+        seed = int(args[1])
+        args = args[2:]
+        if args and args[0] == "--k":
+            k = int(args[1])
+            args = args[2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     load_all()
     names = args[1:] or sorted(REGISTRY)
+    if seed is not None:
+        names = sorted(random.Random(seed).sample(names, min(k, len(names))))
+        print(f"seeded draw (seed={seed}, k={len(names)}): {' '.join(names)}")
     spark = get_session("check-correctness")
     failures = 0
     records: dict[str, dict] = {}
@@ -55,6 +73,7 @@ def main() -> int:
             json.dump(
                 {
                     "sf_dir": sf_dir,
+                    "seed": seed,
                     "n_queries": len(names),
                     "n_match": len(names) - failures,
                     "queries": records,

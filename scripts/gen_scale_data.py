@@ -9,11 +9,16 @@ by profiling /root/testdata/sf0.1 empirically and scaling row counts
 linearly. It does NOT reproduce the driver's seed/values (irrelevant for
 scaling curves; correctness stays pinned to the driver's own dirs).
 
-Usage: python scripts/gen_scale_data.py <mult> <outdir>
+Usage: python scripts/gen_scale_data.py <mult> <outdir> [tables]
   e.g. python scripts/gen_scale_data.py 10 /root/repo/testdata_sf1
+       python scripts/gen_scale_data.py 1000 /root/repo/testdata_sf100emb \
+           region,nation,embeddings
 Writes region nation customer supplier part orders lineitem events
 documents embeddings as single parquet files (timestamp[us], matching
-the driver's physical schema).
+the driver's physical schema). The optional comma-separated [tables]
+arg restricts output — the embeddings-only mode exists because the ANN
+operators scale with the embeddings table alone, so a crossover point
+at mult=1000 doesn't need a 600M-row lineitem alongside it.
 """
 
 from __future__ import annotations
@@ -61,17 +66,22 @@ def _pick(rng, vals, p, n):
 def main() -> None:
     mult = float(sys.argv[1])
     outdir = sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(4242)
     con = duckdb.connect()
 
+    def wanted(name):
+        return only is None or name in only
+
     def write(name, table):
         pq.write_table(table, f"{outdir}/{name}.parquet")
-        print(name, table.num_rows)
+        print(name, table.num_rows, flush=True)
 
     # -- fixed dims (copied verbatim) --
     for name in ("region", "nation"):
-        write(name, pq.read_table(f"{BASE}/{name}.parquet"))
+        if wanted(name):
+            write(name, pq.read_table(f"{BASE}/{name}.parquet"))
 
     n_cust = int(COUNTS["customer"] * mult)
     n_supp = int(COUNTS["supplier"] * mult)
@@ -79,6 +89,25 @@ def main() -> None:
     n_ord = int(COUNTS["orders"] * mult)
 
     # -- customer --
+    if wanted("customer"):
+        _gen_customer(con, rng, write, n_cust)
+    if wanted("supplier"):
+        _gen_supplier(rng, write, n_supp)
+    if wanted("part"):
+        _gen_part(con, rng, write, n_part)
+    if wanted("orders") or wanted("lineitem"):
+        _gen_orders_lineitem(
+            con, rng, write, n_ord, n_cust, n_supp, n_part, wanted
+        )
+    if wanted("events"):
+        _gen_events(con, rng, write, mult)
+    if wanted("documents"):
+        _gen_documents(con, rng, write, mult)
+    if wanted("embeddings"):
+        _gen_embeddings(rng, write, mult)
+
+
+def _gen_customer(con, rng, write, n_cust):
     seg_v, seg_p = _cat(con, "customer", "c_mktsegment")
     write(
         "customer",
@@ -95,7 +124,8 @@ def main() -> None:
         ),
     )
 
-    # -- supplier --
+
+def _gen_supplier(rng, write, n_supp):
     write(
         "supplier",
         pa.table(
@@ -110,7 +140,8 @@ def main() -> None:
         ),
     )
 
-    # -- part --
+
+def _gen_part(con, rng, write, n_part):
     name_v, name_p = _cat(con, "part", "p_name")
     brand_v, brand_p = _cat(con, "part", "p_brand")
     type_v, type_p = _cat(con, "part", "p_type")
@@ -130,7 +161,8 @@ def main() -> None:
         ),
     )
 
-    # -- orders --
+
+def _gen_orders_lineitem(con, rng, write, n_ord, n_cust, n_supp, n_part, wanted):
     st_v, st_p = _cat(con, "orders", "o_orderstatus")
     pr_v, pr_p = _cat(con, "orders", "o_orderpriority")
     d0 = np.datetime64("1995-01-01").astype("datetime64[us]").astype(np.int64)
@@ -140,23 +172,28 @@ def main() -> None:
     )
     o_days = rng.integers(0, span_days + 1, n_ord)
     o_date_us = d0 + o_days * DAY_US
-    write(
-        "orders",
-        pa.table(
-            {
-                "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
-                "o_custkey": pa.array(
-                    rng.integers(0, n_cust, n_ord), pa.int64()
-                ),
-                "o_orderstatus": _pick(rng, st_v, st_p, n_ord).tolist(),
-                "o_totalprice": np.round(
-                    rng.uniform(1000, 500000, n_ord), 2
-                ),
-                "o_orderdate": pa.array(o_date_us, pa.timestamp("us")),
-                "o_orderpriority": _pick(rng, pr_v, pr_p, n_ord).tolist(),
-            }
-        ),
-    )
+    if wanted("orders"):
+        write(
+            "orders",
+            pa.table(
+                {
+                    "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+                    "o_custkey": pa.array(
+                        rng.integers(0, n_cust, n_ord), pa.int64()
+                    ),
+                    "o_orderstatus": _pick(rng, st_v, st_p, n_ord).tolist(),
+                    "o_totalprice": np.round(
+                        rng.uniform(1000, 500000, n_ord), 2
+                    ),
+                    "o_orderdate": pa.array(o_date_us, pa.timestamp("us")),
+                    "o_orderpriority": _pick(
+                        rng, pr_v, pr_p, n_ord
+                    ).tolist(),
+                }
+            ),
+        )
+    if not wanted("lineitem"):
+        return
 
     # -- lineitem: 1..7 lines per order (driver avg 4.08) --
     lines = rng.integers(1, 8, n_ord)
@@ -187,6 +224,8 @@ def main() -> None:
         ),
     )
 
+
+def _gen_events(con, rng, write, mult):
     # -- events: uniform over Jan 2024, exponential value, json props --
     n_ev = int(COUNTS["events"] * mult)
     n_users = int(EVENT_USERS * mult)
@@ -210,6 +249,8 @@ def main() -> None:
         ),
     )
 
+
+def _gen_documents(con, rng, write, mult):
     # -- documents: empirical unigram vocab, uniform 10..100 tokens,
     #    ~0.16% exact-dup injection (matches 4992/5000 distinct) --
     n_doc = int(COUNTS["documents"] * mult)
@@ -246,6 +287,8 @@ def main() -> None:
         ),
     )
 
+
+def _gen_embeddings(rng, write, mult):
     # -- embeddings: 64-dim unit vectors, 10 weak clusters (centroid norm
     #    ~0.07, within-dim std 0.125 — the sf0.1 geometry) --
     n_emb = int(COUNTS["embeddings"] * mult)
