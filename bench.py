@@ -129,6 +129,10 @@ HEADLINE = [
     # round-7 retrieval stack: SQ8 quantized ANN, RRF hybrid fusion,
     # MMR diversity re-rank
     "q162_sq8_ann",
+    # q162p: q162's production gear — same SQ8 codes, ADC scan as one
+    # Arrow pass with int64 micro-unit distances (round-9; the explode
+    # shape measured superlinear at sf100)
+    "q162p_sq8_ann_scalable",
     "q163_rrf_hybrid_retrieval",
     # q163p: q163's production gear — semantic leg served by the SQ8
     # ANN scan instead of brute force (round-9; exactly oracle-checked)

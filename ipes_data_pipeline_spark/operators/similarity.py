@@ -1921,6 +1921,156 @@ def sq8_topk(
     )
 
 
+def sq8_topk_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """The deployable gear of :func:`sq8_topk`: identical SQ8
+    quantization (per-dimension byte codes between the corpus min/max,
+    asymmetric distance against the full-precision query), with the ADC
+    scan as ONE Arrow-batched corpus pass instead of the posexplode +
+    hash-aggregate shape.
+
+    Why it exists (round-9 measurement): the explode shape is the
+    oracle-anchored determinism gear and is fine through sf10, but its
+    dim× row blowup feeds a |corpus|-group hash aggregate whose cost
+    went superlinear in the measured sf10→sf100 decade (2M vectors:
+    12.8M → 128M exploded rows, 5.1 s → 78.9 s — the partial-agg hash
+    table outgrows the cache/heap comfort zone in a single JVM). The
+    Arrow kernel quantizes and scores a whole batch in numpy, keeps a
+    running per-task top-k by (distance, id) — lossless truncation: a
+    dropped row has k same-or-better rows above it in its own task —
+    and emits at most k rows per task, so the only exchange is the
+    parts × k digest the other ANN kernels ship (:func:`binary_sign_ann`
+    measured this pattern at 2.7×/decade, flat).
+
+    Cross-engine determinism WITHOUT decimals: every per-dimension term
+    is pure IEEE-double arithmetic with fixed association (codes and
+    reconstruction exactly as :func:`sq8_topk`), and the per-part
+    rounding is ``floor(err² × 1e6 + 0.5)`` cast to int64 — micro-unit
+    integers, summed exactly in int64 — so numpy, Spark SQL, and DuckDB
+    produce bit-identical distances with no decimal-string-rounding
+    seam anywhere (Spark's ``round(double, 6)`` goes through Java's
+    ``BigDecimal.valueOf``/``Double.toString``, which numpy cannot
+    reproduce vectorized; ``floor`` it can). The emitted ``adc_d2`` is
+    ``units / 1e6`` — exact, the sum is far below 2^53.
+
+    Contract deltas vs sq8_topk (both mirrored in the q162p oracle):
+    corpus rows with a NULL vector are dropped before bounds; rows with
+    a null ELEMENT are excluded from the scan (they arrive in Arrow as
+    NaN and are masked vectorized — no interpreted per-element HOF
+    predicate on the hot path), while the bounds aggregates skip null
+    elements individually (MIN/MAX-skip-null — identical semantics in
+    Spark and SQL). A true NaN element is indistinguishable from a
+    null here and equally out of contract (the repo-wide zero-norm/NaN
+    rule). ``query_df`` must hold exactly one non-null row, as in
+    sq8_topk.
+    """
+    import numpy as np
+
+    emb = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    qrows = query_df.select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    if len(qrows) != 1:
+        raise ValueError(
+            f"sq8_topk_arrow expects exactly one query row, got {len(qrows)}"
+        )
+    qraw = qrows[0]["v"]
+    if qraw is None or any(x is None for x in qraw):
+        raise ValueError(
+            "sq8_topk_arrow query vector must be non-null with no null "
+            "elements"
+        )
+    qv = np.array([float(x) for x in qraw], dtype=np.float64)
+    dim = len(qv)
+    live = emb.where(F.col("v").isNotNull())
+    # bounds: the same ONE map-side-combined pass as sq8_topk (at most
+    # `dim` rows leave any task at any corpus size), collected to 2×dim
+    # doubles and broadcast into the kernel
+    brows = (
+        live.select(F.posexplode("v").alias("i0", "vi"))
+        .groupBy("i0")
+        .agg(F.min("vi").alias("mn"), F.max("vi").alias("mx"))
+        .collect()
+    )
+    if not brows:
+        return emb.sparkSession.createDataFrame(
+            [], "id bigint, adc_d2 double"
+        )
+    cdim = max(r["i0"] for r in brows) + 1
+    if cdim != dim:
+        raise ValueError(f"query dim {dim} != corpus dim {cdim}")
+    bmap = {r["i0"]: r for r in brows}
+    mn = np.array([bmap[i]["mn"] for i in range(dim)], dtype=np.float64)
+    mx = np.array([bmap[i]["mx"] for i in range(dim)], dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast((mn, mx, qv))
+
+    def scan(batches):
+        import pandas as pd
+
+        mn_, mx_, q_ = bc.value
+        flat = mx_ <= mn_  # constant dimensions quantize to code 0
+        acc_d = np.empty(0, dtype=np.int64)
+        acc_id = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            if V.shape[1] != len(q_):
+                raise ValueError(
+                    f"sq8_topk_arrow expects dim={len(q_)} corpus "
+                    f"vectors, got {V.shape[1]}"
+                )
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            # null elements arrive as NaN: those rows are out of the
+            # scan (oracle: len(list_filter(v, x -> x IS NULL)) = 0)
+            ok = ~np.isnan(V).any(axis=1)
+            if not ok.all():
+                V, ids = V[ok], ids[ok]
+                if len(ids) == 0:
+                    continue
+            # token-for-token the sq8_topk / oracle expression, per
+            # element: floor((v - mn) * 255.0 / (mx - mn) + 0.5),
+            # clamped to [0, 255]; constant dims -> code 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                code = np.floor((V - mn_) * 255.0 / (mx_ - mn_) + 0.5)
+            code = np.clip(code, 0.0, 255.0)
+            code[:, flat] = 0.0
+            recon = mn_ + code * (mx_ - mn_) / 255.0
+            err = q_ - recon
+            # micro-unit parts: exact int64, identical in every engine
+            part = np.floor(err * err * 1e6 + 0.5).astype(np.int64)
+            d = part.sum(axis=1)
+            acc_d = np.concatenate([acc_d, d])
+            acc_id = np.concatenate([acc_id, ids])
+            if len(acc_d) > 4 * k:
+                keep = np.lexsort((acc_id, acc_d))[:k]
+                acc_d, acc_id = acc_d[keep], acc_id[keep]
+        keep = np.lexsort((acc_id, acc_d))[:k]
+        if len(keep) == 0:
+            return
+        yield pd.DataFrame(
+            {"id": acc_id[keep], "d2_units": acc_d[keep]}
+        )
+
+    return (
+        live.mapInPandas(scan, "id bigint, d2_units bigint")
+        .orderBy(F.asc("d2_units"), F.asc("id"))
+        .limit(k)
+        .select(
+            "id",
+            (F.col("d2_units").cast("double") / F.lit(1e6)).alias("adc_d2"),
+        )
+    )
+
+
 def mmr_rerank(
     df: DataFrame,
     id_col: str,

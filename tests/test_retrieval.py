@@ -253,6 +253,71 @@ def test_ann_topk_batch_compaction_is_lossless(spark):
     assert got == want and len(got) == 3
 
 
+def test_sq8_arrow_agrees_with_explode_shape(spark):
+    # the production Arrow kernel and the oracle-anchored explode shape
+    # share codes/reconstruction exactly; their per-part roundings
+    # differ by <= 1e-6 (decimal HALF_UP vs floor(x*1e6+0.5)), so on a
+    # random corpus the top-k ids coincide and distances agree to
+    # dim x 1e-6
+    import numpy as np
+
+    from ipes_data_pipeline_spark.operators.similarity import sq8_topk_arrow
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(200)]
+    df = _vec_df(spark, rows)
+    q = df.filter(F.col("id") == 0)
+    a = sq8_topk(df, "id", "v", q, k=10).collect()
+    b = sq8_topk_arrow(df, "id", "v", q, k=10).collect()
+    assert [r["id"] for r in a] == [r["id"] for r in b]
+    for ra, rb in zip(a, b):
+        assert abs(ra["adc_d2"] - rb["adc_d2"]) <= 8e-6 + 1e-12
+
+
+def test_sq8_arrow_compaction_is_lossless(spark):
+    # force many Arrow batches per task so the running per-task top-k
+    # truncation fires; results must match default batching exactly
+    import numpy as np
+
+    from ipes_data_pipeline_spark.operators.similarity import sq8_topk_arrow
+
+    rng = np.random.default_rng(11)
+    df = _vec_df(
+        spark, [(i, rng.standard_normal(4).tolist()) for i in range(600)]
+    )
+    q = df.filter(F.col("id") == 0)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, "10000")
+    want = [(r["id"], r["adc_d2"]) for r in sq8_topk_arrow(df, "id", "v", q, k=5).collect()]
+    try:
+        spark.conf.set(key, "2")
+        got = [(r["id"], r["adc_d2"]) for r in sq8_topk_arrow(df, "id", "v", q, k=5).collect()]
+    finally:
+        spark.conf.set(key, old)
+    assert got == want and len(got) == 5
+
+
+def test_sq8_arrow_contract_paths(spark):
+    # null-element rows are out of the scan (but not the bounds); a
+    # wrong-dim corpus fails loudly; multi-row query rejected
+    from ipes_data_pipeline_spark.operators.similarity import sq8_topk_arrow
+
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [1.1, 2.1, 3.1, 4.1]),
+        (2, [9.0, None, 0.5, 2.0]),  # null element: excluded from scan
+        (3, None),  # null vector: dropped everywhere
+    ]
+    df = _vec_df(spark, rows)
+    out = sq8_topk_arrow(df, "id", "v", df.filter(F.col("id") == 0), k=4).collect()
+    assert [r["id"] for r in out] == [0, 1]
+    with pytest.raises(ValueError, match="exactly one query row"):
+        sq8_topk_arrow(df, "id", "v", df.filter(F.col("id") < 2), k=2)
+    bad_dim = _vec_df(spark, [(9, [1.0, 2.0])])
+    with pytest.raises(ValueError, match="query dim"):
+        sq8_topk_arrow(df, "id", "v", bad_dim, k=2)
+
+
 def test_ann_topk_batch_agrees_with_knn_graph(spark):
     # the flipped regime must produce exactly the broadcast-corpus
     # regime's neighbors when both fit: same ids, same ranks
