@@ -35,6 +35,7 @@ def candidate_pairs(
     block_expr: Column,
     max_edits: int = 2,
     block_cap: int | None = None,
+    spill_edges: bool = True,
 ) -> DataFrame:
     """Blocked levenshtein candidate edges (src, dst), both directions.
 
@@ -51,6 +52,14 @@ def candidate_pairs(
     ANSI-SQL-expressible, so unlike the MinHash valve this one is
     value-checked by the q39p oracle IN the regime where it fires.
     ``None`` ⇒ lossless blocking, unchanged behavior.
+
+    ``spill_edges`` (default on) materializes the half edge set via a
+    columnar parquet spill instead of ``localCheckpoint`` — the edge
+    set is the one intermediate PROPORTIONAL TO THE DATA here, and the
+    round-9 A/B (``scripts/ab_q39_edge_store.py``) measured the
+    deserialized row blocks of localCheckpoint at +182 s on the 213M-
+    edge sf10 set (48 GB heap thrash) vs +26 s for the spill; at small
+    scale the two are within noise. Off ⇒ the old block-store regime.
     """
     keyed = df.select(
         F.col(id_col).alias("node"),
@@ -98,9 +107,11 @@ def candidate_pairs(
         .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
         # Materialize the HALF edge set here: it feeds every downstream
         # use, and the reverse direction derives lazily below as a narrow
-        # projection over the checkpoint — half the materialized bytes of
-        # checkpointing the doubled set.
-        .transform(cut)
+        # projection over the materialization — half the bytes of
+        # persisting the doubled set. No spark_partition_id consumer
+        # downstream, so the parquet spill's unpinned partition ids are
+        # safe (cut docstring).
+        .transform(lambda d: cut(d, via_parquet=spill_edges))
     )
     return half.unionAll(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
@@ -252,6 +263,7 @@ def dedupe_fuzzy(
     checkpoint: bool = False,
     until_converged: bool = True,
     block_cap: int | None = None,
+    spill_edges: bool = True,
 ) -> DataFrame:
     """Full blocked fuzzy dedup: returns ``(<id_col>, canonical_id)``.
 
@@ -270,7 +282,9 @@ def dedupe_fuzzy(
         else F.element_at(F.split(F.col(name_col), r"\s+"), 1)
     )
     nodes = df.select(F.col(id_col).alias("node"))
-    edges = candidate_pairs(df, id_col, name_col, block, max_edits, block_cap)
+    edges = candidate_pairs(
+        df, id_col, name_col, block, max_edits, block_cap, spill_edges
+    )
     if until_converged:
         # contraction path: exact components, cheapest on dense graphs
         comp = min_label_components_contracted(nodes, edges, max_rounds=iterations)
