@@ -5,7 +5,10 @@ Inputs (written by r9_campaign_{a,a2,b}.sh):
   /tmp/r9_fresh_sf{01,1,10}_ann.json      q162/q166/q163p/q168 fresh medians
   /tmp/r9_fresh_sf100_ann.json            q162/q166/q168 at the emb-only sf100
   /tmp/r9_fresh_sf{01,1,10,100}_q162p.json  the round-9 Arrow SQ8 twin
-  /tmp/r9_fresh_sf{1,10}_q39.json         clean 5-pass/3-pass q39/q39p walls
+  /tmp/r9_fresh_sf{1,10}_q39spill.json    clean 5-pass/3-pass q39/q39p walls
+                                          (the shipped parquet-spill edge
+                                          regime; the pre-spill walls live
+                                          in SCALING.md's A/B narrative)
   /tmp/r9_duck_sf{01,1,10,100}_ann.json   DuckDB anchors, same oracle SQL
   /tmp/r9_duck_sf{01,1,10,100}_q162p.json
 
@@ -39,7 +42,9 @@ def main() -> None:
         sf: _load(f"/tmp/r9_fresh_sf{sf}_q162p.json")
         for sf in ("01", "1", "10", "100")
     }
-    fresh_q39 = {sf: _load(f"/tmp/r9_fresh_sf{sf}_q39.json") for sf in ("1", "10")}
+    fresh_q39 = {
+        sf: _load(f"/tmp/r9_fresh_sf{sf}_q39spill.json") for sf in ("1", "10")
+    }
     duck = {
         sf: {
             **_load(f"/tmp/r9_duck_sf{sf}_ann.json").get("queries", {}),
