@@ -72,7 +72,9 @@ def cut(
     ``via_parquet`` also satisfies the ``reliable`` contract.
     Order-sensitive callers beware: parquet re-read does NOT pin
     partition ids the way the checkpoint regimes do — do not use under
-    a ``spark_partition_id`` consumer (the prefix-sum shard contract).
+    a ``spark_partition_id`` consumer (the prefix-sum shard contract) —
+    and column nullability loosens to nullable on the round trip
+    (names/types/values are exact).
 
     Both checkpoint regimes pin partition contents AND partition ids,
     so downstream ``spark_partition_id`` determinism (the prefix-sum

@@ -98,6 +98,31 @@ def test_cut_honors_session_conf(spark, ckdir):
         spark.conf.unset(RELIABLE_CUTS_CONF)
 
 
+def test_cut_via_parquet_preserves_values_off_heap(spark, ckdir):
+    """cut(via_parquet=True): columnar scratch spill — values and schema
+    survive the round trip, nothing lands in the checkpoint dir, and
+    the scratch dir is registered for process-exit cleanup."""
+    import os
+
+    from ipes_data_pipeline_spark.operators.util import _SPILL_DIRS, cut
+
+    df = spark.range(50).selectExpr(
+        "id", "CAST(id AS DOUBLE) / 7 AS x", "CAST(id AS STRING) AS s"
+    )
+    before_ck = _ck_files(ckdir)
+    before_spills = len(_SPILL_DIRS)
+    out = cut(df, via_parquet=True)
+    # names + types survive; nullability loosens to nullable (parquet
+    # round-trip property, documented in the cut docstring)
+    assert [(f.name, f.dataType) for f in out.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, df.collect()))
+    assert _ck_files(ckdir) == before_ck  # not the checkpoint regime
+    assert len(_SPILL_DIRS) == before_spills + 1
+    assert os.path.isdir(_SPILL_DIRS[-1])  # alive until process exit
+
+
 def test_session_conf_runs_queries_reliably_with_identical_values(spark, ckdir):
     """The 100 TB story: ONE cluster-side conf flips every cut site in
     an operator chain assembled from library defaults — no call-site
