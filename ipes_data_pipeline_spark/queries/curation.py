@@ -1530,3 +1530,77 @@ def q158p(spark, sf):
         "mean_surprisal",
         (bits < thresh).alias("kept"),
     )
+
+
+# ------------------------------------------ linear quality classifier
+
+
+_QC_D = 64          # hashed feature buckets (hashing trick, q142's fold)
+_QC_BIAS = 1000     # per-doc bias, milli-units
+_QC_MULT = 2654435761  # Knuth multiplicative constant -> synthetic weights
+
+
+@register(
+    "q170_quality_classifier",
+    "curation: hashed-linear quality-classifier inference — the "
+    "fasttext/CCNet discriminative filter as one scan + one shuffle "
+    "(q142's hashed features dotted with a weight table, thresholded)",
+    f"""WITH tk AS (
+         SELECT doc_id, unnest({SQL_TOKENS.format(c='text')}) AS tok
+         FROM documents),
+       h AS (
+         SELECT doc_id,
+                CAST(('0x' || substr(md5(tok), 1, 13))::BIGINT % {_QC_D}
+                     AS BIGINT) AS b
+         FROM tk)
+       SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_tok,
+              CAST({_QC_BIAS} + SUM(((b + 1) * {_QC_MULT}) % 2001 - 1000)
+                   AS BIGINT) AS margin_milli,
+              ({_QC_BIAS} + SUM(((b + 1) * {_QC_MULT}) % 2001 - 1000)) > 0
+                AS keep
+       FROM h GROUP BY doc_id""",
+)
+def q170(spark, sf):
+    # The third leg of the model-based-filter triad: q142 builds hashed
+    # features, q144 scores with a generative LM; this is the
+    # discriminative linear classifier (fasttext / CCNet's quality
+    # filter, GPT-3's LR filter shape) run as pure relational inference.
+    # The model is a D-bucket weight table; here the weights are a
+    # content-addressed synthetic stand-in (Knuth-hash of the bucket id
+    # folded to [-1000, 1000] milli-units) so the oracle needs no model
+    # file — swapping in trained weights is a broadcast join or a
+    # 64-entry map literal, same plan. Everything is integer arithmetic
+    # (exact, summation-order-free, both engines agree bit-for-bit);
+    # sigma(w.x) is monotone in w.x, so thresholding the integer margin
+    # IS the probability threshold — no exp() cross-engine seam.
+    # Scale: tokenize + hash + weight are all whole-stage codegen on
+    # the scan side; the only shuffle is the per-doc partial-aggregated
+    # sum. 100 TB story: identical to q142 — no vocabulary pass, no
+    # driver state, weight table O(D).
+    # Reference anchor: extends structure_data.py:125-211's quality
+    # funnel with the model-based gate a pretraining corpus needs.
+    tk = spread(t(spark, sf, "documents")).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    b = (
+        F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("bigint")
+        % _QC_D
+    )
+    w = ((b + F.lit(1)) * F.lit(_QC_MULT)) % 2001 - 1000
+    return (
+        tk.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (F.lit(_QC_BIAS) + F.sum("w")).cast("bigint").alias(
+                "margin_milli"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "margin_milli",
+            (F.col("margin_milli") > 0).alias("keep"),
+        )
+    )

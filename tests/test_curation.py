@@ -149,3 +149,41 @@ def test_event_funnel_orders_stages(spark, tmp_path):
     assert out[2]["stage"] == "view" and out[2]["purchase_ts"] is None
     assert out[3]["stage"] == "signup"
     assert out[3]["view_ts"] is None and out[3]["purchase_ts"] is None
+
+
+def test_quality_classifier_margin_is_exact_and_thresholded(spark, tmp_path):
+    # Hand-computable model: margin = BIAS + sum of bucket weights, all
+    # integer milli-units; keep <=> margin > 0. An empty doc drops out
+    # (no tokens -> no feature row), same as the oracle's unnest.
+    from ipes_data_pipeline_spark.queries.curation import (
+        _QC_BIAS,
+        _QC_D,
+        _QC_MULT,
+    )
+    import hashlib
+
+    rows = [
+        (0, "alpha beta alpha"),
+        (1, "gamma"),
+        (2, ""),  # no tokens -> absent from output
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["q170_quality_classifier"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+
+    def w(tok: str) -> int:
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:13], 16) % _QC_D
+        return ((b + 1) * _QC_MULT) % 2001 - 1000
+
+    assert set(out) == {0, 1}
+    assert out[0]["n_tok"] == 3
+    assert out[0]["margin_milli"] == _QC_BIAS + 2 * w("alpha") + w("beta")
+    assert out[1]["margin_milli"] == _QC_BIAS + w("gamma")
+    for r in out.values():
+        assert r["keep"] == (r["margin_milli"] > 0)
