@@ -195,16 +195,16 @@ def min_label_components_contracted(
     nodes: DataFrame,
     edges: DataFrame,
     max_rounds: int = 16,
+    broadcast_labels_max_bytes: int = 1 << 28,
 ) -> DataFrame:
     """Connected components by one propagation round + graph contraction.
 
     Exact true components (not a k-hop approximation):
 
     1. ``l1(x)`` = min over x's closed neighborhood — one groupBy.
-    2. Contract: every edge (x, y) becomes (l1(x), l1(y)) — two
-       *broadcast* joins of the edge list against the (small) label
-       table, then a distinct whose map-side partial dedup collapses
-       the result before the shuffle.
+    2. Contract: every edge (x, y) becomes (l1(x), l1(y)) — two joins
+       of the edge list against the label table, then a distinct whose
+       map-side partial dedup collapses the result before the shuffle.
     3. Min-label propagate to fixpoint on the contracted graph — rows =
        distinct labels, orders of magnitude smaller than the node set
        for dense similarity graphs.
@@ -216,6 +216,23 @@ def min_label_components_contracted(
     plain k-round propagation re-joins the full edge list every round);
     inspired by the alternating-star contraction family of
     connected-components algorithms.
+
+    The relabel joins BROADCAST l1 whenever its measured row count fits
+    ``broadcast_labels_max_bytes`` (default 256 MiB at ~32 B/row —
+    well inside a large executor's headroom; beyond the cap the joins
+    fall back to plain shuffle joins, which stay linear). This is
+    load-bearing, not a hint for AQE to rediscover: l1 is one row per
+    NODE, so between sf1 and sf10 it crosses the 10 MB adaptive
+    broadcast threshold and both relabel joins silently flip BHJ→SMJ —
+    shuffling AND sorting the full doubled edge set twice. The round-10
+    A/B (``scripts/ab_q39_contraction.py``, fresh process per variant,
+    prebuilt cap=256 edges at sf10) measured the flip at 132.5 s
+    (shipped SMJ + localCheckpoint replan) / 72.9 s (SMJ, no store) vs
+    **3.75 s with the forced broadcast** — the 53×-per-decade
+    contraction growth the round-9 verdict flagged was exactly this
+    threshold crossing, not compute. Counting the already-materialized
+    l1 to size the decision costs one cheap action on checkpointed
+    blocks.
     """
     # half edges are checkpointed by candidate_pairs; the doubled union
     # is narrow over that, so no re-materialization here
@@ -227,13 +244,14 @@ def min_label_components_contracted(
         .agg(F.min("dst").alias("lab"))
         .transform(cut)
     )
-    # no broadcast hints: l1 has one row per node (arbitrarily large at
-    # scale) — AQE picks BHJ when it actually fits
+    # ~32 B/row (two int64s + hashed-relation overhead) against the cap
+    lsrc = l1.withColumnRenamed("node", "src").withColumnRenamed("lab", "src_lab")
+    ldst = l1.withColumnRenamed("node", "dst").withColumnRenamed("lab", "dst_lab")
+    if l1.count() * 32 <= broadcast_labels_max_bytes:
+        lsrc, ldst = F.broadcast(lsrc), F.broadcast(ldst)
     contracted = (
-        e_self.join(l1.withColumnRenamed("node", "src")
-                    .withColumnRenamed("lab", "src_lab"), "src")
-        .join(l1.withColumnRenamed("node", "dst")
-              .withColumnRenamed("lab", "dst_lab"), "dst")
+        e_self.join(lsrc, "src")
+        .join(ldst, "dst")
         .select(F.col("src_lab").alias("src"), F.col("dst_lab").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
@@ -275,6 +293,12 @@ def dedupe_fuzzy(
     entity-name graphs usually settle in 2-3 rounds.
     ``block_cap``: the oversized-block skew valve — see
     :func:`candidate_pairs`.
+
+    Disk note: each call spills its half edge set to parquet scratch
+    (tens of GB at sf10 scale) which is freed only at process exit —
+    long-lived callers looping over corpora should call
+    :func:`ipes_data_pipeline_spark.operators.util.release_spills`
+    between iterations, once the returned frame is fully consumed.
     """
     block = (
         block_expr

@@ -1967,10 +1967,23 @@ def sq8_topk_arrow(
     Spark and SQL). A true NaN element is indistinguishable from a
     null here and equally out of contract (the repo-wide zero-norm/NaN
     rule). ``query_df`` must hold exactly one non-null row, as in
-    sq8_topk.
+    sq8_topk. And unlike sq8_topk (whose id rides through a hash
+    aggregate untouched), this kernel carries ids as int64 through the
+    Arrow digest — an integral ``id_col`` is required and validated up
+    front; string/decimal ids need the explode gear or a surrogate key.
     """
     import numpy as np
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"sq8_topk_arrow carries ids as int64 through its Arrow "
+            f"top-k digest; id_col {id_col!r} is {id_type.simpleString()} "
+            "— use an integral id (e.g. a deterministic surrogate key, "
+            "operators.normalize.surrogate_key) or the sq8_topk explode "
+            "gear, which preserves any id type"
+        )
     emb = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -1604,3 +1604,78 @@ def q170(spark, sf):
             (F.col("margin_milli") > 0).alias("keep"),
         )
     )
+
+
+@register(
+    "q170w_quality_classifier_weighted",
+    "curation: q170's production gear — classifier weights read from a "
+    "weight TABLE and broadcast-joined into the token scan (the trained-"
+    "model path), same integer milli-unit margin contract",
+    f"""WITH tk AS (
+         SELECT doc_id, unnest({SQL_TOKENS.format(c='text')}) AS tok
+         FROM documents),
+       h AS (
+         SELECT doc_id,
+                CAST(('0x' || substr(md5(tok), 1, 13))::BIGINT % {_QC_D}
+                     AS BIGINT) AS b
+         FROM tk),
+       w AS (
+         SELECT CAST(b AS BIGINT) AS b,
+                CAST(((b + 1) * {_QC_MULT}) % 2001 - 1000 AS BIGINT) AS w
+         FROM range({_QC_D}) t(b))
+       SELECT h.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_tok,
+              CAST({_QC_BIAS} + SUM(w.w) AS BIGINT) AS margin_milli,
+              ({_QC_BIAS} + SUM(w.w)) > 0 AS keep
+       FROM h JOIN w USING (b) GROUP BY h.doc_id""",
+)
+def q170w(spark, sf):
+    # q170 inlines its synthetic weights as a scan-side expression; a
+    # TRAINED model cannot be inlined — its weights arrive as data (a
+    # fasttext/CCNet export, a feature->coef table from any trainer).
+    # This gear is that production path: the weight table is a real
+    # DataFrame (here generated to match q170's content-addressed
+    # stand-in, so the two gears are value-identical and both exactly
+    # oracle-checked) broadcast-joined into the hashed-token stream.
+    # Margins stay integer milli-units: the join carries bigint weights,
+    # the aggregate is an exact int64 sum, and sigmoid monotonicity
+    # makes the integer threshold the probability threshold — identical
+    # cross-engine contract to q170.
+    # Scale: the weight table is O(D) (64 rows here; 1e6-bucket models
+    # are a few MB) -> always broadcast, never a shuffle; the token scan
+    # stays whole-stage codegen and the only shuffle remains the per-doc
+    # partial-aggregated sum. Swapping in real trained weights =
+    # spark.read.parquet(model_path) in place of the generated range.
+    # Reference anchor: enrich_data.py:52-128 (the reference's only
+    # model-based gate, per-row remote inference) re-expressed as
+    # corpus-scale relational inference with the model as data.
+    tk = spread(t(spark, sf, "documents")).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    b = (
+        F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("bigint")
+        % _QC_D
+    )
+    weights = spark.range(_QC_D).select(
+        F.col("id").alias("b"),
+        ((F.col("id") + 1) * F.lit(_QC_MULT) % 2001 - 1000)
+        .cast("bigint")
+        .alias("w"),
+    )
+    return (
+        tk.select("doc_id", b.alias("b"))
+        .join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (F.lit(_QC_BIAS) + F.sum("w")).cast("bigint").alias(
+                "margin_milli"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "margin_milli",
+            (F.col("margin_milli") > 0).alias("keep"),
+        )
+    )

@@ -44,7 +44,9 @@ def _q162_oracle(dim: int = _DIM, k: int = _SQ8_K, qid: int = _SQ8_QID) -> str:
     err = f"(CAST(q.v[c.i] AS DOUBLE) - {recon})"
     # NULL vectors are dropped on BOTH sides (engine: sq8_topk filters
     # v IS NOT NULL before bounds + codes) so a null-heavy corpus cannot
-    # desynchronize the candidate set.
+    # desynchronize the candidate set. The q CTE requires a null-
+    # element-free query row (the engine RAISES on one): a bad query
+    # yields zero oracle rows — visible — not partial SUM distances.
     return f"""
 WITH nn AS (SELECT vec_id, embedding FROM embeddings
             WHERE embedding IS NOT NULL),
@@ -58,7 +60,8 @@ codes AS (
   SELECT e.vec_id AS id, b.i, b.mn, b.mx,
          CASE WHEN b.mx > b.mn THEN {code} ELSE 0 END AS code
   FROM nn e CROSS JOIN bounds b),
-q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = {qid}),
+q AS (SELECT embedding AS v FROM nn WHERE vec_id = {qid}
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 parts AS (
   SELECT c.id, CAST(ROUND({err} * {err}, 6) AS DECIMAL(18,6)) AS part
   FROM codes c CROSS JOIN q)
@@ -91,7 +94,12 @@ def _q162p_oracle(dim: int = _DIM, k: int = _SQ8_K, qid: int = _SQ8_QID) -> str:
     formulation numpy, Spark, and DuckDB all evaluate bit-identically
     (no decimal-string rounding seam). Bounds skip null ELEMENTS
     (MIN/MAX-skip-null); rows containing a null element are excluded
-    from the scan — the engine masks them vectorized in the kernel."""
+    from the scan — the engine masks them vectorized in the kernel.
+    The q CTE takes the query from the null-element-free ``live`` set,
+    mirroring the engine's precondition (sq8_topk_arrow raises on a
+    null-element query): a bad query row yields zero oracle rows — a
+    visible gate divergence — instead of SUM silently skipping the
+    null parts into a skewed distance."""
     code = (
         "LEAST(GREATEST(CAST(FLOOR((CAST(e.embedding[b.i] AS DOUBLE) - b.mn)"
         " * 255.0 / (b.mx - b.mn) + 0.5) AS INT), 0), 255)"
@@ -113,7 +121,7 @@ codes AS (
   SELECT e.vec_id AS id, b.i, b.mn, b.mx,
          CASE WHEN b.mx > b.mn THEN {code} ELSE 0 END AS code
   FROM live e CROSS JOIN bounds b),
-q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = {qid}),
+q AS (SELECT embedding AS v FROM live WHERE vec_id = {qid}),
 parts AS (
   SELECT c.id, CAST(FLOOR({err} * {err} * 1000000.0 + 0.5) AS BIGINT) AS part
   FROM codes c CROSS JOIN q)

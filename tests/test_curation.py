@@ -187,3 +187,20 @@ def test_quality_classifier_margin_is_exact_and_thresholded(spark, tmp_path):
     assert out[1]["margin_milli"] == _QC_BIAS + w("gamma")
     for r in out.values():
         assert r["keep"] == (r["margin_milli"] > 0)
+
+
+def test_q170w_weight_table_gear_matches_inline_and_broadcasts(spark, sf_dir):
+    """The trained-weights gear (round-9 verdict #4): margins identical
+    to q170's inline synthetic weights (the generated weight table
+    matches by construction) AND the plan joins the weight table by
+    BROADCAST — the shape a real fasttext/CCNet weight export must get."""
+    from ipes_data_pipeline_spark.plans import assert_broadcast_join
+
+    inline = REGISTRY["q170_quality_classifier"].spark(spark, sf_dir)
+    weighted = REGISTRY["q170w_quality_classifier_weighted"].spark(
+        spark, sf_dir
+    )
+    assert_broadcast_join(weighted, forbid_smj=True)
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, weighted.collect())
+    )
