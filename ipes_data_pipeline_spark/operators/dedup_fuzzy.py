@@ -195,7 +195,7 @@ def min_label_components_contracted(
     nodes: DataFrame,
     edges: DataFrame,
     max_rounds: int = 16,
-    broadcast_labels_max_bytes: int = 1 << 28,
+    broadcast_labels_max_bytes: int = 1 << 30,
 ) -> DataFrame:
     """Connected components by one propagation round + graph contraction.
 
@@ -218,9 +218,11 @@ def min_label_components_contracted(
     connected-components algorithms.
 
     The relabel joins BROADCAST l1 whenever its measured row count fits
-    ``broadcast_labels_max_bytes`` (default 256 MiB at ~32 B/row —
-    well inside a large executor's headroom; beyond the cap the joins
-    fall back to plain shuffle joins, which stay linear). This is
+    ``broadcast_labels_max_bytes`` (default 1 GiB at ~32 B/row — half
+    the knn broadcast-regime precedent, ``similarity.knn_graph``'s
+    2 GiB ``max_corpus_bytes``, and covers ~33M-node graphs; beyond
+    the cap the joins fall back to plain shuffle joins, which stay
+    linear). This is
     load-bearing, not a hint for AQE to rediscover: l1 is one row per
     NODE, so between sf1 and sf10 it crosses the 10 MB adaptive
     broadcast threshold and both relabel joins silently flip BHJ→SMJ —
@@ -282,6 +284,7 @@ def dedupe_fuzzy(
     until_converged: bool = True,
     block_cap: int | None = None,
     spill_edges: bool = True,
+    broadcast_labels_max_bytes: int = 1 << 30,
 ) -> DataFrame:
     """Full blocked fuzzy dedup: returns ``(<id_col>, canonical_id)``.
 
@@ -311,7 +314,12 @@ def dedupe_fuzzy(
     )
     if until_converged:
         # contraction path: exact components, cheapest on dense graphs
-        comp = min_label_components_contracted(nodes, edges, max_rounds=iterations)
+        comp = min_label_components_contracted(
+            nodes,
+            edges,
+            max_rounds=iterations,
+            broadcast_labels_max_bytes=broadcast_labels_max_bytes,
+        )
     else:
         comp = min_label_components(nodes, edges, iterations, checkpoint=checkpoint)
     return comp.select(F.col("node").alias(id_col), "canonical_id")

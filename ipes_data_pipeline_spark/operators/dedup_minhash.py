@@ -207,14 +207,20 @@ def minhash_lsh_pairs(
     # twice (sizes aggregate + join), and capping an un-materialized
     # plan would run tokenize+shingle+hash twice — exactly the cost
     # this checkpoint exists to avoid.
+    # Band tables are data-proportional (n_docs × n_bands string-keyed
+    # rows): store them via the columnar parquet spill, not
+    # localCheckpoint's deserialized row blocks — the r9 q39 edge-store
+    # lesson (SCALING.md: +182 s heap thrash vs +26 s spill at 213M
+    # rows); within noise at small scale. No spark_partition_id
+    # consumer anywhere downstream.
     raw = minhash_bands(
         df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn, shingles_df
     )
     if bucket_cap is not None:
-        raw = cut(raw, reliable)
+        raw = cut(raw, reliable, via_parquet=True)
     bands = _cap_band_buckets(raw, bucket_cap)
     if materialize:
-        bands = cut(bands, reliable)
+        bands = cut(bands, reliable, via_parquet=True)
     # materialize=False relies on exchange reuse instead: the signature
     # aggregate's exchange is the identical subtree on both sides of the
     # self-join, so the hash pipeline still runs once — and the pair
@@ -267,11 +273,14 @@ def minhash_lsh_pairs_delta(
     are counted over the union so a boilerplate band key that is huge in
     the corpus gets sub-salted even when the new batch's share is small.
     """
+    # corpus/batch-proportional band tables: parquet-spill store (the
+    # r9 edge-store rule; see minhash_lsh_pairs)
     new_bands = cut(
         minhash_bands(
             new_df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn
         ),
         reliable,
+        via_parquet=True,
     )
     if corpus_bands is None:
         corpus_bands = minhash_bands(
@@ -281,7 +290,7 @@ def minhash_lsh_pairs_delta(
             # same rule as the batch form: _cap_band_buckets reads the
             # union twice (sizes + join) — pin the hash-heavy corpus
             # lineage before capping, or it tokenizes twice
-            corpus_bands = cut(corpus_bands, reliable)
+            corpus_bands = cut(corpus_bands, reliable, via_parquet=True)
     others = _cap_band_buckets(
         corpus_bands.withColumn("is_new", F.lit(False)).unionByName(
             new_bands.withColumn("is_new", F.lit(True))
@@ -293,7 +302,7 @@ def minhash_lsh_pairs_delta(
     else:
         # pin the salted union once; the probe side is its is_new slice,
         # so both sides of the join carry the SAME sub-salt.
-        others = cut(others, reliable)
+        others = cut(others, reliable, via_parquet=True)
         probe = others.where(F.col("is_new")).drop("is_new")
     n, o = probe.alias("n"), others.alias("o")
     return (
@@ -345,13 +354,19 @@ def minhash_neardup_pairs(
     # ONE shingle frame feeds both the banding and the refine — the
     # tokenize+shingle projection is the operator's single heaviest map
     # stage, and the naive form paid it twice (once under the bands'
-    # checkpoint, once per refine side). Eager cut: referenced by the
-    # band stage and both refine joins.
+    # checkpoint, once per refine side). Eager cut, via the columnar
+    # parquet spill: the per-doc shingle STRING ARRAYS are exactly the
+    # deserialized-row-block shape that thrashed the heap in the r9
+    # q39 edge-store A/B (this frame was SCALING.md's remaining q42p
+    # suspect — "the sf10 shingle-array cut() materialization
+    # breathing with memory pressure"). Referenced by the band stage
+    # and both refine joins; no spark_partition_id consumer.
     sh_df = cut(
         spread(df)
         .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
         .select("id", shingles(F.col("toks"), shingle_n).alias("sh")),
         reliable,
+        via_parquet=True,
     )
     # materialize=False: the candidate set feeds exactly one consumer
     # chain (the refine), so the band self-join can land in the final

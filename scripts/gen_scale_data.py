@@ -265,13 +265,30 @@ def _gen_documents(con, rng, write, mult):
     src_v, src_p = _cat(con, "documents", "source")
     lens = rng.integers(10, 101, n_doc)
     texts: list[str] = []
-    for i in range(n_doc):
-        if i > 0 and rng.random() < 0.0016:
-            texts.append(texts[rng.integers(0, i)])
-        else:
-            texts.append(
-                " ".join(vocab[rng.choice(len(vocab), size=lens[i], p=w)])
-            )
+    # Chunked + vectorized (round-10: the per-row rng.choice loop was
+    # fine at mult<=100 but not for the 5M-doc third-decade fixture):
+    # one choice() draw per chunk, per-doc slices via cumulative
+    # offsets. Same distribution as the loop — empirical-unigram
+    # tokens, uniform 10..100 lengths, ~0.16% exact-dup injection from
+    # the already-generated prefix — different rng stream (fixtures
+    # are growth-curve substrates, not value-pinned; correctness stays
+    # on the driver's own dirs).
+    chunk = 200_000
+    for start in range(0, n_doc, chunk):
+        ln = lens[start : start + chunk]
+        offs = np.concatenate([[0], np.cumsum(ln)])
+        toks = vocab[rng.choice(len(vocab), size=int(offs[-1]), p=w)]
+        ctexts = [
+            " ".join(toks[offs[j] : offs[j + 1]]) for j in range(len(ln))
+        ]
+        dup = np.nonzero(rng.random(len(ln)) < 0.0016)[0]
+        for j in dup:
+            gi = start + int(j)
+            if gi == 0:
+                continue
+            src = int(rng.integers(0, gi))
+            ctexts[j] = texts[src] if src < start else ctexts[src - start]
+        texts.extend(ctexts)
     write(
         "documents",
         pa.table(
