@@ -282,6 +282,15 @@ def enrich_misses(
     src = misses.select(*cols).dropDuplicates(["normalized_name"])
     if n_partitions:
         src = src.repartition(n_partitions)
+    else:
+        # Bound the backend stage's width: callers persist() the result
+        # (the memoized-cache contract), and AQE cannot coalesce a
+        # cached plan's partitioning — without a quota-sized
+        # n_partitions the dropDuplicates exchange would otherwise run
+        # at adaptive initialPartitionNum Python tasks per (micro-)batch
+        # for a miss set of a few rows. coalesce is narrow (no second
+        # shuffle) and per-row enrichment is partitioning-independent.
+        src = src.coalesce(src.sparkSession.sparkContext.defaultParallelism)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bucket = TokenBucket(calls_per_second) if calls_per_second > 0 else None

@@ -257,7 +257,7 @@ def test_stream_gold_enrichment_over_live_chat_server(spark, chat_server, tmp_pa
         spark, stream, filings, cache_dir, gold_dir,
         str(tmp_path / "ck1"), backend=_backend(chat_server),
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     gold = {r["entity_name"]: r for r in spark.read.parquet(gold_dir).collect()}
     assert gold["Acme Telecom"]["product_summary"] == "About acme telecom."
     assert gold["Broken JSON Inc"]["is_active"] is None  # failure row
@@ -273,7 +273,7 @@ def test_stream_gold_enrichment_over_live_chat_server(spark, chat_server, tmp_pa
         spark, stream, filings, cache_dir, gold_dir,
         str(tmp_path / "ck2"), backend=_backend(chat_server),
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     called = {c[0] for c in _ChatHandler.calls}
     assert "acme telecom" not in called  # cache hit bypassed the server
     assert "broken json inc" in called  # uncached failure retried

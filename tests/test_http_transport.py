@@ -326,7 +326,7 @@ def test_rest_datasource_streams_incrementally(spark, http_server, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(60)
+        q.awaitTermination(300)
         return sorted(r["rid"] for r in spark.read.parquet(out).collect())
 
     assert drain() == list(range(23))

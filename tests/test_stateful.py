@@ -21,7 +21,7 @@ def _run(spark, src_dir, ckpt, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     return rows
 
 
@@ -80,7 +80,7 @@ def _run_tws(spark, src_dir, ckpt, ttl_ms=None):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     return {r["normalized_name"]: r for r in rows}
 
 

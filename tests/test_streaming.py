@@ -61,7 +61,7 @@ def run_stream(spark, stream_df, tmp_path, mode="append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -122,14 +122,14 @@ def test_incremental_medallion(spark, tmp_path):
     # wave 1: first 10 records
     land(RAW_FILINGS[:10], "wave1.jsonl")
     q = stream_bronze(spark, str(raw_dir), bronze_dir, str(tmp_path / "ck_bronze"))
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     n1 = spark.read.parquet(bronze_dir).count()
     assert n1 == 10
 
     # wave 2: remainder — AvailableNow picks up ONLY the new file
     land(RAW_FILINGS[10:], "wave2.jsonl")
     q = stream_bronze(spark, str(raw_dir), bronze_dir, str(tmp_path / "ck_bronze"))
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     bronze = spark.read.parquet(bronze_dir)
     assert bronze.count() == len(RAW_FILINGS)  # no reprocessing of wave 1
 
@@ -159,7 +159,7 @@ def test_incremental_medallion(spark, tmp_path):
         spark, comp_stream, filings, cache_dir, gold_dir,
         str(tmp_path / "ck_gold"),
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     gold = spark.read.parquet(gold_dir)
     assert gold.count() == companies.count()
     cache = spark.read.schema(ENRICHMENT_CACHE).parquet(cache_dir)
@@ -174,7 +174,7 @@ def test_incremental_medallion(spark, tmp_path):
         spark, comp_stream, filings, cache_dir, gold_dir,
         str(tmp_path / "ck_gold2"), backend=exploding_backend,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     assert cache.count() == companies.count()  # unchanged
     gold2 = spark.read.parquet(gold_dir)
     assert gold2.count() == 2 * companies.count()
@@ -207,7 +207,7 @@ def test_gold_upsert_converges(spark, tmp_path):
         spark, comp_stream, filings, cache_dir, gold_dir,
         str(tmp_path / "ck1"),
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     gold = spark.read.parquet(gold_dir)
     assert gold.count() == n
     assert gold.select("id").distinct().count() == n
@@ -218,7 +218,7 @@ def test_gold_upsert_converges(spark, tmp_path):
         spark, comp_stream, filings, cache_dir, gold_dir,
         str(tmp_path / "ck2"),
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     gold2 = spark.read.parquet(gold_dir)
     assert gold2.count() == n
     assert gold2.select("id").distinct().count() == n
@@ -263,7 +263,7 @@ def test_failed_enrichment_never_poisons_cache(spark, tmp_path):
         spark, comp_stream, filings, cache_dir, gold_dir,
         str(tmp_path / "ck1"), backend=flaky,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     cache = spark.read.schema(ENRICHMENT_CACHE).parquet(cache_dir)
     n = companies.count()
     assert cache.count() == n - 1  # the failed name is NOT cached
@@ -276,7 +276,7 @@ def test_failed_enrichment_never_poisons_cache(spark, tmp_path):
         spark, comp_stream, filings, cache_dir, gold_dir,
         str(tmp_path / "ck2"), backend=mock,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     cache = spark.read.schema(ENRICHMENT_CACHE).parquet(cache_dir)
     assert cache.count() == n
     assert cache.select("normalized_name").distinct().count() == n

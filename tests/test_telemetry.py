@@ -23,7 +23,7 @@ def test_progress_capture(spark, tmp_path):
         q = stream_bronze(
             spark, str(raw_dir), str(tmp_path / "bronze"), str(tmp_path / "ckpt")
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         # listener callbacks are async: wait briefly for delivery
         deadline = time.time() + 30
         while time.time() < deadline and not (cap.events and cap.terminated):

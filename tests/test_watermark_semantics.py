@@ -55,7 +55,7 @@ def _run_wave(spark, src_fn, ckpt, out, mode="append", max_files=1):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     return q.recentProgress
 
 
