@@ -795,22 +795,32 @@ def _lloyd_centroid_list(
     return cent
 
 
+def _collect_matrix(emb: DataFrame):
+    """Collect an ``(id, v)`` frame to an id-sorted ``(ids, mat)`` numpy
+    pair via ONE Arrow ``toPandas`` transfer. Value-identical to the
+    row-``collect`` it replaces — Arrow carries IEEE doubles and int64
+    ids bit-exactly — but columnar: at the driver-regime byte cap the
+    pickled-row path spent more wall on deserialization than the Lloyd
+    rounds themselves (round-10 measurement, this host: ~3× on the
+    50k×64 bench corpus)."""
+    import numpy as np
+
+    pdf = emb.select("id", "v").toPandas()
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    if len(ids) == 0:
+        return ids, np.empty((0, 0), dtype=np.float64)
+    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    return ids[order], mat[order]
+
+
 def _lloyd_driver(
     emb: DataFrame, n_cells: int, n_iter: int
 ) -> list[tuple[int, list[float]]]:
     """Driver-regime Lloyd rounds — see :func:`_lloyd_centroid_list`
     for the regime contract and the bit-stability argument."""
-    import numpy as np
-
-    rows = emb.select("id", "v").collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
-    return _lloyd_driver_matrix(
-        ids[order],
-        np.array([r["v"] for r in rows], dtype=np.float64)[order],
-        n_cells,
-        n_iter,
-    )
+    ids, mat = _collect_matrix(emb)
+    return _lloyd_driver_matrix(ids, mat, n_cells, n_iter)
 
 
 def _lloyd_driver_matrix(
@@ -1320,13 +1330,17 @@ def _d2_fold(v, cv):
 
 def _pq_prep(df, id_col, vec_col, query_df, m, op):
     """Shared validation prologue of :func:`pq_topk` / :func:`ivfpq_topk`:
-    returns ``(emb, empty_fn, dsub, qv)`` with ``dsub = 0`` signalling an
-    empty corpus (caller returns ``empty_fn()``). Validates BEFORE any
-    eager materialization — at corpus scale a full cut() must not be
-    spent on an argument error; max(size) skips null vectors (a
-    null-vector first row must not read as an empty corpus); the query
-    vector is collected ONCE (enforcing the one-row contract and
-    avoiding re-executing the query plan per subspace)."""
+    returns ``(emb, empty_fn, dsub, qv, n_rows)`` with ``dsub = 0``
+    signalling an empty corpus (caller returns ``empty_fn()``).
+    Validates BEFORE any eager materialization — at corpus scale a full
+    cut() must not be spent on an argument error; max(size) skips null
+    vectors (a null-vector first row must not read as an empty corpus);
+    the query vector is collected ONCE (enforcing the one-row contract
+    and avoiding re-executing the query plan per subspace). ``n_rows``
+    (the corpus row count) rides along in the SAME stats job so callers
+    can pick the training regime without paying a second count action
+    (round-10: the PQ family's per-query driver round-trips were most
+    of its bench wall)."""
     emb = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -1342,14 +1356,13 @@ def _pq_prep(df, id_col, vec_col, query_df, m, op):
     # is -1, so a bare max(size(v)) over an all-null corpus would yield
     # -1 — truthy — and fail the divisibility check instead of taking
     # the documented empty-corpus return).
-    dim = (
-        emb.agg(
-            F.max(F.when(F.col("v").isNotNull(), F.size("v")))
-        ).first()[0]
-        or 0
-    )
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("v").isNotNull(), F.size("v"))).alias("dim"),
+    ).first()
+    n_rows, dim = stats["n"], stats["dim"] or 0
     if not dim:
-        return emb, _empty, 0, []
+        return emb, _empty, 0, [], 0
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
     qrows = query_df.select(
@@ -1367,7 +1380,174 @@ def _pq_prep(df, id_col, vec_col, query_df, m, op):
     qv = [float(x) for x in qraw]
     if len(qv) != dim:
         raise ValueError(f"query dim {len(qv)} != corpus dim {dim}")
-    return emb, _empty, dim // m, qv
+    return emb, _empty, dim // m, qv, n_rows
+
+
+def _argmin_cells_blocked(mat, cmat):
+    """Blocked argmin-squared-L2 of ``mat`` rows against ``cmat`` rows —
+    the exact numpy fold of :func:`_with_cells_arrow` (per-dimension
+    in-order accumulation, NaN→+inf, first-minimum tie-break over
+    centroids the CALLER keeps ascending by id), factored out so the
+    fused PQ encode kernel and the assignment kernel cannot drift."""
+    import numpy as np
+
+    best = np.empty(len(mat), dtype=np.int64)
+    blk = 512
+    for s in range(0, len(mat), blk):
+        m_ = mat[s : s + blk]
+        d2 = np.zeros((len(m_), len(cmat)))
+        diff = np.empty_like(d2)
+        for d in range(cmat.shape[1]):
+            np.subtract(m_[:, d, None], cmat[None, :, d], out=diff)
+            np.multiply(diff, diff, out=diff)
+            np.add(d2, diff, out=d2)
+        np.copyto(d2, np.inf, where=np.isnan(d2))
+        best[s : s + blk] = np.argmin(d2, axis=1)
+    return best
+
+
+def _pq_encode_arrow(
+    src: DataFrame,
+    cents_by_sub: list,
+    dsub: int,
+    coarse: list | None = None,
+    probes: list | None = None,
+    residual: bool = False,
+) -> DataFrame:
+    """ONE Arrow pass over ``src(id, v)`` emitting the PQ code stream
+    for all ``m`` subspaces — ``(id, sub_j, code)``, plus a ``cell``
+    column when a ``coarse`` stage is fused in.
+
+    Replaces the m per-subspace :func:`_with_cells` map passes (and,
+    with ``coarse``, the separate coarse-assignment pass + candidate
+    ``cut``) that previously each re-read the corpus: the round-10 plan
+    audit had q159/q160/q161 paying 4–6 scans and 2–3 localCheckpoint
+    materializations per query where one scan suffices (guide §1.2:
+    fix the pass count before the per-task work).
+
+    Value identity with the per-subspace form, term by term:
+
+    - per-subspace assignment is :func:`_argmin_cells_blocked` over the
+      same ``F.slice`` column range — the identical per-dimension IEEE
+      fold, NaN and tie semantics of ``_with_cells_arrow`` (and of the
+      HOF form: the two are pytest-pinned equal);
+    - the fused coarse stage assigns on the FULL vector with the same
+      fold, filters ``cell ∈ probes`` exactly like the engine-side
+      ``isin``, and (``residual=True``) subtracts the own-cell centroid
+      elementwise in IEEE double — the numpy twin of the ``zip_with``
+      subtraction, applied after the probe filter (same surviving rows,
+      same values);
+    - ids pass through untouched (any Spark type), so downstream joins
+      and the final top-k see exactly the rows the multi-pass plan saw.
+
+    At 100 TB this is still a pure map stage: codebooks + coarse
+    centroids ride in the task closure (m × ksub × dsub + cells × dim
+    doubles — driver-sized forever), and the emitted stream is m rows
+    of (id, two small ints) per surviving vector — the only exchange
+    downstream carries one decimal per vector after the map-side
+    partial SUM.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(cents_by_sub)
+    sub_ids, sub_mats = [], []
+    for cent in cents_by_sub:
+        order = sorted(range(len(cent)), key=lambda i: cent[i][0])
+        sub_ids.append(np.array([cent[i][0] for i in order], dtype=np.int64))
+        sub_mats.append(
+            np.array([cent[i][1] for i in order], dtype=np.float64)
+        )
+    with_cell = coarse is not None
+    if with_cell:
+        corder = sorted(range(len(coarse)), key=lambda i: coarse[i][0])
+        c_ids = np.array([coarse[i][0] for i in corder], dtype=np.int64)
+        c_mat = np.array([coarse[i][1] for i in corder], dtype=np.float64)
+        probe_arr = np.array(sorted(probes), dtype=np.int64)
+    id_dt = src.schema["id"].dataType.simpleString()
+    schema = (
+        f"id {id_dt}, cell long, sub_j int, code long"
+        if with_cell
+        else f"id {id_dt}, sub_j int, code long"
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            cells = None
+            if with_cell:
+                cells = c_ids[_argmin_cells_blocked(mat, c_mat)]
+                keep = np.isin(cells, probe_arr)
+                ids, mat, cells = ids[keep], mat[keep], cells[keep]
+                if len(ids) == 0:
+                    continue
+                if residual:
+                    pos = np.searchsorted(c_ids, cells)
+                    mat = mat - c_mat[pos]
+            codes = [
+                sub_ids[j][
+                    _argmin_cells_blocked(
+                        mat[:, j * dsub : (j + 1) * dsub], sub_mats[j]
+                    )
+                ]
+                for j in range(m)
+            ]
+            data = {"id": np.concatenate([ids] * m)}
+            if with_cell:
+                data["cell"] = np.concatenate([cells] * m)
+            data["sub_j"] = np.repeat(np.arange(m, dtype=np.int32), len(ids))
+            data["code"] = np.concatenate(codes)
+            yield pd.DataFrame(data)
+
+    return src.mapInPandas(encode, schema)
+
+
+def _pq_query_dtab(
+    spark, qv_rows: list, cents_by_sub: list, dsub: int, with_cell: bool
+) -> DataFrame:
+    """The query's ADC distance tables as ONE small engine-side frame:
+    ``(sub_j, code, d2)`` (plus ``cell`` for the residual family, where
+    each probed cell owns its own tables). ``qv_rows`` is
+    ``[(cell_or_None, query_vector)]``. Each entry is computed ENGINE-
+    side (``F.round(...).cast(decimal)``) so the decimal rounding
+    matches the SQL oracle's ROUND exactly — factored out of the
+    per-subspace loops so the fused and distributed paths share one
+    definition."""
+    m = len(cents_by_sub)
+    parts = []
+    for j in range(m):
+        cent_df = spark.createDataFrame(
+            cents_by_sub[j], "c_id long, c_vec array<double>"
+        )
+        if with_cell:
+            q_df = spark.createDataFrame(
+                [(c, v[j * dsub : (j + 1) * dsub]) for c, v in qv_rows],
+                "cell long, qv array<double>",
+            )
+            cols = ["cell"]
+        else:
+            q_df = spark.createDataFrame(
+                [(v[j * dsub : (j + 1) * dsub],) for _, v in qv_rows],
+                "qv array<double>",
+            )
+            cols = []
+        parts.append(
+            cent_df.crossJoin(F.broadcast(q_df)).select(
+                *cols,
+                F.lit(j).alias("sub_j"),
+                F.col("c_id").alias("code"),
+                F.round(_d2_fold(F.col("qv"), F.col("c_vec")), 6)
+                .cast("decimal(18,6)")
+                .alias("d2"),
+            )
+        )
+    dtab = parts[0]
+    for d in parts[1:]:
+        dtab = dtab.unionAll(d)
+    return dtab
 
 
 def pq_topk(
@@ -1425,14 +1605,49 @@ def pq_topk(
     cells (:func:`ann_topk_ivf_kmeans_lloyd`) for IVFPQ, where the
     scan also prunes to n_probe cells.
     """
-    emb, _empty, dsub, qv = _pq_prep(df, id_col, vec_col, query_df, m, "pq_topk")
+    emb, _empty, dsub, qv, n_rows = _pq_prep(
+        df, id_col, vec_col, query_df, m, "pq_topk"
+    )
     if not dsub:
         return _empty()
-    emb = cut(emb)  # referenced by m training collects + m encode passes
-    adc = _pq_adc_scan(emb, emb, qv, m, dsub, ksub, n_iter, train_limit)
+    n_train = n_rows if train_limit is None else min(n_rows, train_limit)
+    if not _pq_fused_fits(n_train, m, dsub):
+        # distributed-regime only: the fused path reads the corpus once
+        # per job, so the multi-consumer checkpoint buys nothing there
+        emb = cut(emb)  # referenced by m training collects + m encode passes
+    adc = _pq_adc_scan(
+        emb, emb, qv, m, dsub, ksub, n_iter, train_limit, n_train_rows=n_train
+    )
     if adc is None:
         return _empty()
     return adc.orderBy(F.asc("adc_d2"), F.asc("id")).limit(k)
+
+
+def _pq_fused_fits(n_train: int, m: int, dsub: int) -> bool:
+    """True when the whole PQ training set fits the driver-regime byte
+    cap (rows × dim × 8 ≤ 256 MiB) — the bound that turns on the fused
+    one-collect training AND the fused one-scan Arrow encode."""
+    return 0 < n_train * m * dsub * 8 <= 1 << 28
+
+
+def _probe_cells(qv: list[float], coarse: list, n_probe: int) -> list[int]:
+    """Rank cells driver-side with the pinned sequential fold (the SQL
+    oracle's list_reduce order), ties to the lower c_id — the probe
+    list is a pure function of (query, centroids). A NaN d2 ranks
+    +inf (the _with_cells_arrow rule and DuckDB's NULLS-LAST-like
+    NaN ordering); Python tuple sort would otherwise place it
+    arbitrarily because every NaN comparison is False."""
+
+    def _d2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc if acc == acc else float("inf")
+
+    return [
+        cid
+        for _, cid in sorted((_d2(qv, cv), cid) for cid, cv in coarse)[:n_probe]
+    ]
 
 
 def _pq_adc_scan(
@@ -1444,62 +1659,78 @@ def _pq_adc_scan(
     ksub: int,
     n_iter: int,
     train_limit: int | None,
+    n_train_rows: int | None = None,
 ) -> DataFrame | None:
     """The PQ core shared by :func:`pq_topk` and :func:`ivfpq_topk`:
     train per-subspace codebooks on ``train_src``, encode ``encode_src``
     (both ``(id, v)`` frames; they differ when an IVF stage pruned the
     scan set), build the query's m distance tables, and return the
     un-truncated ``(id, adc_d2)`` frame. ``None`` when a subspace
-    trains empty (empty corpus).
+    trains empty (empty corpus). ``n_train_rows`` is the caller's
+    already-known training row count (post-``train_limit``); passing it
+    skips the sizing action.
 
     Training-floor cut (round 8): when the whole training set fits the
-    driver-regime byte cap, it is sized ONCE and collected ONCE, and
-    all m subspace codebooks train from numpy slices of that matrix
-    (:func:`_lloyd_driver_matrix`) — previously each subspace paid its
-    own sizing job + collect, and those 2m driver round-trips were most
-    of the PQ family's fixed cost at bench scale (the q159/q160 'weak'
-    rows). Value-identical: numpy column slices of collected full
+    driver-regime byte cap, it is sized ONCE and collected ONCE (one
+    Arrow transfer), and all m subspace codebooks train from numpy
+    slices of that matrix (:func:`_lloyd_driver_matrix`) — previously
+    each subspace paid its own sizing job + collect, and those 2m
+    driver round-trips were most of the PQ family's fixed cost at bench
+    scale. Value-identical: numpy column slices of collected full
     vectors equal collected F.slice projections, and the per-subspace
     regime bound (rows x dsub x 8) is implied by the full-matrix bound.
+
+    Encode-pass fusion (round 10): in the same regime the m per-
+    subspace ``_with_cells`` passes collapse into ONE Arrow scan
+    (:func:`_pq_encode_arrow`) — the plan drops from m map passes over
+    ``encode_src`` (each a separate read of the checkpoint/scan) to a
+    single pass, identical per-subspace assignment arithmetic.
+
     Above the cap, the per-subspace `_lloyd_centroid_list` path stands
     (each subspace independently picks driver or distributed regime —
     the 100 TB path is unchanged)."""
-    import numpy as np
-
     spark = train_src.sparkSession
-    q_row = spark.createDataFrame([(qv,)], "qv array<double>")
     tr = (
         train_src
         if train_limit is None
         else train_src.orderBy("id").limit(train_limit)
     )
-    n_train = tr.agg(F.count(F.lit(1))).first()[0]
-    cents_by_sub: list[list] | None = None
-    if 0 < n_train * m * dsub * 8 <= 1 << 28:
-        rows = tr.select("id", "v").collect()
-        ids = np.array([r["id"] for r in rows], dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        mat = np.array([r["v"] for r in rows], dtype=np.float64)[order]
+    n_train = (
+        tr.agg(F.count(F.lit(1))).first()[0]
+        if n_train_rows is None
+        else n_train_rows
+    )
+    if _pq_fused_fits(n_train, m, dsub):
+        ids, mat = _collect_matrix(tr)
         cents_by_sub = [
             _lloyd_driver_matrix(
                 ids, mat[:, j * dsub : (j + 1) * dsub], ksub, n_iter
             )
             for j in range(m)
         ]
-    codes_parts, dtab_parts = [], []
+        if any(not c for c in cents_by_sub):
+            return None
+        codes = _pq_encode_arrow(encode_src, cents_by_sub, dsub)
+        dtab = _pq_query_dtab(
+            spark, [(None, qv)], cents_by_sub, dsub, with_cell=False
+        )
+        return (
+            codes.join(F.broadcast(dtab), ["sub_j", "code"])
+            .groupBy("id")
+            .agg(F.sum("d2").cast("double").alias("adc_d2"))
+        )
+    cents_by_sub = []
+    codes_parts = []
     for j in range(m):
-        if cents_by_sub is not None:
-            cent = cents_by_sub[j]
-        else:
-            sub = train_src.select(
-                "id", F.slice("v", j * dsub + 1, dsub).alias("v")
-            )
-            cent = _lloyd_centroid_list(
-                sub, ksub, n_iter, train_limit=train_limit
-            )
+        sub = train_src.select(
+            "id", F.slice("v", j * dsub + 1, dsub).alias("v")
+        )
+        cent = _lloyd_centroid_list(
+            sub, ksub, n_iter, train_limit=train_limit
+        )
         if not cent:
             return None
+        cents_by_sub.append(cent)
         sub_enc = encode_src.select(
             "id", F.slice("v", j * dsub + 1, dsub).alias("v")
         )
@@ -1508,23 +1739,12 @@ def _pq_adc_scan(
                 "id", F.lit(j).alias("sub_j"), F.col("c_id").alias("code")
             )
         )
-        cent_df = spark.createDataFrame(cent, "c_id long, c_vec array<double>")
-        qsub = q_row.select(F.slice("qv", j * dsub + 1, dsub).alias("qv"))
-        dtab_parts.append(
-            cent_df.crossJoin(F.broadcast(qsub)).select(
-                F.lit(j).alias("sub_j"),
-                F.col("c_id").alias("code"),
-                F.round(_d2_fold(F.col("qv"), F.col("c_vec")), 6)
-                .cast("decimal(18,6)")
-                .alias("d2"),
-            )
-        )
     codes = codes_parts[0]
     for c in codes_parts[1:]:
         codes = codes.unionAll(c)
-    dtab = dtab_parts[0]
-    for d in dtab_parts[1:]:
-        dtab = dtab.unionAll(d)
+    dtab = _pq_query_dtab(
+        spark, [(None, qv)], cents_by_sub, dsub, with_cell=False
+    )
     return (
         codes.join(F.broadcast(dtab), ["sub_j", "code"])
         .groupBy("id")
@@ -1565,31 +1785,52 @@ def ivfpq_topk(
     residual subtraction is exact IEEE and would oracle the same way —
     it is the documented next gear, not a semantics change.
     """
-    emb, _empty, dsub, qv = _pq_prep(
+    emb, _empty, dsub, qv, n_rows = _pq_prep(
         df, id_col, vec_col, query_df, m, "ivfpq_topk"
     )
     if not dsub:
         return _empty()
+    n_train = n_rows if train_limit is None else min(n_rows, train_limit)
+    if _pq_fused_fits(n_train, m, dsub):
+        # Fused driver regime (round 10): ONE Arrow collect trains the
+        # coarse centroids AND all m subspace codebooks, and ONE Arrow
+        # scan assigns coarse cells, filters to the probes and encodes
+        # all m subspaces (_pq_encode_arrow) — the previous plan paid a
+        # corpus checkpoint, a separate coarse-assignment pass, a
+        # candidate checkpoint, a sizing count and a second collect.
+        # Arithmetic is the pytest-pinned fold everywhere, so results
+        # (and the q160 oracle verdict) cannot move.
+        tr = emb if train_limit is None else emb.orderBy("id").limit(train_limit)
+        ids, mat = _collect_matrix(tr)
+        coarse = _lloyd_driver_matrix(ids, mat, n_cells, n_iter)
+        if not coarse:
+            return _empty()
+        probes = _probe_cells(qv, coarse, n_probe)
+        cents_by_sub = [
+            _lloyd_driver_matrix(
+                ids, mat[:, j * dsub : (j + 1) * dsub], ksub, n_iter
+            )
+            for j in range(m)
+        ]
+        if any(not c for c in cents_by_sub):
+            return _empty()
+        codes = _pq_encode_arrow(
+            emb, cents_by_sub, dsub, coarse=coarse, probes=probes
+        )
+        dtab = _pq_query_dtab(
+            df.sparkSession, [(None, qv)], cents_by_sub, dsub, with_cell=False
+        )
+        adc = (
+            codes.join(F.broadcast(dtab), ["sub_j", "code"])
+            .groupBy("id")
+            .agg(F.sum("d2").cast("double").alias("adc_d2"))
+        )
+        return adc.orderBy(F.asc("adc_d2"), F.asc("id")).limit(k)
     emb = cut(emb)  # coarse training + assignment + m PQ passes
     coarse = _lloyd_centroid_list(emb, n_cells, n_iter, train_limit=train_limit)
     if not coarse:
         return _empty()
-    # rank cells driver-side with the pinned sequential fold (the SQL
-    # oracle's list_reduce order), ties to the lower c_id — the probe
-    # list is a pure function of (query, centroids). A NaN d2 ranks
-    # +inf (the _with_cells_arrow rule and DuckDB's NULLS-LAST-like
-    # NaN ordering); Python tuple sort would otherwise place it
-    # arbitrarily because every NaN comparison is False.
-    def _d2(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += (x - y) * (x - y)
-        return acc if acc == acc else float("inf")
-
-    probes = [
-        cid
-        for _, cid in sorted((_d2(qv, cv), cid) for cid, cv in coarse)[:n_probe]
-    ]
+    probes = _probe_cells(qv, coarse, n_probe)
     # the pruned candidate set feeds m encode branches — cut it once or
     # the full-corpus coarse assignment re-executes per subspace
     cand = cut(
@@ -1643,12 +1884,70 @@ def ivfpq_residual_topk(
     (residual construction is one extra map stage against a broadcast
     centroid table); index structures stay driver-sized.
     """
-    emb, _empty, dsub, qv = _pq_prep(
+    emb, _empty, dsub, qv, n_rows = _pq_prep(
         df, id_col, vec_col, query_df, m, "ivfpq_residual_topk"
     )
     if not dsub:
         return _empty()
     spark = df.sparkSession
+    n_train = n_rows if train_limit is None else min(n_rows, train_limit)
+    if _pq_fused_fits(n_train, m, dsub):
+        # Fused driver regime (round 10): ONE Arrow collect serves the
+        # coarse training, the probe ranking AND the residual subspace
+        # training — residuals are computed in numpy (mat minus the
+        # own-cell centroid row: the exact IEEE elementwise subtraction
+        # of the engine's zip_with, over the pytest-pinned assignment
+        # fold), so the full-corpus ``resv`` frame is never
+        # materialized. ONE Arrow scan then assigns, filters to the
+        # probes, subtracts the residual and encodes all m subspaces
+        # (_pq_encode_arrow, residual=True), emitting (id, cell, sub_j,
+        # code) directly — the candidate checkpoint and the
+        # codes-to-cell re-join disappear from the plan. The previous
+        # shape paid: emb cut, resv cut, cand cut, a sizing count and a
+        # second full collect — 5 extra actions per query.
+        tr = emb if train_limit is None else emb.orderBy("id").limit(train_limit)
+        ids, mat = _collect_matrix(tr)
+        coarse = _lloyd_driver_matrix(ids, mat, n_cells, n_iter)
+        if not coarse:
+            return _empty()
+        import numpy as np
+
+        c_ids = np.array([c for c, _ in coarse], dtype=np.int64)
+        c_mat = np.array([v for _, v in coarse], dtype=np.float64)
+        assign = _argmin_cells_blocked(mat, c_mat)
+        res_mat = mat - c_mat[assign]
+        probes = _probe_cells(qv, coarse, n_probe)
+        cents_by_sub = [
+            _lloyd_driver_matrix(
+                ids, res_mat[:, j * dsub : (j + 1) * dsub], ksub, n_iter
+            )
+            for j in range(m)
+        ]
+        if any(not c for c in cents_by_sub):
+            return _empty()
+        codes = _pq_encode_arrow(
+            emb, cents_by_sub, dsub, coarse=coarse, probes=probes,
+            residual=True,
+        )
+        # per-probed-cell query residuals as DATA (driver float
+        # subtraction is the same IEEE double op the oracle's SQL
+        # subtraction performs); the d2 table entries themselves are
+        # computed ENGINE-side so the decimal rounding matches the
+        # oracle's ROUND exactly
+        q_res_rows = [
+            (cid, [q - c for q, c in zip(qv, cv)])
+            for cid, cv in coarse
+            if cid in set(probes)
+        ]
+        dtab = _pq_query_dtab(
+            spark, q_res_rows, cents_by_sub, dsub, with_cell=True
+        )
+        adc = (
+            codes.join(F.broadcast(dtab), ["cell", "sub_j", "code"])
+            .groupBy("id")
+            .agg(F.sum("d2").cast("double").alias("adc_d2"))
+        )
+        return adc.orderBy(F.asc("adc_d2"), F.asc("id")).limit(k)
     emb = cut(emb)  # coarse training + assignment reference it
     coarse = _lloyd_centroid_list(emb, n_cells, n_iter, train_limit=train_limit)
     if not coarse:
@@ -1670,94 +1969,39 @@ def ivfpq_residual_topk(
             ).alias("v"),
         )
     )
-
-    # probe list: pure function of (query, centroids) — the pinned
-    # sequential fold with lower-c_id tie-break (see ivfpq_topk)
-    def _d2(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += (x - y) * (x - y)
-        return acc if acc == acc else float("inf")
-
-    probes = [
-        cid
-        for _, cid in sorted((_d2(qv, cv), cid) for cid, cv in coarse)[:n_probe]
-    ]
+    probes = _probe_cells(qv, coarse, n_probe)
     cand = cut(resv.where(F.col("c_id").isin(probes)))
-    # per-probed-cell query residuals as DATA (driver float subtraction
-    # is the same IEEE double op the oracle's SQL subtraction performs);
-    # the d2 table entries themselves are computed ENGINE-side so the
-    # decimal rounding matches the oracle's ROUND exactly
-    q_res = spark.createDataFrame(
-        [
-            (cid, [q - c for q, c in zip(qv, cv)])
-            for cid, cv in coarse
-            if cid in set(probes)
-        ],
-        "cell long, qv array<double>",
-    )
-    # fused training collect (the _pq_adc_scan round-8 floor cut): size
-    # the residual training set once, collect once, train all m subspace
-    # codebooks from numpy slices — the collected v values ARE the
-    # engine's zip_with residuals, so bit-identity is untouched
-    import numpy as np
-
-    tr = (
-        resv if train_limit is None else resv.orderBy("id").limit(train_limit)
-    )
-    n_train = tr.agg(F.count(F.lit(1))).first()[0]
-    cents_by_sub = None
-    if 0 < n_train * m * dsub * 8 <= 1 << 28:
-        rows = tr.select("id", "v").collect()
-        r_ids = np.array([r["id"] for r in rows], dtype=np.int64)
-        order = np.argsort(r_ids, kind="stable")
-        r_ids = r_ids[order]
-        r_mat = np.array([r["v"] for r in rows], dtype=np.float64)[order]
-        cents_by_sub = [
-            _lloyd_driver_matrix(
-                r_ids, r_mat[:, j * dsub : (j + 1) * dsub], ksub, n_iter
-            )
-            for j in range(m)
-        ]
-    codes_parts, dtab_parts = [], []
+    # per-probed-cell query residuals as DATA (see the fused branch)
+    q_res_rows = [
+        (cid, [q - c for q, c in zip(qv, cv)])
+        for cid, cv in coarse
+        if cid in set(probes)
+    ]
+    # per-subspace training over the resv frame (each subspace
+    # independently picks driver or distributed regime — the 100 TB
+    # path); encode stays m _with_cells passes over the candidate cut
+    cents_by_sub = []
+    codes_parts = []
     for j in range(m):
-        if cents_by_sub is not None:
-            cent = cents_by_sub[j]
-        else:
-            sub = resv.select(
-                "id", F.slice("v", j * dsub + 1, dsub).alias("v")
-            )
-            cent = _lloyd_centroid_list(
-                sub, ksub, n_iter, train_limit=train_limit
-            )
+        sub = resv.select(
+            "id", F.slice("v", j * dsub + 1, dsub).alias("v")
+        )
+        cent = _lloyd_centroid_list(
+            sub, ksub, n_iter, train_limit=train_limit
+        )
         if not cent:
             return _empty()
+        cents_by_sub.append(cent)
         sub_enc = cand.select("id", F.slice("v", j * dsub + 1, dsub).alias("v"))
         codes_parts.append(
             _with_cells(sub_enc, cent).select(
                 "id", F.lit(j).alias("sub_j"), F.col("c_id").alias("code")
             )
         )
-        cent_df_j = spark.createDataFrame(cent, "c_id long, c_vec array<double>")
-        qsub = q_res.select(
-            "cell", F.slice("qv", j * dsub + 1, dsub).alias("qv")
-        )
-        dtab_parts.append(
-            cent_df_j.crossJoin(F.broadcast(qsub)).select(
-                "cell",
-                F.lit(j).alias("sub_j"),
-                F.col("c_id").alias("code"),
-                F.round(_d2_fold(F.col("qv"), F.col("c_vec")), 6)
-                .cast("decimal(18,6)")
-                .alias("d2"),
-            )
-        )
     codes = codes_parts[0]
     for c in codes_parts[1:]:
         codes = codes.unionAll(c)
-    dtab = dtab_parts[0]
-    for d in dtab_parts[1:]:
-        dtab = dtab.unionAll(d)
+    dtab = _pq_query_dtab(spark, q_res_rows, cents_by_sub, dsub, with_cell=True)
     adc = (
         codes.join(cand.select("id", F.col("c_id").alias("cell")), "id")
         .join(F.broadcast(dtab), ["cell", "sub_j", "code"])
