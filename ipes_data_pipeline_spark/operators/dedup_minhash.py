@@ -29,7 +29,7 @@ from ipes_data_pipeline_spark.functions.text import (
     token_hashes,
     tokens,
 )
-from ipes_data_pipeline_spark.operators.util import cut, spread
+from ipes_data_pipeline_spark.operators.util import cut, spill_worthwhile, spread
 
 
 def minhash_bands(
@@ -208,19 +208,22 @@ def minhash_lsh_pairs(
     # plan would run tokenize+shingle+hash twice — exactly the cost
     # this checkpoint exists to avoid.
     # Band tables are data-proportional (n_docs × n_bands string-keyed
-    # rows): store them via the columnar parquet spill, not
-    # localCheckpoint's deserialized row blocks — the r9 q39 edge-store
-    # lesson (SCALING.md: +182 s heap thrash vs +26 s spill at 213M
-    # rows); within noise at small scale. No spark_partition_id
-    # consumer anywhere downstream.
+    # rows): store them via the columnar parquet spill ONCE THE INPUT IS
+    # BIG — the r9 q39 edge-store lesson (SCALING.md: +182 s heap
+    # thrash vs +26 s spill at 213M rows) — but the spill's extra write
+    # job costs ~0.4 s/query where localCheckpoint is free (round-10
+    # sf0.1 A/B), so the store regime follows the input-size estimate
+    # (util.spill_worthwhile; spark.ipes.spillMinInputBytes). No
+    # spark_partition_id consumer anywhere downstream.
+    spill = spill_worthwhile(df)
     raw = minhash_bands(
         df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn, shingles_df
     )
     if bucket_cap is not None:
-        raw = cut(raw, reliable, via_parquet=True)
+        raw = cut(raw, reliable, via_parquet=spill)
     bands = _cap_band_buckets(raw, bucket_cap)
     if materialize:
-        bands = cut(bands, reliable, via_parquet=True)
+        bands = cut(bands, reliable, via_parquet=spill)
     # materialize=False relies on exchange reuse instead: the signature
     # aggregate's exchange is the identical subtree on both sides of the
     # self-join, so the hash pipeline still runs once — and the pair
@@ -273,14 +276,21 @@ def minhash_lsh_pairs_delta(
     are counted over the union so a boilerplate band key that is huge in
     the corpus gets sub-salted even when the new batch's share is small.
     """
-    # corpus/batch-proportional band tables: parquet-spill store (the
-    # r9 edge-store rule; see minhash_lsh_pairs)
+    # corpus/batch-proportional band tables: parquet-spill store once
+    # the input is big (the r9 edge-store rule, input-adaptive — see
+    # minhash_lsh_pairs)
+    spill_new = spill_worthwhile(new_df)
+    # corpus_df may be None when a stored corpus_bands is passed; size
+    # the corpus side from whichever frame actually exists
+    spill_corpus = spill_worthwhile(
+        corpus_df if corpus_bands is None else corpus_bands
+    )
     new_bands = cut(
         minhash_bands(
             new_df, id_col, text_col, n_hashes, band_size, shingle_n, hash_fn
         ),
         reliable,
-        via_parquet=True,
+        via_parquet=spill_new,
     )
     if corpus_bands is None:
         corpus_bands = minhash_bands(
@@ -290,7 +300,9 @@ def minhash_lsh_pairs_delta(
             # same rule as the batch form: _cap_band_buckets reads the
             # union twice (sizes + join) — pin the hash-heavy corpus
             # lineage before capping, or it tokenizes twice
-            corpus_bands = cut(corpus_bands, reliable, via_parquet=True)
+            corpus_bands = cut(
+                corpus_bands, reliable, via_parquet=spill_corpus
+            )
     others = _cap_band_buckets(
         corpus_bands.withColumn("is_new", F.lit(False)).unionByName(
             new_bands.withColumn("is_new", F.lit(True))
@@ -302,7 +314,9 @@ def minhash_lsh_pairs_delta(
     else:
         # pin the salted union once; the probe side is its is_new slice,
         # so both sides of the join carry the SAME sub-salt.
-        others = cut(others, reliable, via_parquet=True)
+        others = cut(
+            others, reliable, via_parquet=spill_new or spill_corpus
+        )
         probe = others.where(F.col("is_new")).drop("is_new")
     n, o = probe.alias("n"), others.alias("o")
     return (
@@ -355,18 +369,20 @@ def minhash_neardup_pairs(
     # tokenize+shingle projection is the operator's single heaviest map
     # stage, and the naive form paid it twice (once under the bands'
     # checkpoint, once per refine side). Eager cut, via the columnar
-    # parquet spill: the per-doc shingle STRING ARRAYS are exactly the
-    # deserialized-row-block shape that thrashed the heap in the r9
-    # q39 edge-store A/B (this frame was SCALING.md's remaining q42p
-    # suspect — "the sf10 shingle-array cut() materialization
-    # breathing with memory pressure"). Referenced by the band stage
+    # parquet spill ONCE THE INPUT IS BIG: the per-doc shingle STRING
+    # ARRAYS are exactly the deserialized-row-block shape that thrashed
+    # the heap in the r9 q39 edge-store A/B (this frame was SCALING.md's
+    # remaining q42p suspect — "the sf10 shingle-array cut()
+    # materialization breathing with memory pressure"); below the
+    # threshold localCheckpoint skips the spill's write job (round-10
+    # sf0.1 A/B — see minhash_lsh_pairs). Referenced by the band stage
     # and both refine joins; no spark_partition_id consumer.
     sh_df = cut(
         spread(df)
         .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
         .select("id", shingles(F.col("toks"), shingle_n).alias("sh")),
         reliable,
-        via_parquet=True,
+        via_parquet=spill_worthwhile(df),
     )
     # materialize=False: the candidate set feeds exactly one consumer
     # chain (the refine), so the band self-join can land in the final

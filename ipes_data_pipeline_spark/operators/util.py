@@ -82,6 +82,37 @@ def _spill_root(spark: SparkSession) -> str | None:
     return None
 
 
+#: Input-size threshold (bytes) below which an INPUT-PROPORTIONAL
+#: intermediate (minhash band/shingle tables) is materialized via
+#: localCheckpoint instead of the parquet spill. The spill is the right
+#: store when the frame is big — the round-9 sf10 A/B measured
+#: localCheckpoint's deserialized row blocks at +182 s vs +26 s for the
+#: spill on the 213M-row set — but it costs an extra write job + FS
+#: round-trip that localCheckpoint doesn't, ~0.4 s per query at sf0.1
+#: (round-10 A/B, this file's history). The regime must therefore be
+#: scale-ADAPTIVE, not a constant: Catalyst's optimized-plan size
+#: estimate of the operator's INPUT (file-size-based for scan-rooted
+#: plans, no action needed) picks the store. 256 MiB ~ the sf1/sf10
+#: boundary for the documents corpus. NOT used for edge sets
+#: (candidate_pairs): those grow with block-pair counts, not input
+#: bytes, and stay on the spill unconditionally.
+SPILL_MIN_INPUT_BYTES_CONF = "spark.ipes.spillMinInputBytes"
+_SPILL_MIN_INPUT_BYTES = 256 << 20
+
+
+def spill_worthwhile(df: DataFrame) -> bool:
+    """True when ``df``'s Catalyst size estimate crosses the spill
+    threshold — callers materializing an intermediate PROPORTIONAL to
+    ``df`` pass the result as ``cut(..., via_parquet=...)``."""
+    thr = int(
+        df.sparkSession.conf.get(
+            SPILL_MIN_INPUT_BYTES_CONF, str(_SPILL_MIN_INPUT_BYTES)
+        )
+    )
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return est >= thr
+
+
 def cut(
     df: DataFrame, reliable: bool = False, via_parquet: bool = False
 ) -> DataFrame:

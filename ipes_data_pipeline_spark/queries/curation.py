@@ -1077,24 +1077,39 @@ def q145(spark, sf):
     tk = spread(t(spark, sf, "documents")).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
-    f = tk.select(
-        "doc_id",
-        (F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("bigint") % 16).alias(
-            "b"
-        ),
-    ).transform(cut)  # feeds the counts pass + the tf rollup
-    # BOTH per-bucket distributions in ONE conditional-aggregate pass
-    # (the earlier form scanned f once per split, once for distinct b,
-    # and once for tf — four passes); the 16-row result is collected and
-    # re-enters as a driver-literal table, with the llr expression still
-    # evaluated by Spark so the log/round arithmetic stays bit-identical
-    # to the SQL oracle (Python's libm log could differ in the last ulp).
+    # Aggregate BEFORE materializing (guide §2.3): the two consumers
+    # (bucket distributions + per-doc tf rollup) both derive from the
+    # (doc, bucket) occurrence counts, so roll the exploded token
+    # stream up to tf(doc_id, b) in its ONE pass (map-side combined)
+    # and pin that — |docs|×16 rows instead of the |token-occurrences|
+    # stream the earlier cut materialized. c_t/c_c per bucket are then
+    # exact integer sums of tf over the split — the same occurrence
+    # counts, just associated differently.
+    f = (
+        tk.select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast(
+                    "bigint"
+                )
+                % 16
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(cut)  # feeds the counts pass + the tf side
+    )
+    # BOTH per-bucket distributions in ONE conditional-aggregate pass;
+    # the 16-row result is collected and re-enters as a driver-literal
+    # table, with the llr expression still evaluated by Spark so the
+    # log/round arithmetic stays bit-identical to the SQL oracle
+    # (Python's libm log could differ in the last ulp).
     is_t = (F.col("doc_id") % 23 == 0).cast("int")
     counts = (
         f.groupBy("b")
         .agg(
-            F.sum(is_t).alias("c_t"),
-            F.sum(1 - is_t).alias("c_c"),
+            F.sum(F.col("tf") * is_t).alias("c_t"),
+            F.sum(F.col("tf") * (1 - is_t)).alias("c_c"),
         )
         .collect()
     )
@@ -1117,11 +1132,7 @@ def q145(spark, sf):
         [(r["b"], r["c_t"], r["c_c"]) for r in counts],
         "b bigint, c_t bigint, c_c bigint",
     ).select("b", llr.alias("llr"))
-    tf = (
-        f.where(F.col("doc_id") % 23 != 0)
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = f.where(F.col("doc_id") % 23 != 0).select("doc_id", "b", "tf")
     return tf.join(F.broadcast(lr), "b").groupBy("doc_id").agg(
         F.sum("tf").cast("bigint").alias("n_feats"),
         F.sum(F.col("tf").cast("decimal(9,0)") * F.col("llr"))
