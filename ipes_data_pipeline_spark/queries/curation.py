@@ -706,57 +706,78 @@ def q134(spark, sf):
 
 
 def bm25_topk(spark, sf, terms=_BM25_TERMS, topk=_BM25_TOPK):
-    # Physical shape: one tokenize scan; tf is a (doc, term) aggregate
-    # over ONLY the query terms (the isin filter runs before the first
-    # shuffle, so the exchange carries |terms| x |docs| rows at most);
-    # df and the global length stats are tiny aggregates broadcast back;
-    # the final top-k is TakeOrderedAndProject. At 100 TB nothing here
-    # materializes the corpus: the heavy exchange is bounded by the
-    # query vocabulary, and scoring is codegen'd column math.
+    # Physical shape (round-10 rework): ONE tokenize scan, rolled up to
+    # a per-doc row of (n_toks, tf per query term) by conditional
+    # aggregates — the query vocabulary is a short constant list, so tf
+    # fits in |terms| columns and the old (doc, term)-row form's three
+    # separate corpus passes (length stats, document frequencies, tf)
+    # collapse into one map-side-combined aggregate, pinned once. The
+    # global stats (n, avgdl, per-term df) are ONE 1-row broadcast over
+    # that rollup; scoring is codegen'd column math over it and the
+    # final top-k is TakeOrderedAndProject. At 100 TB the heavy
+    # exchange carries |docs| short rows — the same bound as before,
+    # one pass earlier. Values are unchanged term for term: per-term
+    # parts use the identical idf/w_sat expressions, a term absent from
+    # a doc contributes an exact decimal 0 (the old inner join simply
+    # omitted the row), and decimal addition is order-free.
     # (Shared with q163's lexical leg — one definition keeps the Spark
     # plan and the oracle CTE in sync across both queries.)
     k1, b = _BM25_K1, _BM25_B
     d = t(spark, sf, "documents").select(
         "doc_id", tokens(F.col("text")).alias("w")
     )
-    dl = d.select("doc_id", F.size("w").cast("bigint").alias("n_toks"))
+    # explode_outer keeps zero-token docs: they must still count in
+    # (n, avgdl) exactly as the old size()-based length table did
+    ex = d.select("doc_id", F.explode_outer("w").alias("tok"))
+    grp = cut(
+        ex.groupBy("doc_id").agg(
+            F.count("tok").cast("bigint").alias("n_toks"),
+            *[
+                F.sum((F.col("tok") == qt).cast("long")).alias(f"tf_{i}")
+                for i, qt in enumerate(terms)
+            ],
+        )
+    )
     g = F.broadcast(
-        dl.agg(
+        grp.agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             (
                 F.sum(F.col("n_toks").cast("decimal(18,6)")).cast("double")
                 / F.count(F.lit(1))
             ).alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+                for i in range(len(terms))
+            ],
         )
     )
-    tk = d.select("doc_id", F.explode("w").alias("tok"))
-    tf = (
-        tk.where(F.col("tok").isin(*terms))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfc = F.broadcast(
-        tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    )
-    idf = F.log(
-        (F.col("n").cast("double") - F.col("df").cast("double") + 0.5)
-        / (F.col("df").cast("double") + 0.5)
-        + 1.0
-    )
-    w_sat = (F.col("tf").cast("double") * (1.0 + k1)) / (
-        F.col("tf").cast("double")
-        + k1 * (1.0 - b + b * F.col("n_toks").cast("double") / F.col("avgdl"))
-    )
-    part = F.round(idf, 6).cast("decimal(18,6)") * F.round(w_sat, 6).cast(
-        "decimal(18,6)"
-    )
+
+    def part(i):
+        idf = F.log(
+            (F.col("n").cast("double") - F.col(f"df_{i}").cast("double") + 0.5)
+            / (F.col(f"df_{i}").cast("double") + 0.5)
+            + 1.0
+        )
+        w_sat = (F.col(f"tf_{i}").cast("double") * (1.0 + k1)) / (
+            F.col(f"tf_{i}").cast("double")
+            + k1
+            * (1.0 - b + b * F.col("n_toks").cast("double") / F.col("avgdl"))
+        )
+        p = F.round(idf, 6).cast("decimal(18,6)") * F.round(w_sat, 6).cast(
+            "decimal(18,6)"
+        )
+        return F.when(F.col(f"tf_{i}") > 0, p).otherwise(
+            F.lit(0).cast("decimal(18,6)")
+        )
+
+    score = part(0)
+    for i in range(1, len(terms)):
+        score = score + part(i)
+    present = F.greatest(*[F.col(f"tf_{i}") for i in range(len(terms))]) > 0
     return (
-        tf.join(dfc, "tok")
-        .join(dl, "doc_id")
-        .crossJoin(g)
-        .select("doc_id", part.alias("part"))
-        .groupBy("doc_id")
-        .agg(F.sum("part").cast("double").alias("bm25"))
+        grp.crossJoin(g)
+        .where(present)
+        .select("doc_id", score.cast("double").alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(topk)
     )
