@@ -1041,31 +1041,31 @@ def q104(spark, sf):
     # bit-reproducible in DuckDB, and the query reports its calibration:
     # n_bloom_pass >= n_exact always (no false negatives), with
     # n_false_pos showing the fp rate at this fill ratio.
-    # dim feeds both the bloom build and the exact check — pin it so
-    # customer scans (and the distinct shuffle) run once, not twice.
-    dim = (
-        t(spark, sf, "customer")
+    # ONE driver round-trip builds the whole runtime filter (round 10):
+    # collect the distinct dim KEYS (the Bloom build side — "small side
+    # fits" is this operator's premise, same as Spark's own runtime
+    # bloom, whose build side is likewise collected) and derive the
+    # 2048-word mask table in Python md5 — bit-identical to the engine
+    # md5 over the same decimal strings. The previous shape paid a dim
+    # localCheckpoint, an explode+bit_or aggregate job AND the final
+    # probe; now one collect + one probe job, and the dim subtree runs
+    # once.
+    import hashlib
+
+    keys = sorted(
+        int(r["v"])
+        for r in t(spark, sf, "customer")
         .where(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").cast("string").alias("v"))
         .distinct()
-        .transform(cut)
+        .collect()
     )
-    bloom = (
-        dim.select(F.explode(_bf_positions(F.col("v"))).alias("p"))
-        .select(
-            F.shiftright("p", 5).cast("long").alias("word"),
-            (F.col("p") % 32).cast("int").alias("bit"),
-        )
-        .groupBy("word")
-        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("mask"))
-    )
-    # Collect the 2048-word filter to the driver and inject it as ONE
-    # array literal — the same re-plan shape as Spark's own runtime
-    # bloom (build side collected, filter injected into the probe plan).
-    # This drops the single-task one-row aggregate stage and the
-    # broadcast cross join the previous formulation paid; the probe is
-    # now pure column math against a 16 KB plan constant.
-    masks = {int(r["word"]): int(r["mask"]) for r in bloom.collect()}
+    masks: dict[int, int] = {}
+    for key in keys:
+        h = hashlib.md5(str(key).encode()).hexdigest()
+        for s in _BF_SLICES:
+            p = int(h[s - 1 : s + 7], 16) % _BF_BITS
+            masks[p >> 5] = masks.get(p >> 5, 0) | (1 << (p % 32))
     arr = F.lit([masks.get(w, 0) for w in range(_BF_WORDS)])
     # spread: the md5×4 probe math inherits the scan's partitioning and
     # sf0.1 orders is one row-group — one task would hog one core.
@@ -1081,8 +1081,11 @@ def q104(spark, sf):
             ),
         )
     )
+    dim_keys = spark.createDataFrame(
+        [(k,) for k in keys], "c_custkey long"
+    )
     exact = probe.join(
-        F.broadcast(dim.select(F.col("v").cast("long").alias("c_custkey"))),
+        F.broadcast(dim_keys),
         probe.o_custkey == F.col("c_custkey"),
         "left_outer",
     ).withColumn("ex", F.col("c_custkey").isNotNull())
