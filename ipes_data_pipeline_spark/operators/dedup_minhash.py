@@ -499,10 +499,28 @@ def simhash_neardup_pairs(
             stacklevel=2,
         )
     band_w = n_bits // n_bands
-    sigs = simhash_signatures(df, id_col, text_col, n_bits).transform(cut)
+    # sim0..simK: the '0'/'1' signature parsed ONCE per row into 48-bit
+    # integer chunks (48 < 63 so conv->long never overflows), so the
+    # refine below is one bit_count(a XOR b) per chunk per candidate
+    # pair instead of 2 x n_bits interpreted substring compares (the
+    # BHJ evaluates the hamming expression in the join condition AND
+    # the projection). Same integer by construction: differing chars ==
+    # differing bits. Bands also shuffle/broadcast 8-byte longs instead
+    # of the n_bits-char string (guide: narrower types through the
+    # exchange).
+    chunk_w = 48
+    n_chunks = (n_bits + chunk_w - 1) // chunk_w
+    sim_cols = [f"sim{k}" for k in range(n_chunks)]
+    sigs = simhash_signatures(df, id_col, text_col, n_bits)
+    for k, c in enumerate(sim_cols):
+        piece = F.substring(
+            "simhash", k * chunk_w + 1, min(chunk_w, n_bits - k * chunk_w)
+        )
+        sigs = sigs.withColumn(c, F.conv(piece, 2, 10).cast("long"))
+    sigs = cut(sigs)
     bands = sigs.select(
         "id",
-        "simhash",
+        *sim_cols,
         F.explode(
             F.array(
                 *[
@@ -516,7 +534,7 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("id", "simhash", F.col("b.band_idx"), F.col("b.band_bits"))
+    ).select("id", *sim_cols, F.col("b.band_idx"), F.col("b.band_bits"))
     if bucket_cap is not None:
         # Bucket sizes via groupBy, NOT a window: a window partitioned
         # by the band value inherits the very skew being mitigated (the
@@ -546,13 +564,9 @@ def simhash_neardup_pairs(
         bands = bands.withColumn("sub", F.lit(0))
     a, b = bands.alias("a"), bands.alias("b")
     hamming = sum(
-        F.when(
-            F.substring(F.col("a.simhash"), i + 1, 1)
-            != F.substring(F.col("b.simhash"), i + 1, 1),
-            1,
-        ).otherwise(0)
-        for i in range(n_bits)
-    )
+        F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
+        for c in sim_cols
+    ).cast("int")
     return (
         a.join(
             b,
