@@ -24,8 +24,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
-from ipes_data_pipeline_spark.operators.util import cut
+from ipes_data_pipeline_spark.operators.util import (
+    _EDGE_SPILL_MIN_INPUT_BYTES,
+    EDGE_SPILL_MIN_INPUT_BYTES_CONF,
+    cut,
+    spill_worthwhile,
+)
 
 
 def candidate_pairs(
@@ -53,18 +59,29 @@ def candidate_pairs(
     value-checked by the q39p oracle IN the regime where it fires.
     ``None`` ⇒ lossless blocking, unchanged behavior.
 
-    ``spill_edges`` (default on) materializes the half edge set via a
-    columnar parquet spill instead of ``localCheckpoint`` — the edge
-    set is the one intermediate PROPORTIONAL TO THE DATA here, and the
-    round-9 A/B (``scripts/ab_q39_edge_store.py``) measured the
-    deserialized row blocks of localCheckpoint at +182 s on the 213M-
-    edge sf10 set (48 GB heap thrash) vs +26 s for the spill; at small
-    scale the two are within noise. Off ⇒ the old block-store regime.
+    ``spill_edges`` (default on) allows the half edge set to
+    materialize via a columnar parquet spill instead of
+    ``localCheckpoint`` — the edge set is the one intermediate
+    PAIR-PROPORTIONAL here, and the round-9 A/B
+    (``scripts/ab_q39_edge_store.py``) measured the deserialized row
+    blocks of localCheckpoint at +182 s on the 213M-edge sf10 set
+    (48 GB heap thrash) vs +26 s for the spill. The regime is
+    input-size-adaptive (``spark.ipes.edgeSpillMinInputBytes``,
+    default 8 MiB — the edge blowup means the flip must come well
+    before the input itself is big): below it the spill's extra write
+    job is pure overhead (~0.4 s/query measured at sf0.1) and
+    localCheckpoint is used. Off ⇒ always the block-store regime.
     """
     keyed = df.select(
         F.col(id_col).alias("node"),
         F.col(name_col).alias("name"),
         block_expr.alias("blk"),
+    )
+    # Store-regime decision on the PRE-SALT projection (file-size-based
+    # estimate for scan-rooted plans; the salted join below would
+    # inflate the estimate with join-output guesses).
+    spill = spill_edges and spill_worthwhile(
+        keyed, EDGE_SPILL_MIN_INPUT_BYTES_CONF, _EDGE_SPILL_MIN_INPUT_BYTES
     )
     if block_cap is not None:
         # Sizes via a map-side-combined groupBy broadcast back — a
@@ -111,7 +128,7 @@ def candidate_pairs(
         # persisting the doubled set. No spark_partition_id consumer
         # downstream, so the parquet spill's unpinned partition ids are
         # safe (cut docstring).
-        .transform(lambda d: cut(d, via_parquet=spill_edges))
+        .transform(lambda d: cut(d, via_parquet=spill))
     )
     return half.unionAll(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
@@ -196,6 +213,7 @@ def min_label_components_contracted(
     edges: DataFrame,
     max_rounds: int = 16,
     broadcast_labels_max_bytes: int = 1 << 30,
+    driver_components_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Connected components by one propagation round + graph contraction.
 
@@ -205,9 +223,13 @@ def min_label_components_contracted(
     2. Contract: every edge (x, y) becomes (l1(x), l1(y)) — two joins
        of the edge list against the label table, then a distinct whose
        map-side partial dedup collapses the result before the shuffle.
-    3. Min-label propagate to fixpoint on the contracted graph — rows =
-       distinct labels, orders of magnitude smaller than the node set
-       for dense similarity graphs.
+    3. Components of the contracted graph — rows = surviving label
+       pairs, orders of magnitude smaller than the node set for dense
+       similarity graphs. Up to ``driver_components_max_rows`` rows the
+       components are solved by an exact union-find on the driver (one
+       Arrow collect of the materialized edge set — the broadcast
+       small-side premise); beyond the cap, distributed min-label
+       propagation to fixpoint.
     4. Map back: node → l1 → contracted canonical.
 
     A component's min node m satisfies l1(m) = m, so m survives into the
@@ -261,11 +283,61 @@ def min_label_components_contracted(
     )
     # Empty contraction ⇔ every component had diameter ≤ 2 ⇔ l1 is already
     # the exact component minimum. The common case for blocked entity-name
-    # graphs — short-circuiting it saves the whole fixpoint loop (several
-    # probe/checkpoint jobs per pipeline run; the probe here is one cheap
-    # action over the just-materialized contracted edge set).
-    if contracted.isEmpty():
+    # graphs — short-circuiting it saves the whole fixpoint loop. The
+    # count runs on the just-materialized blocks (same cost class as the
+    # former isEmpty probe) and doubles as the driver-regime gate below.
+    n_contracted = contracted.count()
+    if n_contracted == 0:
         return l1.select("node", F.col("lab").alias("canonical_id"))
+    if n_contracted <= driver_components_max_rows:
+        # Driver union-find regime: the contracted graph is orders of
+        # magnitude smaller than the node set (one row per SURVIVING
+        # inter-component label pair — 1.3k rows for 4.3M raw edges at
+        # sf0.1), so its exact components are a bounded driver problem,
+        # the same small-side-fits premise as Spark's own broadcast
+        # collect. One Arrow transfer replaces the whole distributed
+        # fixpoint chain (label-distinct shuffle + per-round
+        # join/groupBy/cut + convergence-probe actions — 4+ jobs even
+        # at diameter 1). Union-by-min-root IS the fixpoint's answer:
+        # every union keeps the smaller root, so each root is the
+        # minimum label of its component. Beyond the row cap the
+        # distributed loop below stays the scale path (the 100 TB
+        # regime), with broadcast-capped relabel joins.
+        pdf = contracted.toPandas()
+        srcs, dsts = pdf["src"].tolist(), pdf["dst"].tolist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(srcs, dsts):
+            rs, rd = find(s), find(d)
+            if rs == rd:
+                continue
+            if rd < rs:
+                rs, rd = rd, rs
+            parent[rd] = rs
+        mapping = [(x, find(x)) for x in list(parent)]
+        lab_type = contracted.schema["src"].dataType
+        map_schema = StructType(
+            [
+                StructField("lab", lab_type),
+                StructField("canonical_id", lab_type),
+            ]
+        )
+        comp_map = contracted.sparkSession.createDataFrame(mapping, map_schema)
+        return (
+            l1.join(F.broadcast(comp_map), "lab", "left")
+            .select(
+                "node",
+                F.coalesce("canonical_id", F.col("lab")).alias("canonical_id"),
+            )
+        )
     label_nodes = l1.select(F.col("lab").alias("node")).distinct()
     comp = min_label_components(
         label_nodes, contracted, iterations=max_rounds, until_converged=True

@@ -99,16 +99,29 @@ def _spill_root(spark: SparkSession) -> str | None:
 SPILL_MIN_INPUT_BYTES_CONF = "spark.ipes.spillMinInputBytes"
 _SPILL_MIN_INPUT_BYTES = 256 << 20
 
+#: Lower threshold for PAIR-PROPORTIONAL intermediates (fuzzy-dedup
+#: edge sets): edges grow with in-block pair counts, ~1-2 orders of
+#: magnitude past the input (4.3M edges from 15k rows at sf0.1, 213M at
+#: sf10), so the store regime must flip to the columnar spill well
+#: before the input itself is spill-sized. 8 MiB of input ~ the sf2
+#: customer table; sf10's measured +182 s localCheckpoint heap-thrash
+#: regime (round-9 A/B) sits far above it, sf0.1/sf1 (where the spill's
+#: extra write job is pure overhead, ~0.4 s/query) below.
+EDGE_SPILL_MIN_INPUT_BYTES_CONF = "spark.ipes.edgeSpillMinInputBytes"
+_EDGE_SPILL_MIN_INPUT_BYTES = 8 << 20
 
-def spill_worthwhile(df: DataFrame) -> bool:
+
+def spill_worthwhile(
+    df: DataFrame,
+    conf_key: str = SPILL_MIN_INPUT_BYTES_CONF,
+    default_bytes: int = _SPILL_MIN_INPUT_BYTES,
+) -> bool:
     """True when ``df``'s Catalyst size estimate crosses the spill
     threshold — callers materializing an intermediate PROPORTIONAL to
-    ``df`` pass the result as ``cut(..., via_parquet=...)``."""
-    thr = int(
-        df.sparkSession.conf.get(
-            SPILL_MIN_INPUT_BYTES_CONF, str(_SPILL_MIN_INPUT_BYTES)
-        )
-    )
+    ``df`` pass the result as ``cut(..., via_parquet=...)``. Callers
+    whose intermediate grows FASTER than the input (edge sets) pass the
+    pair-proportional conf/default pair instead."""
+    thr = int(df.sparkSession.conf.get(conf_key, str(default_bytes)))
     est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     return est >= thr
 
