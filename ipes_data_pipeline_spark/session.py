@@ -25,17 +25,9 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Partitions must scale with input bytes, not stay pinned at the
-    # core count: the sf10 decade measured the wide exploded-
-    # intermediate plans (shingle/band rows) going superlinear when
-    # every exchange kept 32 partitions (SCALING.md round-5 A/B: q133
-    # 393->201 s / 347->145 s with 256 initial partitions, q39 a wash,
-    # q42f dominated by single-JVM memory noise). AQE makes a high
-    # initial count free for small stages: parallelismFirst coalesces
-    # them back to default parallelism, so sf0.1 plans are unchanged.
-    # Streaming state-store layout is untouched (it follows
-    # spark.sql.shuffle.partitions, which stays at the core count).
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
+    # initialPartitionNum is set ADAPTIVELY below (_initial_partitions):
+    # it must scale with input bytes, not sit at a constant tuned for
+    # either regime.
     # Arrow for every pandas boundary (toPandas, pandas UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The testdata's events.parquet stores TIMESTAMP(NANOS); Spark's reader
@@ -45,6 +37,38 @@ _RUNTIME_CONFS = {
 }
 
 
+#: Bytes of scan input per initial shuffle partition. Calibrated on two
+#: measured anchors: the round-5 sf10 A/B (1.8 GB star; 256 initial
+#: partitions took the exploded shingle/band plans from 393->201 s /
+#: 347->145 s), and the round-10 sf0.1 interleaved A/B (17.5 MB inputs;
+#: a constant 256 cost ~10% over the core count on an 8-query subset —
+#: every tiny stage still wrote 256-bucket shuffle maps before AQE
+#: coalesced the read side). 8 MiB/partition reproduces both: sf0.1 ->
+#: 32 (the core-count floor), sf10 -> ~230. Override via
+#: spark.ipes.initialPartitionsPerBytes; floor = default parallelism,
+#: cap = 1024 (shuffle-block quadratics, guide §2.2).
+INITIAL_PARTITIONS_PER_BYTES_CONF = "spark.ipes.initialPartitionsPerBytes"
+_INITIAL_PARTITIONS_PER_BYTES = 8 << 20
+
+
+def _initial_partitions(cpus: int, per_bytes: int) -> int:
+    """Derive AQE's initialPartitionNum from the benched dataset size
+    ($SPARK_GRAFT_SF_DIR). Without the env (cluster / test sessions)
+    fall back to 256 — the measured sf10 value, and AQE coalescing
+    makes over-provisioning cheap relative to under-provisioning."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if not sf_dir or not os.path.isdir(sf_dir):
+        return 256
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:  # pragma: no cover
+                pass
+    return max(cpus, min(1024, total // per_bytes))
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to a session we did not necessarily create."""
     for k, v in _RUNTIME_CONFS.items():
@@ -52,6 +76,20 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static in some builds
             pass
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        per = int(
+            spark.conf.get(
+                INITIAL_PARTITIONS_PER_BYTES_CONF,
+                str(_INITIAL_PARTITIONS_PER_BYTES),
+            )
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(_initial_partitions(cpus, per)),
+        )
+    except Exception:  # pragma: no cover
+        pass
     # Local mode: shuffle partitions ~ cores. On a real cluster AQE
     # coalescing makes a higher initial number safe; 32 matches the
     # local[32] test substrate and is a fine AQE starting point.
