@@ -113,6 +113,67 @@ def token_hashes(tok_col: Column) -> Column:
     return F.transform(tok_col, lambda t: F.md5(t))
 
 
+def simhash_masks(hash_col: Column, n_bits: int = 32) -> Column:
+    """Per-token high-bit masks for SimHash (``array<long>``): each
+    hash's first ``n_bits`` hex digits collapse into a long bitmask —
+    digit >= '8' is exactly the nibble's high bit, so ``translate`` to a
+    '0'/'1' string + ``conv(.., 2, 10)`` builds it in two JVM string ops.
+
+    PRECONDITION: every element of ``hash_col`` must be at least
+    ``n_bits`` LOWERCASE hex chars (``n_bits`` <= 32). The only engine
+    producer is :func:`token_hashes` (md5 hex — always 32 lowercase
+    chars). A shorter string misaligns the mask (its MSB lands at bit
+    ``len-1``) and uppercase digits pass ``translate`` untouched, making
+    ``conv`` return NULL and poisoning the fold — arbitrary hash
+    producers must lower+rpad first.
+
+    STAGE THIS IN ITS OWN PROJECTION (``.select(...,
+    simhash_masks(...).alias("mk"))``) before folding bits over it:
+    Catalyst performs no common-subexpression elimination across
+    expressions, so the ``n_bits`` per-bit folds of
+    :func:`simhash_bits_from_masks` would otherwise each re-run the
+    translate+conv transform — measured 3.6x slower end-to-end at sf0.1
+    (round 11; the round-10 inline form was exactly that regression).
+    """
+    return F.transform(
+        hash_col,
+        lambda h: F.conv(
+            F.translate(
+                F.substring(h, 1, n_bits),
+                "0123456789abcdef",
+                "0000000011111111",
+            ),
+            2,
+            10,
+        ).cast("long"),
+    )
+
+
+def simhash_bits_from_masks(
+    mask_col: Column, n_tokens: Column, n_bits: int = 32
+) -> Column:
+    """SimHash signature from STAGED per-token masks (see
+    :func:`simhash_masks`) plus the token count: per bit-dimension d the
+    ±1 sum over n tokens with c high bits is 2c - n, so bit = 1 iff
+    2c >= n (n = 0 gives '1', matching the legacy sum-of-empty = 0 >= 0).
+    Each fold is one long shift-and-mask per element — the cheapest
+    per-element op the HOF interpreter can run."""
+
+    # NB: fold lambdas must take exactly the declared parameter count —
+    # PySpark passes the element index to any extra parameter, which
+    # would shadow a `d=d` default-argument closure.
+    def fold_fn(d: int):
+        return lambda acc, x: acc + F.shiftrightunsigned(
+            x, n_bits - 1 - d
+        ).bitwiseAND(F.lit(1))
+
+    bits = []
+    for d in range(n_bits):
+        c = F.aggregate(mask_col, F.lit(0).cast("long"), fold_fn(d))
+        bits.append(F.when(c * 2 >= n_tokens, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
 def simhash_bits_from_hashes(hash_col: Column, n_bits: int = 32) -> Column:
     """SimHash bits over a pre-hashed token array (see
     :func:`token_hashes`): per bit-dimension d, sum ±1 according to the
@@ -121,18 +182,14 @@ def simhash_bits_from_hashes(hash_col: Column, n_bits: int = 32) -> Column:
     Returns the signature as an ``n_bits``-char '0'/'1' string (printable,
     engine-portable; hamming distance = count of differing chars).
 
-    Implementation (round 10): each hash's first ``n_bits`` hex digits
-    collapse ONCE per token into a long bitmask — digit >= '8' is
-    exactly the nibble's high bit, so ``translate`` to a '0'/'1' string
-    + ``conv(.., 2, 10)`` builds it in two JVM string ops — and the 32
-    per-bit folds then do one long shift-and-mask per element instead
-    of a UTF8String substring + compare (the HOF interpreter pays per
-    element; cheaper ops cut the signature stage ~19% measured at
-    sf0.1, values identical). The ±1 sum over n tokens with c high
-    bits is 2c - n, so bit = 1 iff 2c >= n (n = 0 gives '1', matching
-    the old sum-of-empty = 0 >= 0). n_bits > 32 (beyond md5's digits)
-    keeps the legacy substring path, where out-of-range digits
-    contribute -1.
+    Single-expression convenience form. The engine's hot path
+    (:func:`~ipes_data_pipeline_spark.operators.dedup_minhash.simhash_signatures`)
+    instead stages :func:`simhash_masks` in its own projection and folds
+    with :func:`simhash_bits_from_masks` — inlined here, the mask
+    transform is re-evaluated by every per-bit fold (no CSE across
+    expressions), which measured 3.6x slower at sf0.1 (round 11).
+    n_bits > 32 (beyond md5's digits) keeps the legacy substring path,
+    where out-of-range digits contribute -1.
     """
     if n_bits > 32:  # pragma: no cover - legacy edge, no md5 digits left
 
@@ -148,33 +205,9 @@ def simhash_bits_from_hashes(hash_col: Column, n_bits: int = 32) -> Column:
             bits.append(F.when(total >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
 
-    masks = F.transform(
-        hash_col,
-        lambda h: F.conv(
-            F.translate(
-                F.substring(h, 1, n_bits),
-                "0123456789abcdef",
-                "0000000011111111",
-            ),
-            2,
-            10,
-        ).cast("long"),
+    return simhash_bits_from_masks(
+        simhash_masks(hash_col, n_bits), F.size(hash_col), n_bits
     )
-
-    # NB: fold lambdas must take exactly the declared parameter count —
-    # PySpark passes the element index to any extra parameter, which
-    # would shadow a `d=d` default-argument closure.
-    def fold_fn(d: int):
-        return lambda acc, x: acc + F.shiftrightunsigned(
-            x, n_bits - 1 - d
-        ).bitwiseAND(F.lit(1))
-
-    n = F.size(hash_col)
-    bits = []
-    for d in range(n_bits):
-        c = F.aggregate(masks, F.lit(0).cast("long"), fold_fn(d))
-        bits.append(F.when(c * 2 >= n, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
 
 
 def simhash_bits(tok_col: Column, n_bits: int = 32) -> Column:
