@@ -1041,32 +1041,64 @@ def q104(spark, sf):
     # bit-reproducible in DuckDB, and the query reports its calibration:
     # n_bloom_pass >= n_exact always (no false negatives), with
     # n_false_pos showing the fp rate at this fill ratio.
-    # ONE driver round-trip builds the whole runtime filter (round 10):
-    # collect the distinct dim KEYS (the Bloom build side — "small side
-    # fits" is this operator's premise, same as Spark's own runtime
-    # bloom, whose build side is likewise collected) and derive the
-    # 2048-word mask table in Python md5 — bit-identical to the engine
-    # md5 over the same decimal strings. The previous shape paid a dim
-    # localCheckpoint, an explode+bit_or aggregate job AND the final
-    # probe; now one collect + one probe job, and the dim subtree runs
-    # once.
+    # TWO build regimes, same values (round 11 — the round-10 form
+    # collected every distinct dim key unconditionally, an UNBOUNDED
+    # driver collect at 100 TB):
+    #
+    # - Small build side (Catalyst estimate of the filtered dim scan
+    #   under spark.ipes.bloomKeyCollectMaxBytes, default 8 MiB): ONE
+    #   driver round-trip collects the distinct keys and derives the
+    #   2048-word mask table in Python md5 (bit-identical digests over
+    #   the same decimal strings); the exact leg joins the bounded key
+    #   list back as a broadcast local relation. One collect + one probe
+    #   job — the round-10 fast path, now byte-capped q39p-style.
+    # - Above the cap: the bloom builds DISTRIBUTED (explode the 4 bit
+    #   positions per key, bit_or per 64-word — registers merge, so
+    #   per-shard blooms roll up) and only the fixed 2048-word/16 KB
+    #   filter is collected, exactly like Spark's own runtime
+    #   BloomFilterAggregate; the exact leg broadcast-joins the pinned
+    #   dim FRAME. The driver never holds the key set.
     import hashlib
 
-    keys = sorted(
-        int(r["v"])
-        for r in t(spark, sf, "customer")
+    from ipes_data_pipeline_spark.operators.util import cut, spill_worthwhile
+
+    dim_scan = (
+        t(spark, sf, "customer")
         .where(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").cast("string").alias("v"))
-        .distinct()
-        .collect()
     )
-    masks: dict[int, int] = {}
-    for key in keys:
-        h = hashlib.md5(str(key).encode()).hexdigest()
-        for s in _BF_SLICES:
-            p = int(h[s - 1 : s + 7], 16) % _BF_BITS
-            masks[p >> 5] = masks.get(p >> 5, 0) | (1 << (p % 32))
-    arr = F.lit([masks.get(w, 0) for w in range(_BF_WORDS)])
+    collect_ok = not spill_worthwhile(
+        dim_scan, "spark.ipes.bloomKeyCollectMaxBytes", 8 << 20
+    )
+    if collect_ok:
+        keys = sorted(int(r["v"]) for r in dim_scan.distinct().collect())
+        masks: dict[int, int] = {}
+        for key in keys:
+            h = hashlib.md5(str(key).encode()).hexdigest()
+            for s in _BF_SLICES:
+                p = int(h[s - 1 : s + 7], 16) % _BF_BITS
+                masks[p >> 5] = masks.get(p >> 5, 0) | (1 << (p % 32))
+        word_list = [masks.get(w, 0) for w in range(_BF_WORDS)]
+        dim_keys = F.broadcast(
+            spark.createDataFrame([(k,) for k in keys], "c_custkey long")
+        )
+    else:
+        dim = dim_scan.distinct().transform(cut)
+        bloom = (
+            dim.select(F.explode(_bf_positions(F.col("v"))).alias("p"))
+            .select(
+                F.shiftright("p", 5).cast("long").alias("word"),
+                (F.col("p") % 32).cast("int").alias("bit"),
+            )
+            .groupBy("word")
+            .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("mask"))
+        )
+        bwords = {int(r["word"]): int(r["mask"]) for r in bloom.collect()}
+        word_list = [bwords.get(w, 0) for w in range(_BF_WORDS)]
+        dim_keys = F.broadcast(
+            dim.select(F.col("v").cast("long").alias("c_custkey"))
+        )
+    arr = F.lit(word_list)
     # spread: the md5×4 probe math inherits the scan's partitioning and
     # sf0.1 orders is one row-group — one task would hog one core.
     probe = (
@@ -1081,11 +1113,8 @@ def q104(spark, sf):
             ),
         )
     )
-    dim_keys = spark.createDataFrame(
-        [(k,) for k in keys], "c_custkey long"
-    )
     exact = probe.join(
-        F.broadcast(dim_keys),
+        dim_keys,
         probe.o_custkey == F.col("c_custkey"),
         "left_outer",
     ).withColumn("ex", F.col("c_custkey").isNotNull())
