@@ -126,6 +126,23 @@ def spill_worthwhile(
     return est >= thr
 
 
+def pin_pairs(src_df: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Materialize a PAIR-PROPORTIONAL frame (LSH candidate pairs / edge
+    sets) before iterative consumption — the q133/_cluster_docs lesson:
+    a propagation loop references its edge set once per round, and an
+    un-materialized band self-join + distinct would re-execute every
+    round. Store regime follows the pair-proportional edge threshold
+    keyed on the SOURCE corpus size (``src_df``), because pair counts
+    grow 1–2 orders of magnitude faster than the input (see
+    :data:`EDGE_SPILL_MIN_INPUT_BYTES_CONF`)."""
+    return cut(
+        pairs,
+        via_parquet=spill_worthwhile(
+            src_df, EDGE_SPILL_MIN_INPUT_BYTES_CONF, _EDGE_SPILL_MIN_INPUT_BYTES
+        ),
+    )
+
+
 def cut(
     df: DataFrame, reliable: bool = False, via_parquet: bool = False
 ) -> DataFrame:

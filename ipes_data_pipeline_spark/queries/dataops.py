@@ -1709,24 +1709,16 @@ def q125(spark, sf):
 
     docs = t(spark, sf, "documents")
     # Pin the half pair set before the 3 propagation rounds (the q133 /
-    # _cluster_docs lesson — an un-materialized pair join re-runs per
-    # round); store regime follows the pair-proportional edge threshold.
-    from ipes_data_pipeline_spark.operators.util import (
-        _EDGE_SPILL_MIN_INPUT_BYTES,
-        EDGE_SPILL_MIN_INPUT_BYTES_CONF,
-        spill_worthwhile,
-    )
+    # _cluster_docs lesson, encoded once in util.pin_pairs — an
+    # un-materialized pair join re-runs per round).
+    from ipes_data_pipeline_spark.operators.util import pin_pairs
 
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
-        bucket_cap=None,
-    ).transform(
-        lambda d: cut(
-            d,
-            via_parquet=spill_worthwhile(
-                docs, EDGE_SPILL_MIN_INPUT_BYTES_CONF, _EDGE_SPILL_MIN_INPUT_BYTES
-            ),
-        )
+    pairs = pin_pairs(
+        docs,
+        minhash_lsh_pairs(
+            docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
+            bucket_cap=None,
+        ),
     )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")

@@ -187,27 +187,17 @@ def q92(spark, sf):
 
     docs = t(spark, sf, "documents")
     # Pin the half pair set BEFORE the propagation rounds (the q133 /
-    # _cluster_docs lesson): min_label_components references its edge
-    # set once per round, and an un-materialized band self-join +
-    # distinct would re-execute 3x. Pair sets are pair-proportional, so
-    # the store regime follows the edge-spill threshold.
-    from ipes_data_pipeline_spark.operators.util import (
-        _EDGE_SPILL_MIN_INPUT_BYTES,
-        EDGE_SPILL_MIN_INPUT_BYTES_CONF,
-        cut,
-        spill_worthwhile,
-    )
+    # _cluster_docs lesson, encoded once in util.pin_pairs):
+    # min_label_components references its edge set once per round, and
+    # an un-materialized band self-join + distinct would re-execute 3x.
+    from ipes_data_pipeline_spark.operators.util import pin_pairs
 
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
-        bucket_cap=None,
-    ).transform(
-        lambda d: cut(
-            d,
-            via_parquet=spill_worthwhile(
-                docs, EDGE_SPILL_MIN_INPUT_BYTES_CONF, _EDGE_SPILL_MIN_INPUT_BYTES
-            ),
-        )
+    pairs = pin_pairs(
+        docs,
+        minhash_lsh_pairs(
+            docs, "doc_id", "text", n_hashes=8, band_size=2, hash_fn="md5",
+            bucket_cap=None,
+        ),
     )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")

@@ -51,22 +51,40 @@ INITIAL_PARTITIONS_PER_BYTES_CONF = "spark.ipes.initialPartitionsPerBytes"
 _INITIAL_PARTITIONS_PER_BYTES = 8 << 20
 
 
+#: cache of the dataset-directory size walk — tune() runs inside every
+#: registered query, and re-walking an unchanged directory per call is
+#: wasted driver time (ADVICE r10).
+_DIR_BYTES_CACHE: dict[str, int] = {}
+
+
+def _dir_bytes(sf_dir: str) -> int:
+    total = _DIR_BYTES_CACHE.get(sf_dir)
+    if total is None:
+        total = 0
+        for root, _dirs, files in os.walk(sf_dir):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:  # pragma: no cover
+                    pass
+        _DIR_BYTES_CACHE[sf_dir] = total
+    return total
+
+
 def _initial_partitions(cpus: int, per_bytes: int) -> int:
     """Derive AQE's initialPartitionNum from the benched dataset size
     ($SPARK_GRAFT_SF_DIR). Without the env (cluster / test sessions)
     fall back to 256 — the measured sf10 value, and AQE coalescing
-    makes over-provisioning cheap relative to under-provisioning."""
+    makes over-provisioning cheap relative to under-provisioning.
+
+    Round-11 bisect note: the r10 q43/q121p regression was NOT this
+    derivation — scripts/ab_initial_partitions.py measured 32 vs 256
+    a wash (±5%) at sf0.1 on the simhash/minhash families; the cause
+    was the simhash mask re-evaluation (functions/text.py)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
     if not sf_dir or not os.path.isdir(sf_dir):
         return 256
-    total = 0
-    for root, _dirs, files in os.walk(sf_dir):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:  # pragma: no cover
-                pass
-    return max(cpus, min(1024, total // per_bytes))
+    return max(cpus, min(1024, _dir_bytes(sf_dir) // per_bytes))
 
 
 def tune(spark: SparkSession) -> SparkSession:
@@ -78,17 +96,27 @@ def tune(spark: SparkSession) -> SparkSession:
             pass
     try:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:  # pragma: no cover - malformed harness env
+        cpus = 32
+    # A bad user value (0, negative, non-integer) must not silently skip
+    # the adaptive tuning (ADVICE r10): fall back to the default rate.
+    try:
         per = int(
             spark.conf.get(
                 INITIAL_PARTITIONS_PER_BYTES_CONF,
                 str(_INITIAL_PARTITIONS_PER_BYTES),
             )
         )
+    except ValueError:
+        per = _INITIAL_PARTITIONS_PER_BYTES
+    if per <= 0:
+        per = _INITIAL_PARTITIONS_PER_BYTES
+    try:
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(_initial_partitions(cpus, per)),
         )
-    except Exception:  # pragma: no cover
+    except Exception:  # pragma: no cover - conf may be static in some builds
         pass
     # Local mode: shuffle partitions ~ cores. On a real cluster AQE
     # coalescing makes a higher initial number safe; 32 matches the

@@ -7,6 +7,8 @@ Usage: python scripts/solo_query.py QUERY [runs] [--explain OUT.txt]
 
 from __future__ import annotations
 
+import argparse
+import gc
 import os
 import sys
 import time
@@ -18,14 +20,14 @@ from ipes_data_pipeline_spark.session import get_session
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    explain_out = None
-    if "--explain" in args:
-        i = args.index("--explain")
-        explain_out = args[i + 1]
-        del args[i : i + 2]
-    name = args[0]
-    runs = int(args[1]) if len(args) > 1 else 5
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("query", help="registry query name")
+    ap.add_argument("runs", nargs="?", type=int, default=5)
+    ap.add_argument("--explain", metavar="OUT.txt", default=None)
+    ns = ap.parse_args()
+    explain_out = ns.explain
+    name = ns.query
+    runs = ns.runs
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_all()
     spark = get_session("solo")
@@ -39,8 +41,6 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         walls.append(time.perf_counter() - t0)
         del df
-        import gc
-
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.3)
