@@ -6,6 +6,7 @@ passes, one session (the conf is runtime-settable and read at planning
 time, so flipping it between runs is a valid A/B).
 
 Usage: python scripts/ab_initial_partitions.py QUERY [QUERY ...] [--runs N]
+           [--values V1,V2,...]   (default: adaptive derivation vs 256)
 """
 
 from __future__ import annotations
@@ -22,23 +23,35 @@ from ipes_data_pipeline_spark.session import get_session
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     runs = 5
-    if "--runs" in sys.argv:
-        runs = int(sys.argv[sys.argv.index("--runs") + 1])
-        args = [a for a in args if a != str(runs)]
+    values: list[str] | None = None
+    if "--runs" in argv:
+        i = argv.index("--runs")
+        runs = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--values" in argv:
+        i = argv.index("--values")
+        values = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    args = argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_all()
     spark = get_session("ab-initpart")
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     conf = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     adaptive = spark.conf.get(conf)
+    settings = (
+        [(f"init{v}", v) for v in values]
+        if values
+        else [("adaptive", adaptive), ("const256", "256")]
+    )
     import gc
 
     samples: dict[tuple[str, str], list[float]] = {}
     for r in range(runs):
         for name in args:
-            for label, value in (("adaptive", adaptive), ("const256", "256")):
+            for label, value in settings:
                 spark.conf.set(conf, value)
                 spark.sparkContext.setJobDescription(
                     f"{name} {label}={value} pass {r}"
