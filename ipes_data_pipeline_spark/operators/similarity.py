@@ -708,11 +708,35 @@ def kmeans_lloyd_centroids(
     )
 
 
+#: Driver-regime training cap: the Lloyd/PQ training set is collected
+#: to the driver when its estimated bytes (rows × dim × 8) fit under
+#: this bound. Conf-tunable per deployment (round 11 — VERDICT item 8):
+#: a cluster with a fat driver can raise it, and forcing it to 0 pins
+#: every trainer to the distributed regime (the 100 TB path; pytest
+#: asserts both regimes produce identical centroid lists).
+PQ_DRIVER_TRAIN_MAX_BYTES_CONF = "spark.ipes.pqDriverTrainMaxBytes"
+_PQ_DRIVER_TRAIN_MAX_BYTES = 1 << 28
+
+
+def _driver_train_cap(spark) -> int:
+    """Resolve the driver-regime training cap from the session conf
+    (invalid values fall back to the 256 MiB default; 0 or negative is
+    VALID and means 'always distributed')."""
+    try:
+        return int(
+            spark.conf.get(
+                PQ_DRIVER_TRAIN_MAX_BYTES_CONF, str(_PQ_DRIVER_TRAIN_MAX_BYTES)
+            )
+        )
+    except ValueError:  # pragma: no cover - malformed user conf
+        return _PQ_DRIVER_TRAIN_MAX_BYTES
+
+
 def _lloyd_centroid_list(
     emb: DataFrame,
     n_cells: int,
     n_iter: int,
-    max_train_bytes: int = 1 << 28,
+    max_train_bytes: int | None = None,
     train_limit: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """The Lloyd loop itself: ``emb(id, v: array<double>)`` → sorted
@@ -732,8 +756,10 @@ def _lloyd_centroid_list(
     Two regimes, identical arithmetic (a pytest asserts they produce
     the same list on the fixture corpus):
 
-    - **Driver regime** (training set ≤ ``max_train_bytes``, estimated
-      rows × dim × 8 by one stats job): collect the (id, v) projection
+    - **Driver regime** (training set ≤ ``max_train_bytes`` — defaults
+      to the :data:`PQ_DRIVER_TRAIN_MAX_BYTES_CONF` session conf,
+      256 MiB — estimated rows × dim × 8 by one stats job): collect the
+      (id, v) projection
       once and run every round in numpy. This is how production ANN
       indexes train centroids anyway (a bounded corpus/sample, not the
       full 100 TB), and it removes the per-round distributed-job
@@ -760,6 +786,8 @@ def _lloyd_centroid_list(
     Sharing the list (not a DataFrame) lets callers like
     :func:`semdedup` skip a createDataFrame→collect round-trip.
     """
+    if max_train_bytes is None:
+        max_train_bytes = _driver_train_cap(emb.sparkSession)
     if train_limit is not None:
         emb = emb.orderBy("id").limit(train_limit)
     stats = emb.agg(
@@ -1625,9 +1653,19 @@ def pq_topk(
 
 def _pq_fused_fits(n_train: int, m: int, dsub: int) -> bool:
     """True when the whole PQ training set fits the driver-regime byte
-    cap (rows × dim × 8 ≤ 256 MiB) — the bound that turns on the fused
-    one-collect training AND the fused one-scan Arrow encode."""
-    return 0 < n_train * m * dsub * 8 <= 1 << 28
+    cap (rows × dim × 8 ≤ :data:`PQ_DRIVER_TRAIN_MAX_BYTES_CONF`,
+    default 256 MiB) — the bound that turns on the fused one-collect
+    training AND the fused one-scan Arrow encode. Forcing the conf to 0
+    pins the PQ family to the distributed per-subspace path."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    cap = (
+        _driver_train_cap(spark)
+        if spark is not None
+        else _PQ_DRIVER_TRAIN_MAX_BYTES
+    )
+    return 0 < n_train * m * dsub * 8 <= cap
 
 
 def _probe_cells(qv: list[float], coarse: list, n_probe: int) -> list[int]:

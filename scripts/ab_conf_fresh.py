@@ -38,7 +38,7 @@ t0 = time.perf_counter()
 df = REGISTRY[{name!r}].spark(spark, {sf_dir!r})
 df.write.mode("overwrite").format("noop").save()
 t1 = time.perf_counter() - t0
-if t1 < 60.0:
+if t1 < float(os.environ.get("SPARK_GRAFT_WARM_CUTOFF", "60")):
     from ipes_data_pipeline_spark.operators.util import release_spills
     del df
     release_spills(spark)

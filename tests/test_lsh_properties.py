@@ -499,6 +499,28 @@ def test_lloyd_driver_and_distributed_regimes_agree(spark):
         assert dv == xv  # exact float equality, not approx
 
 
+def test_pq_driver_train_cap_conf_pins_regimes_equal(spark):
+    """spark.ipes.pqDriverTrainMaxBytes=0 forces the whole PQ family to
+    the distributed per-subspace path (round 11 — the 100 TB regime,
+    previously only reachable by growing the corpus past the hard-coded
+    256 MiB cap). The forced regime must produce the exact rows of the
+    default fused-driver regime."""
+    from ipes_data_pipeline_spark.queries import REGISTRY, load_all
+
+    load_all()
+    sf_dir = "/root/testdata/sf0.001"
+    name = "q159_pq_ann"
+    fused = sorted(map(tuple, REGISTRY[name].spark(spark, sf_dir).collect()))
+    spark.conf.set("spark.ipes.pqDriverTrainMaxBytes", "0")
+    try:
+        dist = sorted(
+            map(tuple, REGISTRY[name].spark(spark, sf_dir).collect())
+        )
+    finally:
+        spark.conf.unset("spark.ipes.pqDriverTrainMaxBytes")
+    assert fused == dist
+
+
 def test_pq_fused_training_collect_matches_per_subspace(spark):
     """_pq_adc_scan's round-8 fused path (one collect, all m codebooks
     from numpy slices of the full matrix) must be BIT-IDENTICAL to the
